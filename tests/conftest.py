@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-device virtual CPU mesh so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
+import os
+
+# must be set before jax is imported anywhere
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)
+
+
+@pytest.fixture
+def tmp_model_dir(tmp_path):
+    d = tmp_path / "model"
+    d.mkdir()
+    return str(d)

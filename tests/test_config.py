@@ -1,0 +1,70 @@
+import json
+
+import pytest
+
+from waveformml_tpu.config import (
+    Config, config_equals, config_superset, load_config, save_config,
+    to_dict, to_object, validate_config,
+)
+
+
+def test_config_attribute_access():
+    cfg = Config({"a": {"b": 1, "c": [1, {"d": 2}]}, "e": "x"})
+    assert cfg.a.b == 1
+    assert cfg.a.c[0] == 1
+    assert cfg.a.c[1].d == 2
+    assert cfg.e == "x"
+    assert cfg["a"]["b"] == 1
+
+
+def test_config_roundtrip():
+    d = {"a": {"b": 1}, "c": [1, 2, {"d": "x"}]}
+    assert to_dict(to_object(d)) == d
+    assert config_equals(to_object(d), d)
+
+
+def test_config_superset():
+    a = {"x": 1, "y": {"z": 2, "w": 3}}
+    b = {"y": {"z": 2}}
+    assert config_superset(a, b)
+    assert not config_superset(b, a)
+    assert not config_superset({"y": {"z": 5}}, b)
+
+
+def test_validate_fills_defaults():
+    cfg = Config({
+        "run_config": {"exp_name": "t", "run_class": "LitPSD"},
+        "system_config": {"model_name": "m", "n_samples": 10, "type_names": ["a", "b"]},
+        "net_config": {"net_class": "DenseConvNet"},
+        "optimize_config": {},
+        "dataset_config": {"paths": ["p"], "n_train": 10, "n_validate": 5},
+    })
+    validate_config(cfg)
+    assert cfg.optimize_config.optimizer_class == "optim.SGD"
+    assert cfg.optimize_config.scheduler_params.gamma == 0.9
+    assert cfg.net_config.criterion_class == "CrossEntropyLoss"
+
+
+def test_load_save_roundtrip(tmp_path):
+    p = tmp_path / "cfg.json"
+    d = {
+        "run_config": {"exp_name": "t", "run_class": "LitPSD"},
+        "system_config": {"model_name": "m", "n_samples": 4, "type_names": ["a"]},
+        "net_config": {},
+        "optimize_config": {},
+        "dataset_config": {"paths": ["p"], "n_train": 1, "n_validate": 1},
+    }
+    p.write_text(json.dumps(d))
+    cfg = load_config(str(p))
+    out = tmp_path / "saved.json"
+    save_config(cfg, str(out))
+    reloaded = json.loads(out.read_text())
+    assert reloaded["run_config"]["exp_name"] == "t"
+
+
+def test_missing_required_raises():
+    cfg = Config({"run_config": {}, "system_config": {"type_names": ["a"], "n_samples": 1},
+                  "net_config": {}, "optimize_config": {},
+                  "dataset_config": {"n_train": 1, "n_validate": 1}})
+    with pytest.raises(ValueError, match="paths"):
+        validate_config(cfg)

@@ -1,0 +1,244 @@
+"""Streaming HDF5 table IO.
+
+Reproduces the reference's src/datasets/HDF5IO.py: ``H5Input.next_chunk`` with
+event-boundary-preserving reads (:55-79), ``H5Output`` chunked gzip table
+writing (:88-108), and ``P2XTableWriter`` which replicates the PyTables
+``CLASS/FIELD_n_NAME/TITLE/VERSION/abstime/runtime/calgrp/nevents`` attribute
+conventions (:134-206) so outputs stay readable by the experiment's toolchain.
+
+TPU-era improvement over the reference: the event-extension read is a block
+read (the reference reads one row at a time, HDF5IO.py:70-78), so streaming
+throughput is bounded by HDF5 chunk decode, not per-row h5py calls.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import h5py
+import numpy as np
+from h5py import Datatype, h5t
+
+
+class H5FileHandler(h5py.File):
+    """h5py.File wrapper that reports which file failed to open
+    (ref: src/utils/HDF5Utils.py:1-11)."""
+
+    def __init__(self, path: str, mode: str = "r", **kwargs):
+        try:
+            super().__init__(path, mode, **kwargs)
+        except OSError as e:
+            raise OSError(f"failed to open HDF5 file '{path}' (mode={mode}): {e}") from e
+
+
+class H5Base:
+    def __init__(self, path: str, access: str = "r", **kwargs):
+        self.path = path
+        self.h5f = H5FileHandler(path, access, **kwargs)
+
+    def close(self) -> None:
+        self.h5f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class H5Input(H5Base):
+    """Sequential chunked reader over one table, never splitting an event
+    across chunks (ref: HDF5IO.py:24-79)."""
+
+    def __init__(self, path: str, **kwargs):
+        super().__init__(path, **kwargs)
+        self.record_type: Optional[np.dtype] = None
+        self.table_name = ""
+        self.table: Optional[h5py.Dataset] = None
+        self.event_index_name = ""
+        self.event_index_coord: Optional[int] = None
+        self.current_index = -1  # -1: fresh, -2: exhausted (next call resets)
+        self.table_length = 0
+
+    def setup_table(self, name: str, data_type: np.dtype, event_index_name: str,
+                    event_index_coord: Optional[int] = None, base: str = "/") -> None:
+        self.record_type = data_type
+        self.table_name = name
+        self.table = self.h5f[base + name]
+        self.table_length = self.table.shape[0]
+        self.event_index_name = event_index_name
+        self.event_index_coord = event_index_coord
+        self.current_index = -1
+
+    def _event_numbers(self, rows: np.ndarray) -> np.ndarray:
+        col = rows[self.event_index_name]
+        if self.event_index_coord is not None and col.ndim > 1:
+            col = col[:, self.event_index_coord]
+        return col
+
+    def get_event_number(self, row: np.ndarray):
+        if self.event_index_coord is None:
+            return row[self.event_index_name]
+        return row[self.event_index_name][self.event_index_coord]
+
+    def next_chunk(self, nrows: int = 2048, preserve_event: bool = True) -> Optional[np.ndarray]:
+        """Read the next ~nrows rows; with preserve_event the chunk is extended
+        until the final event is complete. Returns None once after exhaustion,
+        then restarts (ref: HDF5IO.py:55-79 state machine)."""
+        if self.table is None:
+            raise RuntimeError("No table opened!")
+        if self.current_index == -2:
+            self.current_index = -1
+            return None
+        if self.current_index == -1:
+            self.current_index = 0
+        if self.current_index + nrows >= self.table_length:
+            ci = self.current_index
+            self.current_index = -2
+            return self.table[ci:self.table_length]
+        data = self.table[self.current_index:self.current_index + nrows]
+        self.current_index += nrows
+        if preserve_event:
+            last_event = self.get_event_number(data[-1])
+            # block-read extension: pull ahead in chunks and cut at the first
+            # row whose event id differs (vectorized vs ref's per-row loop)
+            ext_block = max(64, nrows // 8)
+            while self.current_index < self.table_length:
+                ahead = self.table[self.current_index:
+                                   min(self.current_index + ext_block, self.table_length)]
+                evts = self._event_numbers(ahead)
+                differs = np.nonzero(evts != last_event)[0]
+                if differs.size:
+                    take = int(differs[0])
+                    if take:
+                        data = np.concatenate([data, ahead[:take]])
+                        self.current_index += take
+                    break
+                data = np.concatenate([data, ahead])
+                self.current_index += len(ahead)
+            if self.current_index >= self.table_length:
+                self.current_index = -2
+        return data
+
+    def iter_chunks(self, nrows: int = 2048, preserve_event: bool = True):
+        """Generator over all chunks (one full pass)."""
+        while True:
+            chunk = self.next_chunk(nrows, preserve_event)
+            if chunk is None:
+                return
+            yield chunk
+
+
+class H5Output(H5Base):
+    """Table writer with gzip compression and append-by-index semantics
+    (ref: HDF5IO.py:82-131)."""
+
+    def __init__(self, path: str):
+        super().__init__(path, "w")
+        self.tables: Dict[str, h5py.Dataset] = {}
+        self.table_index: Dict[str, int] = {}
+
+    def create_table(self, name: str, shape, data_type, compression: str = "gzip",
+                     maxshape=(None,), compression_opts: int = 9, chunks=(1024,), **kwargs) -> None:
+        self.tables[name] = self.h5f.create_dataset(
+            name, shape=shape, dtype=data_type, compression=compression,
+            maxshape=maxshape, compression_opts=compression_opts, chunks=chunks, **kwargs)
+        self.table_index[name] = 0
+
+    def add_rows(self, name: str, rows: np.ndarray) -> None:
+        i = self.table_index[name]
+        tbl = self.tables[name]
+        if i + rows.shape[0] > tbl.shape[0]:
+            tbl.resize((i + rows.shape[0],))
+        tbl[i:i + rows.shape[0]] = rows
+        self.table_index[name] = i + rows.shape[0]
+
+    def close_table(self, name: str) -> None:
+        self.table_index.pop(name)
+        self.tables.pop(name)
+
+    def flush(self, table: Optional[str] = None) -> None:
+        self.h5f.flush()
+
+    def copy_attrs(self, table: str, h5input: H5Base, input_table: str,
+                   names: Sequence[str], types: Sequence[Any], shapes: Sequence[Any]) -> None:
+        src_attrs = h5input.h5f[input_table].attrs
+        for n, t, s in zip(names, types, shapes):
+            if n not in src_attrs.keys():
+                continue
+            kwargs = {}
+            if t is not None:
+                kwargs["dtype"] = t
+            if s is not None:
+                kwargs["shape"] = s
+            self.tables[table].attrs.create(n, src_attrs[n], **kwargs)
+
+    def copy_table(self, name: str, h5input: H5Base) -> None:
+        src = h5input.h5f[name]
+        self.create_table(name, src.shape, src.dtype)
+        if src.shape[0] > 0:
+            self.tables[name][...] = src[()]
+            self.table_index[name] = src.shape[0]
+
+
+def _fixed_str_type(length: int) -> Datatype:
+    tid = h5t.C_S1.copy()
+    tid.set_size(length)
+    return Datatype(tid)
+
+
+class P2XTableWriter(H5Output):
+    """Writer that mirrors the experiment's PyTables attribute conventions
+    (ref: HDF5IO.py:134-206)."""
+
+    def copy_chanmap(self, h5input: H5Base) -> None:
+        self.copy_table("Chanmap", h5input)
+        self.copy_p2x_attrs(h5input, "Chanmap", "Chanmap")
+
+    def _attr_str_type(self, h5input: H5Base, table: str, name: str) -> Optional[Datatype]:
+        attrs = h5input.h5f[table].attrs
+        if name in attrs.keys():
+            return _fixed_str_type(len(attrs[name]) + 1)
+        return None
+
+    def write_field_names(self, table: str, dtype_names: Sequence[str]) -> None:
+        """Write FIELD_n_NAME attrs for a new table's fields."""
+        for n, name in enumerate(dtype_names):
+            self.tables[table].attrs.create(
+                f"FIELD_{n}_NAME", name, dtype=_fixed_str_type(len(name) + 1))
+
+    def copy_p2x_attrs(self, h5input: H5Base, table: str, input_table: str,
+                       dtype_names: Optional[Sequence[str]] = None) -> None:
+        names: List[str] = ["CLASS"]
+        shapes: List[Any] = [None]
+        types: List[Any] = [_fixed_str_type(6)]
+        src_attrs = h5input.h5f[input_table].attrs
+        if dtype_names is not None:
+            self.write_field_names(table, dtype_names)
+        else:
+            n = 0
+            while f"FIELD_{n}_NAME" in src_attrs.keys():
+                key = f"FIELD_{n}_NAME"
+                names.append(key)
+                shapes.append(None)
+                types.append(_fixed_str_type(len(src_attrs[key]) + 1))
+                n += 1
+        for key in ("TITLE", "VERSION"):
+            if key in src_attrs.keys():
+                names.append(key)
+                shapes.append(None)
+                types.append(_fixed_str_type(len(src_attrs[key]) + 1))
+        for key in ("abstime", "runtime"):
+            names.append(key)
+            shapes.append((1,))
+            types.append(np.float64)
+        for key in ("calgrp", "rname"):
+            t = self._attr_str_type(h5input, input_table, key)
+            if t is not None:
+                names.append(key)
+                types.append(t)
+                shapes.append(None)
+        for key in ("nevents", "scalingfactor"):
+            names.append(key)
+            shapes.append((1,))
+            types.append(np.float64)
+        self.copy_attrs(table, h5input, input_table, names, types, shapes)

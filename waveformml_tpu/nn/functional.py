@@ -1,0 +1,122 @@
+"""Loss criteria with the torch class-name API the configs use.
+
+The reference resolves ``net_config.criterion_class`` (e.g. "CrossEntropyLoss",
+"L1Loss") onto torch.nn by reflection (ref: src/engineering/LitBase.py:38-43)
+with reduction "mean" for event-level tasks and "sum" for segment-level tasks.
+Here each criterion is a pure-JAX callable class registered under the same
+names. All criteria accept ``reduction`` in {"mean", "sum", "none"} and an
+optional ``where`` mask (TPU addition: masked reductions over padded batches).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from waveformml_tpu.registry import registry
+
+
+def _reduce(x: jax.Array, reduction: str, where: Optional[jax.Array] = None) -> jax.Array:
+    if where is not None:
+        x = jnp.where(where, x, 0)
+    if reduction == "none":
+        return x
+    if reduction == "sum":
+        return jnp.sum(x)
+    if reduction == "mean":
+        if where is not None:
+            return jnp.sum(x) / jnp.maximum(jnp.sum(where), 1)
+        return jnp.mean(x)
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+class _Criterion:
+    reduction: str = "mean"
+
+    def __init__(self, *args, reduction: str = "mean", **kwargs):
+        self.reduction = reduction
+
+    def __call__(self, pred: jax.Array, target: jax.Array,
+                 where: Optional[jax.Array] = None) -> jax.Array:
+        return _reduce(self.elementwise(pred, target), self.reduction, where)
+
+    def elementwise(self, pred: jax.Array, target: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+
+@registry.register("CrossEntropyLoss", aliases=("nn.CrossEntropyLoss",))
+class CrossEntropyLoss(_Criterion):
+    """Softmax cross entropy on logits [N, C] with int targets [N]."""
+
+    def elementwise(self, pred, target):
+        logp = jax.nn.log_softmax(pred, axis=-1)
+        return -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+
+@registry.register("NLLLoss", aliases=("nn.NLLLoss",))
+class NLLLoss(_Criterion):
+    """Negative log likelihood on log-probabilities [N, C]."""
+
+    def elementwise(self, pred, target):
+        return -jnp.take_along_axis(pred, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+
+@registry.register("L1Loss", aliases=("nn.L1Loss",))
+class L1Loss(_Criterion):
+    def elementwise(self, pred, target):
+        return jnp.abs(pred - target)
+
+
+@registry.register("MSELoss", aliases=("nn.MSELoss",))
+class MSELoss(_Criterion):
+    def elementwise(self, pred, target):
+        d = pred - target
+        return d * d
+
+
+@registry.register("SmoothL1Loss", aliases=("nn.SmoothL1Loss",))
+class SmoothL1Loss(_Criterion):
+    def __init__(self, *args, reduction: str = "mean", beta: float = 1.0, **kwargs):
+        super().__init__(reduction=reduction)
+        self.beta = beta
+
+    def elementwise(self, pred, target):
+        d = jnp.abs(pred - target)
+        return jnp.where(d < self.beta, 0.5 * d * d / self.beta, d - 0.5 * self.beta)
+
+
+@registry.register("BCELoss", aliases=("nn.BCELoss",))
+class BCELoss(_Criterion):
+    def elementwise(self, pred, target):
+        eps = 1e-7
+        p = jnp.clip(pred, eps, 1 - eps)
+        t = target.astype(p.dtype)
+        return -(t * jnp.log(p) + (1 - t) * jnp.log1p(-p))
+
+
+@registry.register("BCEWithLogitsLoss", aliases=("nn.BCEWithLogitsLoss",))
+class BCEWithLogitsLoss(_Criterion):
+    def elementwise(self, pred, target):
+        t = target.astype(pred.dtype)
+        # numerically stable: max(x,0) - x*t + log(1 + exp(-|x|))
+        return jnp.maximum(pred, 0) - pred * t + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+
+
+@registry.register("HuberLoss", aliases=("nn.HuberLoss",))
+class HuberLoss(_Criterion):
+    def __init__(self, *args, reduction: str = "mean", delta: float = 1.0, **kwargs):
+        super().__init__(reduction=reduction)
+        self.delta = delta
+
+    def elementwise(self, pred, target):
+        d = jnp.abs(pred - target)
+        return jnp.where(d < self.delta, 0.5 * d * d, self.delta * (d - 0.5 * self.delta))
+
+
+def build_criterion(name: str, params=None, reduction: str = "mean"):
+    """Resolve criterion_class + criterion_params from config
+    (ref: LitBase.py:38-43)."""
+    cls = registry.retrieve_class(name)
+    args = list(params) if params else []
+    return cls(*args, reduction=reduction)

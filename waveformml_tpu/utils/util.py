@@ -1,0 +1,225 @@
+"""General runtime utilities: logging, paths, provenance, bins.
+
+Reproduces the behavior of the reference's src/utils/util.py (561 LoC) —
+setup_logger (:444-488), get_model_folder/get_experiment_name, bins helpers
+(:540-550), unique_path_combine (:249-279), run-info provenance (:350-401),
+file MD5 (:375-392), checkpoint retrieval (:170-200), replace_file_pattern
+(:527-537), flatten.
+"""
+from __future__ import annotations
+
+import getpass
+import glob
+import hashlib
+import json
+import logging
+import os
+import platform
+import re
+import subprocess
+import sys
+import time
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------------
+# logging (ref: util.py:444-488 — verbosity 1-5 → log levels, console + file)
+# ---------------------------------------------------------------------------------
+
+_VERBOSITY_LEVELS = {
+    0: logging.CRITICAL,
+    1: logging.ERROR,
+    2: logging.WARNING,
+    3: logging.INFO,
+    4: logging.DEBUG,
+    5: logging.DEBUG,
+}
+
+
+def setup_logger(verbosity: int = 3, logfile: Optional[str] = None,
+                 name: str = "waveformml_tpu") -> logging.Logger:
+    level = _VERBOSITY_LEVELS.get(int(verbosity), logging.DEBUG)
+    logger = logging.getLogger(name)
+    logger.setLevel(level)
+    logger.handlers = []
+    fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if logfile:
+        os.makedirs(os.path.dirname(os.path.abspath(logfile)), exist_ok=True)
+        fh = logging.FileHandler(logfile)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+def get_logger(name: str = "waveformml_tpu") -> logging.Logger:
+    return logging.getLogger(name)
+
+
+# ---------------------------------------------------------------------------------
+# paths / experiment folders (ref: util.py get_model_folder, main.py:99-109)
+# ---------------------------------------------------------------------------------
+
+def get_model_folder(config) -> str:
+    base = getattr(config.system_config, "model_base_path", "./model")
+    folder = os.path.join(base, config.system_config.model_name)
+    os.makedirs(folder, exist_ok=True)
+    return folder
+
+
+def next_experiment_name(model_folder: str, exp_name: str) -> str:
+    """Auto-increment exp_name if a run dir already exists
+    (ref: main.py:99-109)."""
+    runs = os.path.join(model_folder, "runs")
+    if not os.path.isdir(os.path.join(runs, exp_name)):
+        return exp_name
+    i = 1
+    while os.path.isdir(os.path.join(runs, f"{exp_name}_{i}")):
+        i += 1
+    return f"{exp_name}_{i}"
+
+
+def next_version_dir(run_dir: str) -> str:
+    """TensorBoard-style version_<n> dirs (ref: main.py:144-165)."""
+    n = 0
+    while os.path.isdir(os.path.join(run_dir, f"version_{n}")):
+        n += 1
+    return os.path.join(run_dir, f"version_{n}")
+
+
+def unique_path_combine(paths: Sequence[str]) -> str:
+    """Derive a dataset/model name from a list of paths by stripping the common
+    prefix and joining distinctive parts (ref: util.py:249-279)."""
+    if not paths:
+        return ""
+    normed = [os.path.normpath(p) for p in paths]
+    if len(normed) == 1:
+        return os.path.basename(normed[0])
+    parts = [p.split(os.sep) for p in normed]
+    # strip common leading components
+    i = 0
+    while all(len(p) > i for p in parts) and len({p[i] for p in parts}) == 1:
+        i += 1
+    distinct = ["_".join([c for c in p[i:] if c]) for p in parts]
+    distinct = [d for d in distinct if d]
+    if not distinct:
+        return os.path.basename(normed[0])
+    return "__".join(distinct)
+
+
+def replace_file_pattern(path: str, pattern: str, replacement: str) -> str:
+    """Replace a glob-ish suffix pattern in a filename (ref: util.py:527-537)."""
+    base = os.path.basename(path)
+    pat = pattern.replace("*", "")
+    if base.endswith(pat):
+        base = base[: -len(pat)] + replacement.replace("*", "")
+    else:
+        base = base.replace(pat, replacement.replace("*", ""))
+    return os.path.join(os.path.dirname(path), base)
+
+
+def flatten(nested: Iterable[Any]) -> List[Any]:
+    out: List[Any] = []
+    for x in nested:
+        if isinstance(x, (list, tuple)):
+            out.extend(flatten(x))
+        else:
+            out.append(x)
+    return out
+
+
+# ---------------------------------------------------------------------------------
+# checkpoint discovery (ref: util.py:170-200 retrieve_model_checkpoint)
+# ---------------------------------------------------------------------------------
+
+_CKPT_METRIC_RE = re.compile(r"val_loss[=\-]([0-9]*\.?[0-9]+)")
+
+
+def retrieve_best_checkpoint(model_folder: str) -> Optional[str]:
+    """Glob ``**/*.ckpt``-style checkpoint dirs/files, parse the val metric out
+    of the name, return the best (lowest) one (ref: util.py:170-200).
+
+    Our checkpoints are orbax directories named ``epoch=E-val_loss=V.ckpt``.
+    """
+    candidates = glob.glob(os.path.join(model_folder, "**", "*.ckpt"), recursive=True)
+    best, best_metric = None, float("inf")
+    for c in candidates:
+        m = _CKPT_METRIC_RE.search(os.path.basename(c))
+        metric = float(m.group(1)) if m else float("inf") - 1
+        if metric < best_metric:
+            best, best_metric = c, metric
+    return best
+
+
+# ---------------------------------------------------------------------------------
+# provenance (ref: util.py:350-401 get_run_info/write_run_info, :375-392 md5)
+# ---------------------------------------------------------------------------------
+
+def get_file_md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def get_git_info(cwd: Optional[str] = None) -> Dict[str, str]:
+    info = {}
+    for key, cmd in (("sha", ["git", "rev-parse", "HEAD"]),
+                     ("tag", ["git", "describe", "--tags", "--always"])):
+        try:
+            info[key] = subprocess.check_output(
+                cmd, cwd=cwd or os.getcwd(), stderr=subprocess.DEVNULL
+            ).decode().strip()
+        except Exception:
+            info[key] = "unknown"
+    return info
+
+
+def get_run_info() -> Dict[str, Any]:
+    import jax
+
+    return {
+        "git": get_git_info(os.path.dirname(os.path.dirname(os.path.dirname(__file__)))),
+        "host": platform.node(),
+        "user": getpass.getuser(),
+        "python": sys.version.split()[0],
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "n_devices": jax.device_count(),
+        "argv": sys.argv,
+        "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+
+
+def write_run_info(log_dir: str) -> None:
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "run_info.json"), "w") as f:
+        json.dump(get_run_info(), f, indent=2, default=str)
+
+
+# ---------------------------------------------------------------------------------
+# bins / numerics (ref: util.py:540-550 get_bins/get_bin_midpoints/safe_divide)
+# ---------------------------------------------------------------------------------
+
+def get_bins(low: float, high: float, n: int) -> np.ndarray:
+    """n+1 bin edges from low to high."""
+    return np.linspace(low, high, int(n) + 1)
+
+
+def get_bin_midpoints(low: float, high: float, n: int) -> np.ndarray:
+    edges = get_bins(low, high, n)
+    return 0.5 * (edges[:-1] + edges[1:])
+
+
+def safe_divide(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise a/b with 0 where b == 0."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    out = np.zeros(np.broadcast(a, b).shape, dtype=np.float64)
+    np.divide(a, b, out=out, where=(b != 0))
+    return out
