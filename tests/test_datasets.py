@@ -1,0 +1,210 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from waveformml_tpu.config import Config
+from waveformml_tpu.datasets.data_module import PSDDataModule, collate_blocks
+from waveformml_tpu.datasets.hdf5_dataset import HDF5Dataset
+from waveformml_tpu.datasets.pulse_dataset import PulseDataset2D
+from waveformml_tpu.datasets.synthetic import write_classification_dirs
+
+N_SAMPLES = 16
+
+
+@pytest.fixture
+def data_dirs(tmp_path):
+    base = tmp_path / "data"
+    return write_classification_dirs(
+        str(base), ["TypeA", "TypeB"], n_files=3, events_per_file=20,
+        n_samples=N_SAMPLES, seed=7)
+
+
+def _config(tmp_path, n_train=30, n_validate=10, n_test=10, **dataset_extra):
+    d = {
+        "run_config": {"exp_name": "t", "run_class": "LitPSD",
+                       "imports": ["waveformml_tpu.engineering"]},
+        "system_config": {"model_name": "m", "n_samples": N_SAMPLES,
+                          "n_type": 2, "type_names": ["TypeA", "TypeB"],
+                          "model_base_path": str(tmp_path / "model"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "DenseConvNet", "net_type": "2DConvolution"},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [],
+                            "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9, "nesterov": True},
+                            "scheduler_class": "lr_scheduler.ExponentialLR",
+                            "scheduler_params": {"gamma": 0.9}},
+        "dataset_config": {
+            "mode": "path", "imports": [],
+            "base_path": str(tmp_path / "data"),
+            "paths": ["TypeA", "TypeB"],
+            "dataset_class": "PulseDataset2D",
+            "dataset_params": {"data_cache_size": 2},
+            "dataloader_params": {"batch_size": 2, "num_workers": 0},
+            "n_train": n_train, "n_validate": n_validate, "n_test": n_test,
+            **dataset_extra,
+        },
+    }
+    return Config(d)
+
+
+def test_hdf5_dataset_blocks(data_dirs, tmp_path):
+    ds = HDF5Dataset([data_dirs["TypeA"], data_dirs["TypeB"]],
+                     "*WaveformPairSim.h5", "WaveformPairs", "coord", "waveform",
+                     events_per_dir=30, normalize=True)
+    assert len(ds) >= 2
+    block = ds[0]
+    assert block.coords.shape[1] == 3
+    assert block.feats.shape[1] == 2 * N_SAMPLES
+    assert block.feats.dtype == np.float32
+    # normalized to [0, 1]
+    assert float(block.feats.max()) <= 1.0
+    # dir-index labels: one per event
+    n_events = len(np.unique(block.coords[:, 2]))
+    assert block.labels.shape == (n_events,)
+    assert set(np.unique(block.labels)) <= {0, 1}
+
+
+def test_events_per_dir_cap(data_dirs):
+    ds = HDF5Dataset([data_dirs["TypeA"]], "*WaveformPairSim.h5",
+                     "WaveformPairs", "coord", "waveform", events_per_dir=25)
+    total = sum(di["event_range"][1] - di["event_range"][0] + 1
+                for di in ds.info["data_info"])
+    assert total == 25
+    # second block is truncated mid-file: check the row slice honors the range
+    blocks = [ds[i] for i in range(len(ds))]
+    got = sum(len(np.unique(b.coords[:, 2])) for b in blocks)
+    assert got == 25
+
+
+def test_label_map():
+    # label remapping logic standalone (ref: HDF5Dataset.py:582-597)
+    ds = HDF5Dataset.__new__(HDF5Dataset)
+    ds.info = {"label_map": {1: 0, 4: 1, 6: 2}}
+    y = np.array([1, 4, 6, 1])
+    np.testing.assert_array_equal(ds.convert_label(y), [0, 1, 2, 0])
+
+
+def test_collate_reoffsets_events(data_dirs):
+    ds = HDF5Dataset([data_dirs["TypeA"], data_dirs["TypeB"]],
+                     "*WaveformPairSim.h5", "WaveformPairs", "coord", "waveform",
+                     events_per_dir=20)
+    merged = collate_blocks([ds[0], ds[1]])
+    ev = merged.coords[:, 2]
+    # events renumbered consecutively from 0
+    assert ev[0] == 0
+    assert np.all(np.diff(ev) >= 0)
+    n_events = ev[-1] + 1
+    assert merged.labels.shape[0] == n_events
+    assert len(np.unique(ev)) == n_events
+
+
+def test_pulse_dataset2d_and_metadata(data_dirs, tmp_path):
+    cfg = _config(tmp_path)
+    ds = PulseDataset2D(cfg, "train", 20)
+    block = ds[0]
+    assert block.feats.shape[1] == 2 * N_SAMPLES
+    # metadata JSON written (ref: PulseDataset.py:188-194)
+    meta_files = [f for f in os.listdir(ds.dataset_dir) if f.endswith("_dataset.json")]
+    assert meta_files
+    meta = json.load(open(os.path.join(ds.dataset_dir, meta_files[0])))
+    assert meta["data_name"] == "WaveformPairs"
+    assert meta["dataset_config"]["dataset_class"] == "PulseDataset2D"
+    # reload from metadata (ref: HDF5Dataset.py:62-85)
+    ds2 = PulseDataset2D.retrieve_config(os.path.join(ds.dataset_dir, meta_files[0]))
+    b2 = ds2[0]
+    np.testing.assert_array_equal(b2.coords, block.coords)
+
+
+def test_data_module_splits_dont_share_files(data_dirs, tmp_path):
+    cfg = _config(tmp_path, n_train=20, n_validate=10, n_test=10)
+    dm = PSDDataModule(cfg)
+    dm.setup(None)
+    train_files = set(dm.train_dataset.get_file_list())
+    val_files = set(dm.val_dataset.get_file_list())
+    test_files = set(dm.test_dataset.get_file_list())
+    assert train_files.isdisjoint(val_files)
+    assert train_files.isdisjoint(test_files)
+    assert val_files.isdisjoint(test_files)
+
+
+def test_data_module_loaders(data_dirs, tmp_path):
+    cfg = _config(tmp_path, n_train=20, n_validate=10, n_test=10)
+    dm = PSDDataModule(cfg)
+    dm.setup(None)
+    batches = list(dm.train_dataloader())
+    assert batches
+    for b in batches:
+        assert b.coords.shape[0] == b.feats.shape[0]
+    # prefetch-thread path produces the same batches
+    cfg2 = _config(tmp_path, n_train=20, n_validate=10, n_test=10)
+    cfg2.dataset_config.dataloader_params["num_workers"] = 2
+    dm2 = PSDDataModule(cfg2)
+    dm2.setup(None)
+    batches2 = list(dm2.val_dataloader())
+    batches1 = list(dm.val_dataloader())
+    assert len(batches1) == len(batches2)
+    for a, b in zip(batches1, batches2):
+        np.testing.assert_array_equal(a.coords, b.coords)
+
+
+def test_shuffle_pipeline(data_dirs, tmp_path):
+    cfg = _config(tmp_path, n_train=40, data_prep="shuffle", shuffled_size=20)
+    ds = PulseDataset2D(cfg, "train", 40)
+    assert ds.shuffle_queue  # shuffle map generated
+    ds.write_shuffled()
+    combined = [f for f in os.listdir(ds.data_dir) if f.startswith("Combined_")
+                and f.endswith(".h5")]
+    assert combined
+    # sidecar JSON exists per combined file
+    for c in combined:
+        assert os.path.exists(os.path.join(ds.data_dir, c[:-3] + ".json"))
+    # dataset re-rooted at the combined dir; labels interleave classes
+    block = ds[0]
+    labels = block.labels
+    assert set(np.unique(labels)) == {0, 1}
+    # interleaved: first two events are different classes
+    assert labels[0] != labels[1]
+    # re-running the shuffle skips (superset sidecar) without error
+    cfg2 = _config(tmp_path, n_train=40, data_prep="shuffle", shuffled_size=20)
+    ds2 = PulseDataset2D(cfg2, "train", 40)
+    ds2.write_shuffled()
+
+
+def test_shuffle_preserves_event_content(data_dirs, tmp_path):
+    """ValidateCombined-equivalent: every combined event's rows match some
+    source event of the right class (ref: scripts/ValidateCombined.py:119-137)."""
+    import h5py
+
+    cfg = _config(tmp_path, n_train=40, data_prep="shuffle", shuffled_size=20)
+    ds = PulseDataset2D(cfg, "train", 40)
+    ds.write_shuffled()
+
+    # collect source waveforms by class
+    src = {0: [], 1: []}
+    for k, name in enumerate(["TypeA", "TypeB"]):
+        d = os.path.join(str(tmp_path / "data"), name)
+        for f in sorted(os.listdir(d)):
+            with h5py.File(os.path.join(d, f)) as h5:
+                rec = h5["WaveformPairs"][()]
+                src[k].append(rec["waveform"])
+    src = {k: np.concatenate(v) for k, v in src.items()}
+
+    combined = sorted(f for f in os.listdir(ds.data_dir)
+                      if f.startswith("Combined_") and f.endswith(".h5"))
+    for c in combined:
+        with h5py.File(os.path.join(ds.data_dir, c)) as h5:
+            g = h5["WaveformPairs"]
+            coords = g["coord"][()]
+            wf = g["waveform"][()]
+            labels = g["labels"][()]
+        ev = coords[:, 2]
+        for e in np.unique(ev):
+            rows = wf[ev == e]
+            cls = int(labels[e])
+            # each row of this event exists in the right class's source data
+            for r in rows:
+                assert (np.abs(src[cls] - r).sum(axis=1) < 1e-4).any()

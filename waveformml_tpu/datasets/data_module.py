@@ -1,0 +1,227 @@
+"""Data modules: loader orchestration from dataset_config.
+
+Behavioral equivalent of the reference's src/engineering/PSDDataModule.py:
+``collate_fn`` concatenates file blocks and re-offsets the batch-index column
+so events stay distinct (ref :10-20); ``setup()`` builds train (optionally
+triggering ``write_shuffled``), then val/test with ``file_excludes`` so splits
+never share files (ref :66-127); dataloader params (batch_size counts file
+blocks, num_workers) come from ``dataset_config.dataloader_params`` (ref :129-151).
+
+TPU-era design: loaders are host-side generators with a background-thread
+prefetch queue (the DataLoader-worker equivalent, SURVEY §2.11); batches stay
+numpy until the trainer pads them to bucketed static shapes and device_puts.
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from waveformml_tpu.config import to_dict
+from waveformml_tpu.datasets.hdf5_dataset import FileBlock, HDF5Dataset
+from waveformml_tpu.ops.sparse import consecutive_event_index
+from waveformml_tpu.registry import registry
+
+
+def collate_blocks(blocks: Sequence[FileBlock]) -> FileBlock:
+    """Concatenate file blocks, re-offsetting the event column so events stay
+    distinct (ref: PSDDataModule.py:10-20), then renumbering events to
+    consecutive 0..B-1 (required by the static-shape dense scatter)."""
+    if len(blocks) == 1:
+        merged = blocks[0]
+    else:
+        coords_list, offset = [], 0
+        for i, b in enumerate(blocks):
+            c = b.coords.copy()
+            if c.ndim == 2:
+                c[:, 2] += offset
+            offset += b.labels.shape[0]
+            coords_list.append(c)
+        extras = {}
+        for k in blocks[0].extras:
+            extras[k] = np.concatenate([b.extras[k] for b in blocks])
+        merged = FileBlock(
+            coords=np.concatenate(coords_list),
+            feats=np.concatenate([b.feats for b in blocks]),
+            labels=np.concatenate([b.labels for b in blocks]),
+            extras=extras,
+        )
+    if merged.coords.ndim == 2:
+        c = merged.coords.copy()
+        c[:, 2] = consecutive_event_index(c[:, 2])
+        merged = FileBlock(c, merged.feats, merged.labels, merged.extras)
+    return merged
+
+
+class DataLoaderLite:
+    """Minimal host data loader: index shuffling, block batching, collation,
+    and optional background-thread prefetch (num_workers > 0)."""
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 num_workers: int = 0, seed: int = 0, prefetch_depth: int = 4,
+                 drop_last: bool = False, **_ignored):
+        self.dataset = dataset
+        self.batch_size = max(1, int(batch_size))
+        self.shuffle = shuffle
+        self.num_workers = int(num_workers)
+        self.prefetch_depth = prefetch_depth
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[List[int]]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        if self.drop_last:
+            usable = (len(idx) // self.batch_size) * self.batch_size
+            idx = idx[:usable]
+        return [idx[i:i + self.batch_size].tolist()
+                for i in range(0, len(idx), self.batch_size)]
+
+    def _load(self, batch_idx: List[int]) -> FileBlock:
+        return collate_blocks([self.dataset[i] for i in batch_idx])
+
+    def __iter__(self) -> Iterator[FileBlock]:
+        batches = self._index_batches()
+        if self.num_workers <= 0:
+            for b in batches:
+                yield self._load(b)
+            return
+        # background-thread prefetch (HDF5 decode overlaps device compute)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    q.put(self._load(b))
+            except BaseException as e:  # propagate into consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+@registry.register("PSDDataModule", aliases=("PSDDataModule.PSDDataModule",))
+class PSDDataModule:
+    """Builds train/val/test datasets + loaders from the config
+    (ref: PSDDataModule.py:23-151)."""
+
+    def __init__(self, config):
+        self.log = logging.getLogger(__name__)
+        self.config = config
+        dc = config.dataset_config
+        self.half_precision = bool(getattr(config.system_config, "half_precision", False))
+        if not hasattr(dc.dataset_params, "use_half"):
+            dc.dataset_params["use_half"] = self.half_precision
+        self.ntype = len(dc.paths)
+        self.total_train = dc.n_train * self.ntype
+        self.dataset_class = registry.retrieve_class(dc.dataset_class)
+        self.train_dataset = None
+        self.val_dataset = None
+        self.test_dataset = None
+        self.train_excludes: List[str] = []
+
+    # -- dataset construction -------------------------------------------------------
+    def _dataset_params(self, which: str = "dataset_params") -> Dict:
+        dc = self.config.dataset_config
+        params = getattr(dc, which, None)
+        if params is None:
+            params = dc.dataset_params
+        return to_dict(params)
+
+    def gen_train_dataset(self) -> None:
+        if self.train_dataset is not None:
+            return
+        dc = self.config.dataset_config
+        if hasattr(dc, "train_config"):
+            self.train_dataset = self.dataset_class.retrieve_config(
+                dc.train_config, self.half_precision)
+            self.log.info("Using train dataset from %s.", dc.train_config)
+        else:
+            self.train_dataset = self.dataset_class(
+                self.config, "train", dc.n_train, **self._dataset_params())
+            self.log.info("Training dataset generated.")
+        self.train_excludes = self.train_dataset.get_file_list()
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        dc = self.config.dataset_config
+        if stage in ("fit", "train", None):
+            self.gen_train_dataset()
+            if getattr(dc, "data_prep", None) == "shuffle":
+                if hasattr(dc, "train_config"):
+                    self.log.warning(
+                        "You specified a training dataset and shuffling data prep; "
+                        "shuffling only supports directory lists. Skipping shuffle.")
+                else:
+                    self.train_dataset.write_shuffled()
+        if stage in ("test", "validate", None):
+            self.gen_train_dataset()
+            if self.val_dataset is None:
+                if hasattr(dc, "val_config"):
+                    self.val_dataset = self.dataset_class.retrieve_config(
+                        dc.val_config, self.half_precision)
+                else:
+                    n_validate = getattr(dc, "n_validate", None)
+                    if n_validate is None:
+                        n_validate = dc.n_test
+                    self.val_dataset = self.dataset_class(
+                        self.config, "validate", n_validate,
+                        file_excludes=self.train_excludes,
+                        **self._dataset_params())
+                    self.log.info("Validation dataset generated.")
+            if self.test_dataset is None and hasattr(dc, "n_test"):
+                if hasattr(dc, "test_config"):
+                    self.test_dataset = self.dataset_class.retrieve_config(
+                        dc.test_config, self.half_precision)
+                else:
+                    excludes = self.train_excludes + self.val_dataset.get_file_list()
+                    params_key = ("test_dataset_params"
+                                  if hasattr(dc, "test_dataset_params") else "dataset_params")
+                    self.test_dataset = self.dataset_class(
+                        self.config, "test", dc.n_test,
+                        file_excludes=excludes,
+                        **self._dataset_params(params_key))
+                    self.log.info("Test dataset generated.")
+
+    # -- loaders ---------------------------------------------------------------------
+    def _loader_params(self) -> Dict:
+        return to_dict(getattr(self.config.dataset_config, "dataloader_params", {}) or {})
+
+    def train_dataloader(self) -> DataLoaderLite:
+        if self.train_dataset is None:
+            self.setup("fit")
+        return DataLoaderLite(self.train_dataset, shuffle=True, **self._loader_params())
+
+    def val_dataloader(self) -> DataLoaderLite:
+        if self.val_dataset is None:
+            self.setup("test")
+        return DataLoaderLite(self.val_dataset, shuffle=False, **self._loader_params())
+
+    def test_dataloader(self) -> DataLoaderLite:
+        if self.test_dataset is None:
+            self.setup("test")
+        return DataLoaderLite(self.test_dataset, shuffle=False, **self._loader_params())

@@ -1,0 +1,329 @@
+"""HDF5 event dataset: directories of HDF5 files → per-file-block numpy arrays.
+
+Behavioral equivalent of the reference's src/datasets/HDF5Dataset.py (597 LoC):
+one dataset index = one *file block* (not one event), returning
+``(coords, feats, labels, extras)`` sliced to the file's allotted event range
+(ref :186-217, :225-347). Features reproduced:
+
+  * multi-directory round-robin file ordering to balance classes (ref :162-183)
+  * per-file event accounting via the ``nevents`` attr and per-dir caps (ref :371-391)
+  * LRU cache of decoded files (``data_cache_size``, ref :466-476)
+  * directory-index-as-label when no label field (ref :313-316)
+  * separate label files via ``label_file_pattern`` (ref :404-425)
+  * ``label_map`` PID remapping (ref :582-597)
+  * ``normalize`` → ×1/16383 (ref :345-346), ``use_half`` → float16
+  * ``additional_fields`` pass-through (ref :252-308)
+  * compound-table mode and group mode (shuffled "Combined" files) (ref :394-403)
+  * ``retrieve_config``/``save_info_to_file`` JSON metadata round-trip (ref :62-85)
+
+TPU-era differences: everything is host numpy (no torch tensors, no
+``.to(device)`` — device transfer happens at the padded-batch boundary), and
+the cache is a true LRU instead of random eviction.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+from waveformml_tpu.detector import MAX_RANGE
+from waveformml_tpu.io.hdf5 import H5FileHandler
+from waveformml_tpu.utils.util import replace_file_pattern
+
+FILENAME_SORT_REGEX = re.compile(r"_(\d+)")
+MAX_RANGE_INV = 1.0 / MAX_RANGE
+
+
+def _sort_pattern(name) -> Any:
+    nums = FILENAME_SORT_REGEX.findall(str(name))
+    return int(nums[0]) if nums else str(name)
+
+
+@dataclass
+class FileBlock:
+    """One dataset item: a multi-event block from a single file."""
+
+    coords: np.ndarray                 # [N, 3] int32 (x, y, event) or [N] det ids
+    feats: np.ndarray                  # [N, F]
+    labels: np.ndarray                 # [N] or [N, L] (segment) / [B] (event)
+    extras: Dict[str, np.ndarray] = field(default_factory=dict)
+
+    @property
+    def n_rows(self) -> int:
+        return self.coords.shape[0]
+
+
+class HDF5Dataset:
+    """len() = number of file blocks; [i] = FileBlock."""
+
+    def __init__(self, file_paths: Sequence[str],
+                 file_pattern: str,
+                 data_name: str,
+                 coordinate_name: str,
+                 feature_name: str,
+                 events_per_dir: int,
+                 recursive: bool = False,
+                 file_excludes: Optional[Sequence[str]] = None,
+                 label_name: Optional[str] = None,
+                 label_file_pattern: Optional[str] = None,
+                 data_cache_size: int = 3,
+                 normalize: bool = False,
+                 use_half: bool = False,
+                 event_based: bool = True,
+                 additional_fields: Optional[Sequence[str]] = None,
+                 label_map: Optional[Dict] = None):
+        self.log = logging.getLogger(__name__)
+        self.file_paths = [os.path.normpath(os.path.abspath(f)) for f in file_paths]
+        self.num_dirs = len(self.file_paths)
+        self.normalize = normalize
+        self.half_precision = use_half
+        self.n_events = [0] * self.num_dirs
+        self.group_mode = False
+        self.ordered_file_set: List[str] = []
+        self._cache: "OrderedDict[str, Dict[str, np.ndarray]]" = OrderedDict()
+
+        self.info: Dict[str, Any] = {
+            "file_paths": self.file_paths,
+            "data_info": [],
+            "data_cache_size": data_cache_size,
+            "data_name": data_name,
+            "coord_name": coordinate_name,
+            "feat_name": feature_name,
+            "label_name": label_name,
+            "label_file_pattern": label_file_pattern,
+            "file_pattern": file_pattern,
+            "events_per_dir": events_per_dir,
+            "event_based": event_based,
+            "additional_fields": list(additional_fields) if additional_fields else None,
+            "label_map": {int(k): v for k, v in label_map.items()} if label_map else None,
+        }
+
+        # -- file discovery (ref: HDF5Dataset.py:136-183) --------------------------
+        excludes = set(str(Path(f).resolve()) for f in (file_excludes or []))
+        all_files: List[List[Path]] = []
+        for file_path in self.file_paths:
+            p = Path(file_path)
+            if not p.is_dir():
+                raise RuntimeError(f"{p.resolve()} is not a valid directory.")
+            glob_pat = f"**/{file_pattern}" if recursive else file_pattern
+            files = sorted(p.glob(glob_pat), key=_sort_pattern)
+            files = [f for f in files if str(f.resolve()) not in excludes]
+            if not files:
+                if excludes:
+                    raise RuntimeError(
+                        "No remaining datasets available, lower the number of "
+                        "training and / or validation data")
+                raise RuntimeError(f"No hdf5 datasets found in {file_path}")
+            all_files.append(files)
+
+        if len(all_files) == 1:
+            ordered = list(all_files[0])
+        else:
+            # round-robin across dirs to balance classes (ref :162-183)
+            tally = [0] * len(all_files)
+            queues = [list(fs) for fs in all_files]
+            ordered = []
+            while any(q and t < events_per_dir for q, t in zip(queues, tally)):
+                for i, q in enumerate(queues):
+                    while q and tally[i] < events_per_dir:
+                        f = q.pop(0)
+                        ordered.append(f)
+                        tally[i] += self._peek_event_num(str(f.resolve()), data_name, event_based)
+                        if tally[i] >= max(tally):
+                            break
+
+        for f in ordered:
+            fp = str(Path(f).resolve())
+            dir_index = self.file_paths.index(os.path.normpath(os.path.dirname(fp)))
+            if self.n_events[dir_index] >= events_per_dir:
+                continue
+            self.ordered_file_set.append(fp)
+            self._add_data_info(fp, dir_index)
+
+    # -- metadata round-trip (ref: HDF5Dataset.py:62-85, :565-569) ------------------
+    @classmethod
+    def retrieve_config(cls, config_path: str, use_half: bool = False) -> "HDF5Dataset":
+        with open(config_path) as f:
+            info = json.load(f)
+        self = cls.__new__(cls)
+        self.log = logging.getLogger(__name__)
+        self.info = info
+        self.file_paths = info["file_paths"]
+        self.num_dirs = len(self.file_paths)
+        self.normalize = info.get("normalize", False)
+        self.half_precision = use_half
+        self.n_events = info.get("n_events", [0] * self.num_dirs)
+        self.group_mode = info.get("group_mode", False)
+        self.ordered_file_set = [di["file_path"] for di in info["data_info"]]
+        self._cache = OrderedDict()
+        if info.get("label_map"):
+            self.info["label_map"] = {int(k): v for k, v in info["label_map"].items()}
+        return self
+
+    def save_info_to_file(self, fpath: str) -> None:
+        out = dict(self.info)
+        out["normalize"] = self.normalize
+        out["group_mode"] = self.group_mode
+        out["n_events"] = self.n_events
+        os.makedirs(os.path.dirname(os.path.abspath(fpath)), exist_ok=True)
+        with open(fpath, "w") as f:
+            json.dump(out, f, indent=2, default=str)
+
+    # -- discovery internals --------------------------------------------------------
+    def _peek_event_num(self, fp: str, data_name: str, event_based: bool) -> int:
+        with H5FileHandler(fp, "r") as h5:
+            node = h5[data_name]
+            if event_based:
+                return int(node.attrs.get("nevents")[0])
+            return int(node.shape[0] if hasattr(node, "shape") else 0)
+
+    def _add_data_info(self, fp: str, dir_index: int) -> None:
+        with H5FileHandler(fp, "r") as h5:
+            node = h5[self.info["data_name"]]
+            self.group_mode = isinstance(node, h5py.Group)
+            if self.info["event_based"]:
+                n_file_events = int(node.attrs.get("nevents")[0])
+            else:
+                if self.group_mode:
+                    n_file_events = int(node[self.info["coord_name"]].shape[0])
+                else:
+                    n_file_events = int(node.shape[0])
+        n = min(n_file_events, self.info["events_per_dir"] - self.n_events[dir_index])
+        self.n_events[dir_index] += n
+        self.info["data_info"].append({
+            "file_path": fp,
+            "modified": os.path.getmtime(fp),
+            "n_events": n_file_events,
+            "event_range": [0, n - 1],
+            "dir_index": dir_index,
+        })
+        if self.info["label_file_pattern"]:
+            lf = self._label_file_for(fp)
+            if not os.path.exists(lf):
+                raise RuntimeError(
+                    f"No corresponding label file found for file {fp}, tried {lf}")
+
+    def _label_file_for(self, fp: str) -> str:
+        fname = replace_file_pattern(os.path.basename(fp), self.info["file_pattern"],
+                                     self.info["label_file_pattern"])
+        return os.path.join(os.path.dirname(fp), fname)
+
+    # -- cache / decode --------------------------------------------------------------
+    def _decode_file(self, fp: str) -> Dict[str, np.ndarray]:
+        """Read all needed columns of one file into numpy arrays."""
+        out: Dict[str, np.ndarray] = {}
+        with H5FileHandler(fp, "r") as h5:
+            node = h5[self.info["data_name"]]
+            if self.group_mode:
+                out["coords"] = node[self.info["coord_name"]][()]
+                out["feats"] = node[self.info["feat_name"]][()]
+                if self.info["label_name"] and self.info["label_name"] in node:
+                    out["labels"] = node[self.info["label_name"]][()]
+            else:
+                data = node[()]
+                out["coords"] = np.ascontiguousarray(data[self.info["coord_name"]])
+                out["feats"] = np.ascontiguousarray(data[self.info["feat_name"]])
+                if self.info["label_name"] and self.info["label_name"] in (data.dtype.names or ()):
+                    out["labels"] = np.ascontiguousarray(data[self.info["label_name"]])
+                for f in self.info["additional_fields"] or []:
+                    out[f] = np.ascontiguousarray(data[f])
+        if "labels" not in out and self.info["label_file_pattern"]:
+            with H5FileHandler(self._label_file_for(fp), "r") as h5:
+                node = h5[self.info["label_name"]]
+                data = node[()]
+                out["labels"] = np.ascontiguousarray(data[data.dtype.names[0]]) \
+                    if data.dtype.names else data
+        return out
+
+    def _get_file_data(self, fp: str) -> Dict[str, np.ndarray]:
+        if fp in self._cache:
+            self._cache.move_to_end(fp)
+            return self._cache[fp]
+        data = self._decode_file(fp)
+        self._cache[fp] = data
+        while len(self._cache) > max(1, int(self.info["data_cache_size"])):
+            self._cache.popitem(last=False)
+        return data
+
+    # -- item access ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.info["data_info"])
+
+    def get_path_info(self, file_path: str) -> Optional[Dict[str, Any]]:
+        for di in self.info["data_info"]:
+            if di["file_path"].strip() == file_path.strip():
+                return di
+        return None
+
+    def get_file_list(self) -> List[str]:
+        return [di["file_path"] for di in self.info["data_info"]]
+
+    def _row_range(self, coords: np.ndarray, di: Dict[str, Any]) -> Tuple[int, int]:
+        """Map the event range to a [first, last) row range (ref :225-248)."""
+        lo_ev, hi_ev = di["event_range"]
+        if not self.info["event_based"]:
+            return lo_ev, hi_ev + 1
+        ev = coords if coords.ndim == 1 else coords[:, 2]
+        first = int(np.searchsorted(ev, lo_ev, side="left")) if lo_ev > 0 else 0
+        if hi_ev + 1 < di["n_events"]:
+            last = int(np.searchsorted(ev, hi_ev, side="right"))
+        else:
+            last = coords.shape[0]
+        return first, last
+
+    def convert_label(self, y: np.ndarray) -> np.ndarray:
+        """Apply the label_map remapping (ref :582-597)."""
+        lm = self.info["label_map"]
+        if lm is None:
+            return y
+        out = y.copy()
+        for key, val in lm.items():
+            out[y == key] = val
+        return out
+
+    def __getitem__(self, index: int) -> FileBlock:
+        di = self.info["data_info"][index]
+        data = self._get_file_data(di["file_path"])
+        coords = data["coords"]
+        first, last = self._row_range(coords, di)
+
+        feats = data["feats"][first:last]
+        feat_dtype = np.float16 if self.half_precision else np.float32
+        feats = feats.astype(feat_dtype, copy=False)
+        if self.normalize:
+            feats = feats * feat_dtype(MAX_RANGE_INV)
+        c = coords[first:last]
+        c = c.astype(np.int32, copy=False)
+
+        extras = {}
+        for f in self.info["additional_fields"] or []:
+            if f in data:
+                extras[f] = data[f][first:last]
+
+        if "labels" in data:
+            if self.info["label_file_pattern"] or self.group_mode:
+                # label-file labels and combined-file (group-mode) labels are
+                # per-event (ref :319-324)
+                lo_ev, hi_ev = di["event_range"]
+                y = data["labels"][lo_ev:hi_ev + 1]
+            else:
+                y = data["labels"][first:last]
+            y = self.convert_label(np.asarray(y))
+            if np.issubdtype(y.dtype, np.integer):
+                y = y.astype(np.int64, copy=False)
+            else:
+                y = y.astype(np.float32, copy=False)
+        else:
+            # directory index as the event label (ref :313-316)
+            n_ev = di["event_range"][1] + 1 - di["event_range"][0]
+            y = np.full((n_ev,), di["dir_index"], dtype=np.int64)
+
+        return FileBlock(coords=c, feats=feats, labels=y, extras=extras)

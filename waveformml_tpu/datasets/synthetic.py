@@ -1,0 +1,136 @@
+"""Synthetic HDF5 event data for hermetic tests and benchmarks.
+
+Generates files matching the experiment's on-disk layouts (the contract in
+waveformml_tpu.io.compound_types and the PulseDataset file masks), with
+physically-shaped waveforms: exponential-tail scintillation pulses whose
+amplitude ratio and timing encode a ground-truth (E, z) so models can actually
+learn from the data (no reference-code counterpart; the reference ships no
+test data generator beyond H5CompoundTypes.generate_random_data).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+from waveformml_tpu.detector import MAX_RANGE, NX, NY, Z_SCALE
+
+
+def synth_waveform_pair(rng: np.random.Generator, n_samples: int, energy: float,
+                        z: float, kind: int = 0) -> np.ndarray:
+    """One PMT pair's waveform [2*n_samples]: left/right amplitudes follow an
+    exponential attenuation in z; the tail fraction differs by particle kind
+    (the PSD handle). Values on the raw ADC scale [0, MAX_RANGE]."""
+    t = np.arange(n_samples, dtype=np.float32)
+    t0 = 6.0 + rng.uniform(-1, 1)
+    rise = np.clip((t - t0) / 1.5, 0, None)
+    fast = np.exp(-np.clip(t - t0, 0, None) / 3.0)
+    slow = np.exp(-np.clip(t - t0, 0, None) / 25.0)
+    tail_frac = 0.12 + 0.25 * kind  # particle-dependent slow component
+    shape = (1 - np.exp(-rise)) * ((1 - tail_frac) * fast + tail_frac * slow)
+    zn = z / (Z_SCALE / 2)  # [-1, 1]
+    amp_l = energy * np.exp(-zn * 0.8)
+    amp_r = energy * np.exp(+zn * 0.8)
+    scale = MAX_RANGE / 40.0
+    wf_l = amp_l * scale * shape + rng.normal(0, 12, n_samples)
+    wf_r = amp_r * scale * shape + rng.normal(0, 12, n_samples)
+    return np.clip(np.concatenate([wf_l, wf_r]), 0, MAX_RANGE).astype(np.float32)
+
+
+def make_events(rng: np.random.Generator, n_events: int, n_samples: int,
+                kind: int = 0, max_mult: int = 4,
+                start_event: int = 0) -> Dict[str, np.ndarray]:
+    """Generate sparse events: coords [N,3], waveforms [N,2S], per-pulse E/z."""
+    coords, wfs, es, zs = [], [], [], []
+    for e in range(n_events):
+        mult = int(rng.integers(1, max_mult + 1))
+        sites = rng.choice(NX * NY, size=mult, replace=False)
+        for s in sites:
+            x, y = int(s % NX), int(s // NX)
+            energy = float(rng.uniform(0.5, 10.0))
+            z = float(rng.uniform(-Z_SCALE / 2, Z_SCALE / 2))
+            coords.append([x, y, start_event + e])
+            wfs.append(synth_waveform_pair(rng, n_samples, energy, z, kind))
+            es.append(energy)
+            zs.append(z)
+    return {
+        "coords": np.asarray(coords, dtype=np.int32),
+        "waveforms": np.stack(wfs),
+        "E": np.asarray(es, dtype=np.float32),
+        "z": np.asarray(zs, dtype=np.float32),
+    }
+
+
+def write_waveform_pair_sim(path: str, n_events: int, n_samples: int,
+                            kind: int = 0, seed: int = 0,
+                            with_labels: Optional[str] = None) -> None:
+    """Write a *WaveformPairSim.h5-style file (dataset "WaveformPairs",
+    fields coord/waveform[+z/EZ]) consumed by PulseDataset2D{,WithZ,WithEZ}."""
+    rng = np.random.default_rng(seed)
+    ev = make_events(rng, n_events, n_samples, kind)
+    n = ev["coords"].shape[0]
+    fields = [("coord", np.int32, (3,)), ("waveform", np.float32, (2 * n_samples,))]
+    dataset_name = "WaveformPairs"
+    if with_labels == "z":
+        fields.append(("z", np.float32, (1,)))
+        dataset_name = "WaveformPairsWithZ"
+    elif with_labels == "EZ":
+        fields.append(("EZ", np.float32, (2,)))
+        dataset_name = "WaveformPairsWithEZ"
+    rec = np.zeros(n, dtype=np.dtype(fields))
+    rec["coord"] = ev["coords"]
+    rec["waveform"] = ev["waveforms"]
+    if with_labels == "z":
+        rec["z"][:, 0] = ev["z"] / Z_SCALE + 0.5
+    elif with_labels == "EZ":
+        rec["EZ"][:, 0] = ev["E"]
+        rec["EZ"][:, 1] = ev["z"] / Z_SCALE + 0.5
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as h5:
+        h5.create_dataset(dataset_name, data=rec)
+        h5[dataset_name].attrs.create("nevents", np.array([float(n_events)]))
+
+
+def write_classification_dirs(base: str, type_names: Sequence[str],
+                              n_files: int, events_per_file: int,
+                              n_samples: int, seed: int = 0,
+                              with_labels: Optional[str] = None) -> Dict[str, str]:
+    """One directory per particle class, each with *WaveformPairSim.h5 files —
+    the directory-as-label layout PulseDataset2D expects."""
+    out = {}
+    for k, name in enumerate(type_names):
+        d = os.path.join(base, name)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_files):
+            p = os.path.join(d, f"{name}_{i:05d}_WaveformPairSim.h5")
+            write_waveform_pair_sim(p, events_per_file, n_samples, kind=k,
+                                    seed=seed + 1000 * k + i, with_labels=with_labels)
+        out[name] = d
+    return out
+
+
+def write_wfpair_cal(path: str, n_events: int, seed: int = 0,
+                     file_tag: str = "WFPairSim") -> None:
+    """Write a *WFPairSim.h5 / *WFCalFilteredSE.h5-style WaveformPairCal table."""
+    from waveformml_tpu.io.compound_types import WaveformPairCal
+
+    rng = np.random.default_rng(seed)
+    t = WaveformPairCal()
+    ev = make_events(rng, n_events, 65, kind=0)
+    n = ev["coords"].shape[0]
+    rec = np.zeros(n, dtype=t.type)
+    rec["coord"] = ev["coords"]
+    rec["evt"] = ev["coords"][:, 2]
+    rec["waveform"] = np.clip(ev["waveforms"], 0, MAX_RANGE).astype(np.int16)
+    rec["E"] = ev["E"]
+    rec["z"] = ev["z"]
+    rec["EZ"][:, 0] = ev["E"]
+    rec["EZ"][:, 1] = ev["z"]
+    rec["PE"] = rng.uniform(10, 1000, (n, 2)).astype(np.float32)
+    rec["PSD"] = rng.uniform(0.1, 0.4, n).astype(np.float32)
+    rec["PID"] = rng.choice([1, 4, 6], n).astype(np.int32)
+    with h5py.File(path, "w") as h5:
+        h5.create_dataset("WaveformPairCal", data=rec)
+        h5["WaveformPairCal"].attrs.create("nevents", np.array([float(n_events)]))
