@@ -1,0 +1,126 @@
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveformml_tpu.detector import NX, NY
+from waveformml_tpu.ops.sparse import SparseBatch, pad_sparse
+from waveformml_tpu.ops.sparse_conv import (
+    MaskedBatchNorm, SparseConv2d, SparseGrid, SparseInverseConv2d, SparseReLU,
+    SparseSequential, SubMConv2d, ToDense, dilate_occupancy)
+
+
+def _grid(rng, B=2, C=4, density=0.15):
+    occ = rng.random((B, NX, NY)) < density
+    occ[:, 0, 0] = True  # at least one site
+    feats = rng.normal(size=(B, NX, NY, C)).astype(np.float32)
+    feats = feats * occ[..., None]
+    return SparseGrid(jnp.array(feats), jnp.array(occ))
+
+
+def _brute_force_subm(feats, occ, kernel, bias):
+    """Reference semantics: out at active sites only, summing over active
+    inputs in the centered window."""
+    B, H, W, Cin = feats.shape
+    kh, kw, _, Cout = kernel.shape
+    out = np.zeros((B, H, W, Cout), np.float32)
+    for b in range(B):
+        for i in range(H):
+            for j in range(W):
+                if not occ[b, i, j]:
+                    continue
+                acc = np.zeros(Cout, np.float32)
+                for di in range(kh):
+                    for dj in range(kw):
+                        ii, jj = i + di - kh // 2, j + dj - kw // 2
+                        if 0 <= ii < H and 0 <= jj < W and occ[b, ii, jj]:
+                            acc += feats[b, ii, jj] @ kernel[di, dj]
+                out[b, i, j] = acc + bias
+    return out
+
+
+def test_subm_conv_exact_semantics(rng):
+    g = _grid(rng)
+    layer = SubMConv2d(4, 3, kernel_size=3)
+    params = layer.init(jax.random.PRNGKey(0), g)
+    out = layer.apply(params, g)
+    kernel = np.asarray(params["params"]["conv"]["kernel"])
+    bias = np.asarray(params["params"]["conv"]["bias"])
+    expect = _brute_force_subm(np.asarray(g.features), np.asarray(g.occupancy),
+                               kernel, bias)
+    np.testing.assert_allclose(np.asarray(out.features), expect, atol=1e-4)
+    # occupancy unchanged
+    np.testing.assert_array_equal(np.asarray(out.occupancy), np.asarray(g.occupancy))
+
+
+def test_sparse_conv_occupancy_dilation(rng):
+    g = _grid(rng, density=0.05)
+    layer = SparseConv2d(4, 3, kernel_size=3, stride=1, padding=1)
+    params = layer.init(jax.random.PRNGKey(0), g)
+    out = layer.apply(params, g)
+    occ = np.asarray(g.occupancy)
+    # brute-force: output site active iff window touches an active input
+    B, H, W = occ.shape
+    expect_occ = np.zeros_like(occ)
+    for b in range(B):
+        for i in range(H):
+            for j in range(W):
+                lo_i, hi_i = max(0, i - 1), min(H, i + 2)
+                lo_j, hi_j = max(0, j - 1), min(W, j + 2)
+                expect_occ[b, i, j] = occ[b, lo_i:hi_i, lo_j:hi_j].any()
+    np.testing.assert_array_equal(np.asarray(out.occupancy), expect_occ)
+    # features zero off the new occupancy
+    off = ~expect_occ
+    assert np.abs(np.asarray(out.features)[off]).max() == 0
+
+
+def test_sparse_conv_strided_occupancy(rng):
+    g = _grid(rng, density=0.3)
+    layer = SparseConv2d(4, 2, kernel_size=3, stride=2, padding=1)
+    params = layer.init(jax.random.PRNGKey(1), g)
+    out = layer.apply(params, g)
+    assert out.features.shape == (2, 7, 6, 2)
+    assert out.occupancy.shape == (2, 7, 6)
+
+
+def test_inverse_conv_restores_occupancy(rng):
+    g = _grid(rng, density=0.1)
+    net = SparseSequential([
+        SparseConv2d(4, 6, 3, 1, 1, indice_key="k0"),
+        SparseInverseConv2d(6, 4, 3, indice_key="k0"),
+    ])
+    params = net.init(jax.random.PRNGKey(0), g)
+    out = net.apply(params, g)
+    np.testing.assert_array_equal(np.asarray(out.occupancy), np.asarray(g.occupancy))
+
+
+def test_masked_batchnorm_ignores_padding(rng):
+    g = _grid(rng, density=0.2)
+    bn = MaskedBatchNorm(4)
+    variables = bn.init(jax.random.PRNGKey(0), g, train=True)
+    out, updates = bn.apply(variables, g, train=True, mutable=["batch_stats"])
+    # normalized active rows should have ~zero mean / unit var per channel
+    feats = np.asarray(out.features)
+    occ = np.asarray(g.occupancy)
+    active = feats[occ]
+    np.testing.assert_allclose(active.mean(axis=0), 0, atol=1e-4)
+    np.testing.assert_allclose(active.var(axis=0), 1, atol=1e-2)
+    # inactive rows stay zero
+    assert np.abs(feats[~occ]).max() == 0
+    # running stats computed over active rows only
+    raw_active = np.asarray(g.features)[occ]
+    got_mean = np.asarray(updates["batch_stats"]["mean"])
+    np.testing.assert_allclose(got_mean, 0.1 * raw_active.mean(axis=0), atol=1e-5)
+
+
+def test_dilate_occupancy_kernel1_identity(rng):
+    occ = jnp.array(rng.random((2, NX, NY)) < 0.2)
+    out = dilate_occupancy(occ, 1, 1, 0, 1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(occ))
+
+
+def test_todense_layout(rng):
+    g = _grid(rng, C=5)
+    dense = ToDense()(g)
+    assert dense.shape == (2, 5, NX, NY)  # torch [B, C, H, W] order

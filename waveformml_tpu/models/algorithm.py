@@ -1,0 +1,133 @@
+"""Algorithm-DSL parsing shared by SCNet / SPConvNet / DenseConvNet.
+
+Reproduces the reference's layer-list splitting (ref: src/models/SCNet.py:23-49
+and src/models/SPConvNet.py:115-157): a leading run of "nn.*" layers starting
+with nn.Conv1d becomes the per-waveform preprocessing stack; everything up to
+the first "nn.Linear" is the sparse middle; the rest is the linear head.
+
+Dense layers named inside the sparse section (nn.BatchNorm1d / nn.ReLU /
+nn.Dropout) are translated onto their SparseGrid-aware equivalents (masked
+batchnorm, masked activations) — the reference relies on spconv's
+SparseSequential doing the same feature-row dispatch.
+
+SCN-style layers (sparseconvnet.Convolution etc.) use a different positional
+signature [DIM, NIN, NOUT, FS, STR]; adapter classes map them onto the
+TPU sparse-conv layers.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+
+from waveformml_tpu.ops.sparse_conv import (
+    MaskedBatchNorm, SparseActivation, SparseConv2d, SparseGrid, SparseReLU,
+    SparseSequential, SubMConv2d, ToDense)
+from waveformml_tpu.registry import registry
+
+
+class SCNConvolution(nn.Module):
+    """sparseconvnet.Convolution(dim, nin, nout, fs, stride, bias) adapter."""
+
+    dimension: int
+    nin: int
+    nout: int
+    filter_size: int
+    filter_stride: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
+        return SparseConv2d(self.nin, self.nout, self.filter_size,
+                            self.filter_stride, 0, 1, use_bias=self.use_bias,
+                            name="conv")(g, train=train)
+
+
+class SCNSubmanifoldConvolution(nn.Module):
+    """sparseconvnet.SubmanifoldConvolution(dim, nin, nout, fs, bias) adapter."""
+
+    dimension: int
+    nin: int
+    nout: int
+    filter_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
+        return SubMConv2d(self.nin, self.nout, self.filter_size,
+                          use_bias=self.use_bias, name="conv")(g, train=train)
+
+
+registry.register("sparseconvnet.Convolution", SCNConvolution,
+                  aliases=("scn.Convolution",))
+registry.register("sparseconvnet.SubmanifoldConvolution", SCNSubmanifoldConvolution,
+                  aliases=("scn.SubmanifoldConvolution",))
+
+
+def split_algorithm(algorithm: Sequence[Any]) -> Tuple[List[Any], List[Any], List[Any]]:
+    """Split the DSL list into (waveform_funcs, sparse_funcs, linear_funcs)
+    (ref: SCNet.py:23-49)."""
+    sparse_funcs: List[Any] = []
+    linear_funcs: List[Any] = []
+    waveform_funcs: List[Any] = []
+    has_wf = False
+    for i, f in enumerate(algorithm):
+        if i == 0 and isinstance(f, str) and f == "nn.Conv1d":
+            has_wf = True
+            waveform_funcs.append(f)
+            continue
+        if has_wf:
+            if isinstance(f, str):
+                if f.startswith("nn."):
+                    waveform_funcs.append(f)
+                else:
+                    has_wf = False
+                    sparse_funcs.append(f)
+            else:
+                waveform_funcs.append(f)
+            continue
+        if isinstance(f, str) and f == "nn.Linear":
+            linear_funcs = list(algorithm[i:])
+            break
+        sparse_funcs.append(f)
+    return waveform_funcs, sparse_funcs, linear_funcs
+
+
+# dense-name → SparseGrid-aware translation inside the sparse middle
+_SPARSE_TRANSLATIONS = {
+    "nn.ReLU": lambda *a, **k: SparseReLU(),
+    "ReLU": lambda *a, **k: SparseReLU(),
+    "nn.BatchNorm1d": lambda c=None, *a, **k: MaskedBatchNorm(c),
+    "BatchNorm1d": lambda c=None, *a, **k: MaskedBatchNorm(c),
+    "nn.LeakyReLU": lambda s=0.01, *a, **k: SparseActivation(
+        lambda x: jax.nn.leaky_relu(x, s)),
+    "nn.Sigmoid": lambda *a, **k: SparseActivation(jax.nn.sigmoid),
+    "nn.Tanh": lambda *a, **k: SparseActivation(jax.numpy.tanh),
+}
+
+
+def build_sparse_instances(spec: Sequence[Any]) -> List[Any]:
+    """create_class_instances over the sparse section, translating dense layer
+    names to masked equivalents."""
+    instances: List[Any] = []
+    current = None
+    current_name = None
+    for item in spec:
+        if isinstance(item, str):
+            if current is not None:
+                instances.append(current())
+            current_name = item
+            current = _SPARSE_TRANSLATIONS.get(item) or registry.retrieve_class(item)
+        elif isinstance(item, (list, tuple)):
+            if current is None:
+                raise ValueError(f"sparse DSL: args {item} with no preceding class")
+            instances.append(current(*item))
+            current = None
+        else:
+            kwargs = item.to_dict() if hasattr(item, "to_dict") else dict(item)
+            instances.append(current(**kwargs))
+            current = None
+    if current is not None:
+        instances.append(current())
+    return instances

@@ -1,0 +1,320 @@
+"""Dense building blocks (Flax) mirroring the reference's generator semantics.
+
+Channel schedules, kernel/stride/pad/dilation decay formulas reproduce
+src/models/ConvBlocks.py exactly (DilationBlock :10-46, LinearPlanes :49-62,
+PointwiseReducer :65-77, LinearBlock :82-102, Chomp/TemporalBlock/
+TemporalConvNet :105-173, Conv1DNet :176-217, Conv2DBlock :220-289) so that
+configs produce identical layer shapes. Layout is channels-last ([B, L, C] /
+[B, H, W, C]); the TCN uses weight-normalized causal convolutions like the
+reference (weight_norm + chomp ≡ left-pad causal conv).
+"""
+from __future__ import annotations
+
+from math import ceil, floor, pow as fpow
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from waveformml_tpu.models.schedules import (
+    get_frame_contraction, get_frame_expansion)
+
+
+class LinearPlanes(nn.Module):
+    """MLP through an explicit plane list (ref: ConvBlocks.py:49-62)."""
+
+    planes: Sequence[int]
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(len(self.planes) - 1):
+            x = nn.Dense(int(round(self.planes[i + 1])), dtype=x.dtype,
+                         name=f"dense_{i}")(x)
+            if self.activation is not None:
+                x = self.activation(x)
+        return x
+
+
+class LinearBlock(nn.Module):
+    """Geometric interpolation from nin to nout over n layers
+    (ref: ConvBlocks.py:82-102): plane i = round(nin * (nout/nin)^(i/n))."""
+
+    nin: int
+    nout: int
+    n: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.n > 0 and self.nin > 0
+        factor = fpow(float(self.nout) / self.nin, 1.0 / self.n)
+        for i in range(self.n):
+            x = nn.Dense(int(round(self.nin * fpow(factor, i + 1))),
+                         dtype=x.dtype, name=f"dense_{i}")(x)
+        return x
+
+
+class PointwiseReducer(nn.Module):
+    """1×1-conv plane reduction with ReLU (ref: ConvBlocks.py:65-77)."""
+
+    planes: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(len(self.planes) - 1):
+            x = nn.Dense(int(round(self.planes[i + 1])), use_bias=False,
+                         dtype=x.dtype, name=f"pw_{i}")(x)
+            x = jax.nn.relu(x)
+        return x
+
+
+class DilationBlock(nn.Module):
+    """Dilated Conv1d stack with linear channel interpolation
+    (ref: ConvBlocks.py:10-46). Input [B, L, C]."""
+
+    nin: int
+    nout: int
+    n: int
+    length: int
+    size_factor: int = 3
+    pad_factor: float = 0
+    stride_factor: int = 1
+    dil_factor: float = 2.0
+
+    @staticmethod
+    def schedule(nin, nout, n, size_factor=3, pad_factor=0, stride_factor=1,
+                 dil_factor=2.0) -> List[Tuple[int, int, int, int, int, int]]:
+        if nin != nout:
+            diff = float(nin - nout) / n
+            nframes = [int(floor(nin - diff * i)) for i in range(n + 1)]
+        else:
+            nframes = [nin] * (n + 1)
+        out = []
+        for i in range(n):
+            fs = max(3, int(floor(size_factor / (i + 1.0))))
+            st = max(1, stride_factor - int(floor((stride_factor - 1) / (i + 1.0))))
+            dil = int(round(dil_factor ** i))
+            pd = int(floor(pad_factor * (fs - 1) * dil_factor))
+            out.append((nframes[i], nframes[i + 1], fs, st, pd, dil))
+        return out
+
+    def out_length(self) -> int:
+        length = self.length
+        for (_, _, fs, st, pd, dil) in self.schedule(
+                self.nin, self.nout, self.n, self.size_factor, self.pad_factor,
+                self.stride_factor, self.dil_factor):
+            length = (length + 2 * pd - fs - (fs - 1) * (dil - 1)) // st + 1
+        return int(length)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, (cin, cout, fs, st, pd, dil) in enumerate(self.schedule(
+                self.nin, self.nout, self.n, self.size_factor, self.pad_factor,
+                self.stride_factor, self.dil_factor)):
+            x = nn.Conv(cout, (fs,), strides=(st,), padding=[(pd, pd)],
+                        kernel_dilation=(dil,), dtype=x.dtype, name=f"conv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=x.dtype, name=f"bn_{i}")(x)
+            x = jax.nn.relu(x)
+        return x
+
+
+class TemporalBlock(nn.Module):
+    """TCN residual block: two weight-normed causal dilated convs + residual
+    (ref: ConvBlocks.py:114-151). The torch version right-pads then chomps;
+    causal left-padding is numerically identical."""
+
+    n_inputs: int
+    n_outputs: int
+    kernel_size: int
+    dilation: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.kernel_size - 1) * self.dilation
+
+        def causal_conv(h, name):
+            conv = nn.WeightNorm(nn.Conv(
+                self.n_outputs, (self.kernel_size,), strides=(1,),
+                padding=[(pad, 0)], kernel_dilation=(self.dilation,),
+                kernel_init=nn.initializers.normal(0.01), dtype=h.dtype,
+                name=name))
+            return conv(h)
+
+        out = causal_conv(x, "conv1")
+        out = jax.nn.relu(out)
+        if self.dropout:
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        out = causal_conv(out, "conv2")
+        out = jax.nn.relu(out)
+        if self.dropout:
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        if self.n_inputs != self.n_outputs:
+            res = nn.Conv(self.n_outputs, (1,),
+                          kernel_init=nn.initializers.normal(0.01),
+                          dtype=x.dtype, name="downsample")(x)
+        else:
+            res = x
+        return jax.nn.relu(out + res)
+
+
+class TemporalConvNet(nn.Module):
+    """Dilated TCN stack, dilation 2^i per level (ref: ConvBlocks.py:154-173).
+    Input [B, L, C]."""
+
+    num_inputs: int
+    num_channels: Sequence[int]
+    kernel_size: int = 3
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, ch in enumerate(self.num_channels):
+            nin = self.num_inputs if i == 0 else self.num_channels[i - 1]
+            x = TemporalBlock(nin, ch, self.kernel_size, dilation=2 ** i,
+                              dropout=self.dropout, name=f"tblock_{i}")(x, train=train)
+        return x
+
+
+class Conv1DNet(nn.Module):
+    """Expand/contract 1D CNN (ref: ConvBlocks.py:176-217). Input [B, L, C]."""
+
+    length: int
+    num_channels: int
+    out_size: int
+    num_expand: int
+    num_contract: int
+    expand_factor: float
+    size_factor: int = 3
+    pad_factor: float = 1
+    stride_factor: float = 0
+    min_kernel: int = 2
+
+    @staticmethod
+    def schedule(length, num_channels, out_size, num_expand, num_contract,
+                 expand_factor, size_factor=3, pad_factor=1, stride_factor=0,
+                 min_kernel=2):
+        planes = [num_channels]
+        if num_expand > 0:
+            expand = float((planes[0] * expand_factor - planes[0]) / num_expand)
+            planes += [int(round(planes[0] + expand * (i + 1))) for i in range(num_expand)]
+        contract_factor = float((planes[-1] - out_size) / num_contract)
+        start_n = planes[-1]
+        planes += [int(round(start_n - contract_factor * (i + 1))) for i in range(num_contract)]
+        planes[-1] = out_size
+        n = num_expand + num_contract
+        layers, out_len = [], length
+        for i in range(n):
+            if n > 1:
+                decay = 1.0 - i / (n - 1)
+                st = int(round(stride_factor * i / (n - 1)))
+            else:
+                decay, st = 1.0, int(stride_factor)
+            st = max(1, st)
+            fs = max(min_kernel, int(ceil(size_factor * decay)))
+            pd = int(round(pad_factor * ((fs - 1) / 2.0) * decay))
+            layers.append((planes[i], planes[i + 1], fs, st, pd))
+            out_len = int((out_len + 2 * pd - fs) / st + 1)
+        return layers, out_len
+
+    def out_shape(self) -> Tuple[int, int]:
+        layers, out_len = self.schedule(
+            self.length, self.num_channels, self.out_size, self.num_expand,
+            self.num_contract, self.expand_factor, self.size_factor,
+            self.pad_factor, self.stride_factor, self.min_kernel)
+        return out_len, layers[-1][1]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        layers, _ = self.schedule(
+            self.length, self.num_channels, self.out_size, self.num_expand,
+            self.num_contract, self.expand_factor, self.size_factor,
+            self.pad_factor, self.stride_factor, self.min_kernel)
+        for i, (cin, cout, fs, st, pd) in enumerate(layers):
+            x = nn.Conv(cout, (fs,), strides=(st,), padding=[(pd, pd)],
+                        dtype=x.dtype, name=f"conv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=x.dtype, name=f"bn_{i}")(x)
+            x = jax.nn.relu(x)
+        return x
+
+
+class Conv2DBlock(nn.Module):
+    """Dense 2D conv stack — the dense analog of SparseConv2DBlock
+    (ref: ConvBlocks.py:220-289). Input [B, H, W, C]."""
+
+    nin: int
+    nout: int
+    n: int
+    size: Sequence[int]
+    size_factor: int = 3
+    pad_factor: float = 0.0
+    stride_factor: float = 1.0
+    dil_factor: float = 1.0
+    expansion_factor: float = 1.0
+    n_expansion: int = 0
+    pointwise_factor: float = 0.0
+    dropout: Optional[float] = None
+
+    @staticmethod
+    def schedule(nin, nout, n, size_factor=3, pad_factor=0.0, stride_factor=1.0,
+                 dil_factor=1.0, expansion_factor=1.0, n_expansion=0,
+                 pointwise_factor=0.0):
+        if pointwise_factor > 0:
+            n_contraction = n - 1 - n_expansion
+            if n_contraction < 1:
+                raise ValueError("n_contraction too large, must be < n - 1")
+        else:
+            n_contraction = n - n_expansion
+            if n_contraction < 1:
+                raise ValueError("n_contraction too large, must be < n")
+        nframes = [nin]
+        if pointwise_factor > 0:
+            nframes.append(nin - int(floor((nin - nout) * pointwise_factor)))
+        if n_expansion > 0:
+            nframes += get_frame_expansion(nframes[-1], expansion_factor, n_expansion)
+        if n_contraction > 0:
+            nframes += get_frame_contraction(nframes[-1], nout, n_contraction)
+        layers = []
+        for i in range(n):
+            if pointwise_factor > 0:
+                decay = 1.0 - (i - 1) / (n - 1) if n > 1 else 1.0
+            else:
+                decay = 1.0 - i / (n - 1) if n > 1 else 1.0
+            fs = max(2, int(ceil(size_factor * decay)))
+            st = max(1, int(round(stride_factor * i / (n - 1))) if n > 1 else 1)
+            dil = int(round(dil_factor ** i))
+            pd = int(round(pad_factor * ((fs - 1) / 2.0) * dil_factor * decay))
+            if i == 0 and pointwise_factor > 0:
+                pd, fs, dil, st = 0, 1, 1, 1
+            layers.append((nframes[i], nframes[i + 1], fs, st, pd, dil))
+        return layers
+
+    def out_size(self) -> List[int]:
+        size = list(self.size)
+        for (cin, cout, fs, st, pd, dil) in self.schedule(
+                self.nin, self.nout, self.n, self.size_factor, self.pad_factor,
+                self.stride_factor, self.dil_factor, self.expansion_factor,
+                self.n_expansion, self.pointwise_factor):
+            size = [int((size[0] + 2 * pd - fs - (fs - 1) * (dil - 1)) / st + 1),
+                    int((size[1] + 2 * pd - fs - (fs - 1) * (dil - 1)) / st + 1),
+                    cout]
+        return size
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, (cin, cout, fs, st, pd, dil) in enumerate(self.schedule(
+                self.nin, self.nout, self.n, self.size_factor, self.pad_factor,
+                self.stride_factor, self.dil_factor, self.expansion_factor,
+                self.n_expansion, self.pointwise_factor)):
+            x = nn.Conv(cout, (fs, fs), strides=(st, st),
+                        padding=[(pd, pd), (pd, pd)], kernel_dilation=(dil, dil),
+                        dtype=x.dtype, name=f"conv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=x.dtype, name=f"bn_{i}")(x)
+            x = jax.nn.relu(x)
+            if self.dropout:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x

@@ -1,0 +1,300 @@
+"""Sparse detector-grid networks.
+
+TPU-native equivalents of the reference model classes: SCNet
+(src/models/SCNet.py), SPConvNet / SPConvPreserveNet (src/models/SPConvNet.py),
+DenseConvNet (src/models/DenseConvNet.py), SingleEndedZConv / SingleEndedEZConv
+(src/models/SingleEnded{Z,EZ}Conv.py), ExtractedFeatureConvNet
+(src/models/ExtractedFeatureConvNet.py).
+
+All take a :class:`SparseBatch` and build a dense-grid SparseGrid via XLA
+scatter (replacing spconv.SparseConvTensor / scn.InputLayer). Event-level
+heads flatten the ToDense output in torch [B, C, H, W] order so linear layer
+sizes match the reference's shape arithmetic.
+"""
+from __future__ import annotations
+
+import logging
+from copy import copy
+from typing import Any, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from waveformml_tpu.config import to_dict
+from waveformml_tpu.detector import NX, NY
+from waveformml_tpu.models.algorithm import build_sparse_instances, split_algorithm
+from waveformml_tpu.models.blocks import Conv2DBlock, LinearBlock, TemporalConvNet
+from waveformml_tpu.models.sparse_blocks import (
+    ExtractedFeatureConv, Pointwise2DForZ, SparseConv2DBlock, SparseConv2DForEZ,
+    SparseConv2DForZ, SparseConv2DPreserve)
+from waveformml_tpu.ops.sparse import SparseBatch, occupancy_mask, scatter_to_dense
+from waveformml_tpu.ops.sparse_conv import SparseGrid, SparseSequential
+from waveformml_tpu.registry import registry
+
+log = logging.getLogger(__name__)
+
+
+def batch_to_grid(batch: SparseBatch, feats=None) -> SparseGrid:
+    """SparseBatch → SparseGrid (the spconv.SparseConvTensor equivalent)."""
+    dense = scatter_to_dense(batch, feats)
+    occ = occupancy_mask(batch)
+    return SparseGrid(dense, occ)
+
+
+def _apply_waveform_layer(layers: Sequence[Any], feats, n_samples: int, train: bool):
+    """Run the leading nn.Conv1d stack per waveform pair: [N, 2S] is reshaped
+    to [N, S, 2] (2 channels of S samples — ref: SCNet.py:69-72 reshapes to
+    (N, 2, nsamples)), processed, and flattened back."""
+    n = feats.shape[0]
+    x = feats.reshape(n, 2, n_samples).transpose(0, 2, 1)  # [N, S, 2]
+    for layer in layers:
+        x = layer(x, train=train)
+    # back to torch (N, C, L) flatten order
+    return x.transpose(0, 2, 1).reshape(n, -1)
+
+
+@registry.register("SPConvNet", aliases=("SPConvNet.SPConvNet",))
+class SPConvNet(nn.Module):
+    """Sparse-conv event classifier (ref: SPConvNet.py:28-157): optional TCN
+    waveform layer → sparse middle → flatten → linear head."""
+
+    config: Any
+
+    def setup(self):
+        net_config = self.config.net_config
+        system_config = self.config.system_config
+        self.nsamples = system_config.n_samples
+        self.ntype = system_config.n_type
+        self._has_wf = False
+
+        if not hasattr(net_config, "algorithm"):
+            if not hasattr(net_config, "hparams"):
+                raise IOError("net_config must contain one of 'algorithm' or 'hparams'")
+            self._create_from_hparams(net_config.hparams, self.ntype)
+        else:
+            wf, sparse, linear = split_algorithm(net_config.algorithm)
+            if wf:
+                self.waveform_layers = build_sparse_instances(wf)
+                self._has_wf = True
+            self.sparse_model = SparseSequential(build_sparse_instances(sparse))
+            from waveformml_tpu.registry import Registry  # local: build dense head
+            self.linear_layers = registry.create_class_instances(list(linear))
+            self.n_linear = linear[1][0]
+
+    def _create_from_hparams(self, hparams, n_classes):
+        """hparams generator path (ref: SPConvNet.py:71-109)."""
+        size = [NX, NY, int(self.nsamples * 2)]
+        for rq in ("n_dil", "n_conv", "n_lin", "out_planes"):
+            if not hasattr(hparams, rq):
+                raise IOError(rq + " is required to create the sparse conv algorithm.")
+        wf_params = to_dict(getattr(hparams, "wf_params", None) or {})
+        conv_params = to_dict(getattr(hparams, "conv_params", None) or {})
+        if hparams.n_dil > 0:
+            self.waveform_layers = [TemporalConvNet(1, [1] * hparams.n_dil, **wf_params)]
+            self._has_wf = True
+        block = SparseConv2DBlock(size[2], hparams.out_planes, hparams.n_conv,
+                                  tuple(size), True, **conv_params)
+        self.sparse_model = block
+        out_size = SparseConv2DBlock.out_size(
+            SparseConv2DBlock.schedule(size[2], hparams.out_planes, hparams.n_conv,
+                                       True, **conv_params), size)
+        flat = 1
+        for s in out_size:
+            flat *= s
+        self.n_linear = copy(flat)
+        log.debug("Flattened size of the sparse network output is %s", flat)
+        self.linear_layers = [LinearBlock(flat, n_classes, hparams.n_lin)]
+
+    def _waveform(self, feats, train):
+        n = feats.shape[0]
+        if self.waveform_layers and isinstance(self.waveform_layers[0], TemporalConvNet):
+            # reference: unsqueeze(1) → 1 input channel of 2*nsamples (SPConvNet.py:54-61)
+            x = feats[..., None]  # [N, 2S, 1]
+            for layer in self.waveform_layers:
+                x = layer(x, train=train)
+            return x.reshape(n, -1)
+        return _apply_waveform_layer(self.waveform_layers, feats, self.nsamples, train)
+
+    def __call__(self, batch: SparseBatch, train: bool = False):
+        feats = batch.feats
+        if self._has_wf:
+            feats = self._waveform(feats, train)
+        g = batch_to_grid(batch, feats)
+        x = self.sparse_model(g, train=train)
+        x = x.reshape(batch.n_events, -1)  # ToDense gives [B, C, H, W]
+        for layer in self.linear_layers:
+            x = layer(x, train=train)
+        return x
+
+
+@registry.register("SPConvPreserveNet", aliases=("SPConvNet.SPConvPreserveNet",))
+class SPConvPreserveNet(nn.Module):
+    """Site-preserving sparse net returning per-site features [N, ntype]
+    (ref: SPConvNet.py:8-25)."""
+
+    config: Any
+
+    @nn.compact
+    def __call__(self, batch: SparseBatch, train: bool = False):
+        sc = self.config.system_config
+        hp = self.config.net_config.hparams
+        params = to_dict(hp.conv_params)
+        model = SparseConv2DPreserve(sc.n_samples * 2, sc.n_type, hp.n_conv, **params)
+        g = batch_to_grid(batch)
+        out = model(g, train=train)
+        # return active-site feature rows, like spconv .features
+        from waveformml_tpu.ops.sparse import gather_from_dense
+        return gather_from_dense(out.features, batch)
+
+
+@registry.register("SCNet", aliases=("SCNet.SCNet",))
+class SCNet(nn.Module):
+    """SparseConvNet-style model from the algorithm DSL (ref: SCNet.py:9-77)."""
+
+    config: Any
+
+    def setup(self):
+        net_config = self.config.net_config
+        self.nsamples = self.config.system_config.n_samples
+        wf, sparse, linear = split_algorithm(net_config.algorithm)
+        self._has_wf = bool(wf)
+        if wf:
+            self.waveform_layers = build_sparse_instances(wf)
+            self.waveform_out_len = sparse[1][1] if len(sparse) > 1 else None
+        self.sparse_model = SparseSequential(build_sparse_instances(sparse))
+        self.linear_layers = registry.create_class_instances(list(linear))
+        self.n_linear = linear[1][0]
+
+    def __call__(self, batch: SparseBatch, train: bool = False):
+        feats = batch.feats
+        if self._has_wf:
+            feats = _apply_waveform_layer(self.waveform_layers, feats,
+                                          self.nsamples, train)
+        g = batch_to_grid(batch, feats)
+        x = self.sparse_model(g, train=train)
+        if isinstance(x, SparseGrid):
+            x = jnp.transpose(x.masked(), (0, 3, 1, 2))
+        x = x.reshape(batch.n_events, -1)
+        for layer in self.linear_layers:
+            x = layer(x, train=train)
+        return x
+
+
+@registry.register("DenseConvNet", aliases=("DenseConvNet.DenseConvNet",))
+class DenseConvNet(nn.Module):
+    """Dense baseline: scatter to dense grid + Conv2DBlock + linear head
+    (ref: DenseConvNet.py:11-73)."""
+
+    config: Any
+
+    def setup(self):
+        sc = self.config.system_config
+        hp = self.config.net_config.hparams
+        self.nsamples = sc.n_samples
+        size = [NX, NY, int(self.nsamples * 2)]
+        for rq in ("n_conv", "n_lin", "out_planes"):
+            if not hasattr(hp, rq):
+                raise IOError(rq + " is required to create the conv algorithm.")
+        conv_params = to_dict(getattr(hp, "conv_params", None) or {})
+        self.conv = Conv2DBlock(size[2], hp.out_planes, hp.n_conv, tuple(size),
+                                **conv_params)
+        out_size = self.conv.out_size()
+        flat = out_size[0] * out_size[1] * out_size[2]
+        self.n_linear = flat
+        self.linear = LinearBlock(flat, sc.n_type, hp.n_lin)
+
+    def __call__(self, batch: SparseBatch, train: bool = False):
+        dense = scatter_to_dense(batch)  # [B, NX, NY, 2S]
+        x = self.conv(dense, train=train)
+        # flatten in torch (C, H, W) order to match reference shape math
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(batch.n_events, -1)
+        return self.linear(x, train=train)
+
+
+@registry.register("SingleEndedZConv", aliases=("SingleEndedZConv.SingleEndedZConv",))
+class SingleEndedZConv(nn.Module):
+    """Per-segment Z regressor (ref: SingleEndedZConv.py:11-45). Returns the
+    dense [B, 1, NX, NY] prediction map."""
+
+    config: Any
+
+    @nn.compact
+    def __call__(self, batch: SparseBatch, train: bool = False):
+        net_config = self.config.net_config
+        nsamples = self.config.system_config.n_samples
+        algorithm = getattr(net_config, "algorithm", "conv")
+        version = getattr(net_config, "version", 0)
+        n_in = nsamples if algorithm == "features" else nsamples * 2
+        if algorithm in ("conv", "features"):
+            if version == 0:
+                model = SparseConv2DForZ(n_in, **to_dict(net_config.hparams.conv))
+            else:
+                model = SparseConv2DForEZ(n_in, out_planes=1,
+                                          **to_dict(net_config.hparams))
+        elif algorithm == "point":
+            model = Pointwise2DForZ(n_in, **to_dict(net_config.hparams.point))
+        else:
+            raise IOError(f"unknown algorithm {algorithm}")
+        g = batch_to_grid(batch)
+        return model(g, train=train)
+
+
+@registry.register("SingleEndedEZConv", aliases=("SingleEndedEZConv.SingleEndedEZConv",))
+class SingleEndedEZConv(nn.Module):
+    """(E,Z) head; optionally composes a frozen pretrained Z model whose output
+    is concatenated channel-wise (ref: SingleEndedEZConv.py:14-64).
+
+    The frozen Z model's parameters are supplied at construction via
+    ``z_apply`` (a closure over restored parameters), keeping this module
+    functional.
+    """
+
+    config: Any
+    z_apply: Optional[Any] = None  # callable(batch) -> [B, 1, NX, NY]
+
+    @nn.compact
+    def __call__(self, batch: SparseBatch, train: bool = False):
+        net_config = self.config.net_config
+        nsamples = self.config.system_config.n_samples
+        algorithm = getattr(net_config, "algorithm", "conv")
+        n_in = nsamples if algorithm == "features" else nsamples * 2
+        use_z = self.z_apply is not None
+        out_planes = 1 if use_z else 2
+        model = SparseConv2DForEZ(n_in, out_planes=out_planes,
+                                  **to_dict(net_config.hparams))
+        g = batch_to_grid(batch)
+        x = model(g, train=train)  # [B, out_planes, NX, NY]
+        if use_z:
+            z = jax.lax.stop_gradient(self.z_apply(batch))
+            x = jnp.concatenate([x, z], axis=1)
+        return x
+
+
+@registry.register("ExtractedFeatureConvNet",
+                   aliases=("ExtractedFeatureConvNet.ExtractedFeatureConvNet",))
+class ExtractedFeatureConvNet(nn.Module):
+    """Sparse conv over per-segment extracted features + linear classifier
+    (ref: ExtractedFeatureConvNet.py:14-43)."""
+
+    config: Any
+
+    def setup(self):
+        sc = self.config.system_config
+        hp = self.config.net_config.hparams
+        nfeatures = sc.n_features
+        self.model = ExtractedFeatureConv(
+            nfeatures, hp.out_planes, hp.n_conv, (NX, NY, nfeatures),
+            **to_dict(hp.conv))
+        specs = ExtractedFeatureConv.schedule(nfeatures, hp.out_planes, hp.n_conv,
+                                              **to_dict(hp.conv))
+        out_size = SparseConv2DBlock.out_size(specs, (NX, NY, nfeatures))
+        flat = out_size[0] * out_size[1] * out_size[2]
+        self.n_linear = flat
+        self.linear = LinearBlock(flat, sc.n_type, hp.n_lin)
+
+    def __call__(self, batch: SparseBatch, train: bool = False):
+        g = batch_to_grid(batch)
+        x = self.model(g, train=train)
+        x = x.reshape(batch.n_events, -1)
+        return self.linear(x, train=train)

@@ -1,0 +1,254 @@
+"""TPU-native sparse convolution with exact spconv occupancy semantics.
+
+The reference leans on the spconv / SparseConvNet C++/CUDA libraries
+(ref: src/models/SPConvNet.py:49-69, src/models/SPConvBlocks.py throughout,
+src/models/SCNet.py:62-77). Their gather-GEMM-scatter machinery exists because
+GPU sparse tensors over large grids can't afford densification. The PROSPECT
+grid is 14×11 = 154 sites — a dense [B, NX, NY, C] block is tiny, maps
+straight onto the MXU through XLA's convolution, and the sparse semantics
+reduce to *occupancy-mask algebra*:
+
+  * SubMConv2d: output sites = input sites. With zeros at inactive sites, the
+    dense conv sum over the window equals the sparse gather-sum, so
+    ``out = (conv(x) + bias) * occ`` is EXACT.
+  * SparseConv2d: output sites = sites whose window touches ≥1 active input
+    (occupancy dilation). ``new_occ = conv_geometry(occ) > 0`` via a
+    ones-kernel conv with the same stride/pad/dilation.
+  * SparseInverseConv2d: transposed conv restoring the occupancy recorded
+    earlier under the same ``indice_key`` (ref spconv indice_key reuse).
+  * ToDense: drop the mask (zeros at inactive sites already).
+
+Masked BatchNorm reproduces spconv's BatchNorm1d over active feature rows
+only (SURVEY §7.3: padding must not pollute the statistics).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from waveformml_tpu.registry import registry
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (list, tuple)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseGrid:
+    """Dense-layout sparse tensor: features [B, H, W, C] (zeros off-mask),
+    occupancy [B, H, W] bool, and saved occupancies per indice_key."""
+
+    features: jax.Array
+    occupancy: jax.Array
+    indice_occ: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
+
+    @property
+    def batch_size(self) -> int:
+        return self.features.shape[0]
+
+    @property
+    def spatial_shape(self) -> Tuple[int, int]:
+        return self.features.shape[1:3]
+
+    @property
+    def n_features(self) -> int:
+        return self.features.shape[-1]
+
+    def with_features(self, f: jax.Array, occ: Optional[jax.Array] = None,
+                      save_key: Optional[str] = None) -> "SparseGrid":
+        new_occ = self.occupancy if occ is None else occ
+        keys = dict(self.indice_occ)
+        if save_key is not None:
+            keys[save_key] = self.occupancy
+        return SparseGrid(f, new_occ, keys)
+
+    def masked(self) -> jax.Array:
+        """Features with the mask enforced (zeros at inactive sites)."""
+        return self.features * self.occupancy[..., None].astype(self.features.dtype)
+
+
+def dilate_occupancy(occ: jax.Array, kernel_size, stride, padding, dilation) -> jax.Array:
+    """Occupancy evolution of a regular sparse conv: output site active iff its
+    receptive window contains ≥1 active input site."""
+    k, s, p, d = _pair(kernel_size), _pair(stride), _pair(padding), _pair(dilation)
+    x = occ[..., None].astype(jnp.float32)
+    ones = jnp.ones((k[0], k[1], 1, 1), jnp.float32)
+    y = jax.lax.conv_general_dilated(
+        x, ones, window_strides=s,
+        padding=[(p[0], p[0]), (p[1], p[1])], rhs_dilation=d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y[..., 0] > 0.5
+
+
+class SubMConv2d(nn.Module):
+    """Submanifold sparse conv: stride must be 1, occupancy preserved
+    (ref: spconv.SubMConv2d usage in SPConvBlocks.py)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+    dilation: Union[int, Sequence[int]] = 1
+    use_bias: bool = True
+    indice_key: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
+        k, d = _pair(self.kernel_size), _pair(self.dilation)
+        # SubM keeps spatial size: pad to same (spconv pads (k-1)//2 implicitly)
+        p = (((k[0] - 1) * d[0]) // 2, ((k[1] - 1) * d[1]) // 2)
+        y = nn.Conv(self.out_channels, k, strides=(1, 1),
+                    padding=[(p[0], p[0]), (p[1], p[1])], kernel_dilation=d,
+                    use_bias=self.use_bias, dtype=g.features.dtype,
+                    name="conv")(g.masked())
+        y = y * g.occupancy[..., None].astype(y.dtype)
+        return g.with_features(y, save_key=self.indice_key)
+
+
+class SparseConv2d(nn.Module):
+    """Regular sparse conv: occupancy dilates (and may stride down)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+    dilation: Union[int, Sequence[int]] = 1
+    use_bias: bool = True
+    indice_key: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
+        k, s, p, d = (_pair(self.kernel_size), _pair(self.stride),
+                      _pair(self.padding), _pair(self.dilation))
+        y = nn.Conv(self.out_channels, k, strides=s,
+                    padding=[(p[0], p[0]), (p[1], p[1])], kernel_dilation=d,
+                    use_bias=self.use_bias, dtype=g.features.dtype,
+                    name="conv")(g.masked())
+        new_occ = dilate_occupancy(g.occupancy, k, s, p, d)
+        y = y * new_occ[..., None].astype(y.dtype)
+        keys = dict(g.indice_occ)
+        if self.indice_key is not None:
+            keys[self.indice_key] = g.occupancy
+        return SparseGrid(y, new_occ, keys)
+
+
+class SparseInverseConv2d(nn.Module):
+    """Inverse sparse conv: transposed conv that restores the occupancy saved
+    under ``indice_key`` by the paired forward conv."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    indice_key: str = ""
+    use_bias: bool = True
+    stride: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+
+    @nn.compact
+    def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
+        if self.indice_key not in g.indice_occ:
+            raise ValueError(f"indice_key '{self.indice_key}' not found; "
+                             f"have {list(g.indice_occ)}")
+        prev_occ = g.indice_occ[self.indice_key]
+        k, s, p = _pair(self.kernel_size), _pair(self.stride), _pair(self.padding)
+        y = nn.ConvTranspose(self.out_channels, k, strides=s,
+                             padding=[(p[0], p[0]), (p[1], p[1])],
+                             use_bias=self.use_bias, dtype=g.features.dtype,
+                             name="conv")(g.masked())
+        # crop/pad to the saved occupancy's spatial shape
+        th, tw = prev_occ.shape[1:3]
+        y = y[:, :th, :tw, :]
+        if y.shape[1] < th or y.shape[2] < tw:
+            y = jnp.pad(y, ((0, 0), (0, th - y.shape[1]), (0, tw - y.shape[2]), (0, 0)))
+        y = y * prev_occ[..., None].astype(y.dtype)
+        return SparseGrid(y, prev_occ, dict(g.indice_occ))
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over active sites only — equivalent of spconv applying
+    nn.BatchNorm1d to the active feature rows."""
+
+    num_features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
+        x = g.features
+        mask = g.occupancy[..., None].astype(x.dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.num_features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.num_features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.num_features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.num_features,))
+        if train:
+            count = jnp.maximum(jnp.sum(mask), 1.0)
+            mean = jnp.sum(x * mask, axis=(0, 1, 2)) / count
+            var = jnp.sum(((x - mean) ** 2) * mask, axis=(0, 1, 2)) / count
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean.astype(jnp.float32)
+                ra_var.value = (1 - m) * ra_var.value + m * var.astype(jnp.float32)
+        else:
+            mean, var = ra_mean.value.astype(x.dtype), ra_var.value.astype(x.dtype)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        y = y * mask
+        return g.with_features(y)
+
+
+class SparseReLU(nn.Module):
+    def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
+        return g.with_features(jax.nn.relu(g.features))
+
+
+class SparseActivation(nn.Module):
+    """Wrap any elementwise activation over a SparseGrid, re-masking after
+    (activations with f(0) != 0 must not activate padding sites)."""
+
+    fn: Any
+
+    def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
+        y = self.fn(g.features) * g.occupancy[..., None].astype(g.features.dtype)
+        return g.with_features(y)
+
+
+class ToDense(nn.Module):
+    """spconv.ToDense equivalent: SparseGrid → dense [B, C, H, W] (torch
+    layout, matching the reference models' flatten ordering expectations)."""
+
+    def __call__(self, g: SparseGrid, train: bool = False) -> jax.Array:
+        return jnp.transpose(g.masked(), (0, 3, 1, 2))
+
+
+class SparseSequential(nn.Module):
+    """Sequential over SparseGrid-transforming layers (spconv.SparseSequential)."""
+
+    layers: Sequence[Any]
+
+    @nn.compact
+    def __call__(self, g, train: bool = False):
+        for layer in self.layers:
+            g = layer(g, train=train)
+        return g
+
+
+# registry aliases so algorithm-DSL configs using spconv / SparseConvNet names
+# resolve to the TPU implementations
+registry.register("spconv.SubMConv2d", SubMConv2d, aliases=("SubMConv2d",))
+registry.register("spconv.SparseConv2d", SparseConv2d, aliases=("SparseConv2d",))
+registry.register("spconv.SparseInverseConv2d", SparseInverseConv2d,
+                  aliases=("SparseInverseConv2d",))
+registry.register("spconv.ToDense", ToDense,
+                  aliases=("ToDense", "sparseconvnet.SparseToDense"))
+registry.register("spconv.SparseSequential", SparseSequential,
+                  aliases=("SparseSequential", "sparseconvnet.Sequential"))
