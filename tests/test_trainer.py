@@ -1,0 +1,140 @@
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from waveformml_tpu.config import Config
+from waveformml_tpu.datasets.data_module import PSDDataModule
+from waveformml_tpu.datasets.synthetic import write_classification_dirs
+from waveformml_tpu.engineering.tasks import LitPSD
+from waveformml_tpu.engineering.trainer import Trainer
+from waveformml_tpu.utils.util import retrieve_best_checkpoint
+
+N_SAMPLES = 16
+
+
+@pytest.fixture(scope="module")
+def psd_setup(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("psd")
+    write_classification_dirs(
+        str(tmp_path / "data"), ["TypeA", "TypeB"], n_files=6,
+        events_per_file=50, n_samples=N_SAMPLES, seed=3)
+    cfg = Config({
+        "run_config": {"exp_name": "t", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "m", "n_samples": N_SAMPLES, "n_type": 2,
+                          "type_names": ["TypeA", "TypeB"],
+                          "model_base_path": str(tmp_path / "model"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "DenseConvNet",
+                       "net_type": "2DConvolution",
+                       "hparams": {"n_conv": 2, "n_lin": 2, "out_planes": 4,
+                                   "conv_params": {"size_factor": 3, "pad_factor": 1.0}}},
+        "optimize_config": {"total_epoch": 14, "lr": 0.05, "validation_freq": 1,
+                            "imports": [],
+                            "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9, "nesterov": True},
+                            "scheduler_class": "lr_scheduler.ExponentialLR",
+                            "scheduler_params": {"gamma": 0.97}},
+        "dataset_config": {"mode": "path", "imports": [],
+                           "base_path": str(tmp_path / "data"),
+                           "paths": ["TypeA", "TypeB"],
+                           "dataset_class": "PulseDataset2D",
+                           # class-interleaved shuffle, as the reference trains
+                           "data_prep": "shuffle", "shuffled_size": 10,
+                           "dataset_params": {"data_cache_size": 2},
+                           "dataloader_params": {"batch_size": 1, "num_workers": 0},
+                           "n_train": 200, "n_validate": 50, "n_test": 50},
+    })
+    return tmp_path, cfg
+
+
+def test_psd_end_to_end_training(psd_setup):
+    tmp_path, cfg = psd_setup
+    task = LitPSD(cfg)
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    trainer = Trainer(cfg, task, checkpoint_dir=ckpt_dir, seed=0,
+                      early_stopping_patience=20)
+    dm = PSDDataModule(cfg)
+    metrics = trainer.fit(dm)
+    assert math.isfinite(metrics["train_loss"])
+    assert "val_loss" in metrics
+    assert "val_accuracy" in metrics
+    # the synthetic classes are separable: accuracy should beat chance
+    assert metrics["val_accuracy"] >= 0.6, metrics
+    assert metrics["train_accuracy"] > 0.8, metrics
+    # best checkpoint written with val_loss-encoded name
+    best = retrieve_best_checkpoint(ckpt_dir)
+    assert best is not None and "val_loss=" in best
+
+    # test pass produces test metrics
+    test_metrics = trainer.test(dm)
+    assert "test_loss" in test_metrics
+    assert test_metrics["test_accuracy"] >= 0.6
+
+    # resume from checkpoint: fresh trainer reproduces val loss
+    task2 = LitPSD(cfg)
+    trainer2 = Trainer(cfg, task2, seed=0)
+    dm2 = PSDDataModule(cfg)
+    dm2.setup(None)
+    first = next(iter(dm2.val_dataloader()))
+    trainer2.load_checkpoint(best, sample_block=first, restore_training=True)
+    val2 = trainer2._eval_epoch(dm2.val_dataloader(), "val", None)
+    assert math.isfinite(val2["val_loss"])
+    assert abs(val2["val_loss"] - trainer.best_val_loss) < 0.2
+
+
+def test_multi_device_matches_single_device(psd_setup):
+    """1-device and 8-device data-parallel train steps produce identical new
+    parameters on the same global batch (synced masked BN + psum'd grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    tmp_path, cfg = psd_setup
+    assert jax.device_count() == 8
+    outs = {}
+    for nd in (1, 8):
+        task = LitPSD(cfg)
+        trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:nd]), seed=0)
+        dm = PSDDataModule(cfg)
+        dm.setup("fit")
+        block = next(iter(dm.train_dataloader()))
+        trainer._ensure_state(block)
+        db = {k: jnp.asarray(v) for k, v in trainer._device_batch(block).items()}
+        srng = jax.random.PRNGKey(42)
+        new_p, _, _, loss, _ = trainer._train_step_fn(
+            trainer.state.params, trainer.state.batch_stats,
+            trainer.state.opt_state, srng, db)
+        outs[nd] = (float(loss), jax.tree.map(np.asarray, new_p))
+    assert abs(outs[1][0] - outs[8][0]) < 1e-5
+    diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                         outs[1][1], outs[8][1])
+    assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
+def test_single_device_mesh_matches(psd_setup):
+    import jax
+
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    tmp_path, cfg = psd_setup
+    task = LitPSD(cfg)
+    mesh1 = make_mesh(jax.devices()[:1])
+    trainer = Trainer(cfg, task, mesh=mesh1, max_epochs=1, seed=0)
+    dm = PSDDataModule(cfg)
+    metrics = trainer.fit(dm)
+    assert math.isfinite(metrics["train_loss"])
+
+
+def test_lr_finder(psd_setup):
+    tmp_path, cfg = psd_setup
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, seed=0)
+    dm = PSDDataModule(cfg)
+    lr = trainer.lr_find(dm, num_steps=12)
+    assert lr > 0

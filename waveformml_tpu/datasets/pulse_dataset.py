@@ -329,12 +329,17 @@ class PulseDataset(HDF5Dataset):
             fname = f"Combined_{shuffle_length - 1}_{suffix}"
             self._write_shuffled(self.shuffle_queue.pop(), os.path.join(self.data_dir, fname))
         self.log.info("Shuffling finished; re-rooting dataset at %s", self.data_dir)
+        # carry the normalize flag through the re-init — the combined files
+        # store raw-scale features (the reference drops it here,
+        # PulseDataset.py:530-538, silently training unnormalized after a
+        # shuffle; preserved deliberately as a fix)
         HDF5Dataset.__init__(self, [self.data_dir], self.file_mask,
                              self.info["data_name"], self.info["coord_name"],
                              self.info["feat_name"],
                              self.info["events_per_dir"] * self.n_paths,
                              label_name="labels" if not self.info["label_name"] else self.info["label_name"],
                              data_cache_size=self.info["data_cache_size"],
+                             normalize=self.normalize,
                              use_half=self.use_half)
         self.save_info_to_file()
 

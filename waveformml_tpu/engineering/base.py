@@ -1,0 +1,170 @@
+"""Task base: functional equivalent of the reference's LitBase Lightning module.
+
+Reproduces src/engineering/LitBase.py behavior — reflective model/criterion
+construction from config (:29-43), criterion reduction mean for event-level
+vs sum-normalized-by-site-count for segment-level tasks (:39-43, :124-174),
+SE-only masked losses (:111-122), occlusion-index zeroing (:46-49) — in a
+functional form: the task owns a flax model + pure loss functions; the
+Trainer jits them. Host-side ``prepare_block`` turns ragged FileBlocks into
+padded static-shape device dicts (the XLA contract, SURVEY §7.3).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import waveformml_tpu.models  # noqa: F401  (registers model classes)
+from waveformml_tpu.config import to_dict
+from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+from waveformml_tpu.detector import NX, NY
+from waveformml_tpu.engineering.se_mask import se_loss_mask
+from waveformml_tpu.nn.functional import build_criterion
+from waveformml_tpu.ops.sparse import (
+    SparseBatch, bucket_size, occupancy_mask, pad_sparse, scatter_to_dense)
+from waveformml_tpu.registry import registry
+
+
+class TaskBase:
+    """Owns the flax model, criterion, and the pure loss/metric functions."""
+
+    #: event-level (True) vs per-segment (False) predictions (ref: LitBase.py:39-43)
+    event_predictions = True
+
+    def __init__(self, config, trial=None):
+        self.log = logging.getLogger(__name__)
+        self.config = config
+        self.trial = trial
+        self.lr = config.optimize_config.lr
+        self.needs_float = not getattr(config.system_config, "half_precision", 0)
+        self.occlude_index = getattr(config.dataset_config, "occlude_index", None)
+        self.SE_only = bool(getattr(config.net_config, "SELoss", False))
+        self.se_mask = jnp.asarray(se_loss_mask()) if self.SE_only else None
+        self.model = self._build_model()
+        # elementwise criterion; reductions are explicit masked sums so padded
+        # rows never contribute (ref reduction semantics: LitBase.py:39-43)
+        self.criterion = build_criterion(
+            config.net_config.criterion_class,
+            getattr(config.net_config, "criterion_params", None),
+            reduction="none")
+        self.evaluator = None  # attached by subclasses / test path
+
+    # -- construction ---------------------------------------------------------------
+    def _build_model(self):
+        if hasattr(self.config.net_config, "net_class"):
+            cls = registry.retrieve_class(self.config.net_config.net_class)
+            return cls(self.config)
+        return None
+
+    def init_variables(self, rng, device_batch: Dict[str, jnp.ndarray]):
+        """Initialize flax variables from one (unstacked) prepared batch."""
+        inputs = self.model_inputs({k: jnp.asarray(v) for k, v in device_batch.items()})
+        return self.model.init({"params": rng, "dropout": rng}, inputs, train=False)
+
+    # -- host-side batch preparation -------------------------------------------------
+    def row_bucket(self, block: FileBlock) -> int:
+        return bucket_size(max(1, block.coords.shape[0]))
+
+    def event_bucket(self, block: FileBlock) -> int:
+        if block.coords.ndim == 2 and block.coords.shape[0]:
+            return bucket_size(int(block.coords[:, 2].max()) + 1,
+                               buckets=(16, 32, 64, 128, 256, 512, 1024, 2048,
+                                        4096, 8192, 16384, 32768))
+        return bucket_size(max(1, block.labels.shape[0]),
+                           buckets=(16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+                                    8192, 16384, 32768))
+
+    def prepare_block(self, block: FileBlock, row_bucket: int,
+                      event_bucket: int) -> Dict[str, np.ndarray]:
+        """FileBlock → padded numpy dict. Default: sparse event batch with
+        event-level labels."""
+        coords, feats, mask, = pad_sparse(block.coords, block.feats, row_bucket)[:3]
+        labels = block.labels
+        n_ev = labels.shape[0]
+        if labels.ndim == 1:
+            y = np.zeros((event_bucket,), dtype=labels.dtype)
+        else:
+            y = np.zeros((event_bucket, labels.shape[1]), dtype=labels.dtype)
+        y[:n_ev] = labels
+        ymask = np.zeros((event_bucket,), dtype=bool)
+        ymask[:n_ev] = True
+        out = {"coords": coords, "feats": feats, "mask": mask,
+               "labels": y, "label_mask": ymask}
+        for k, v in block.extras.items():
+            pad = np.zeros((row_bucket,) + v.shape[1:], dtype=v.dtype)
+            pad[: v.shape[0]] = v
+            out[f"extra_{k}"] = pad
+        return out
+
+    # -- device-side pure functions --------------------------------------------------
+    def sparse_batch(self, db: Dict[str, jnp.ndarray]) -> SparseBatch:
+        return SparseBatch(db["coords"], self._features(db), db["mask"],
+                           n_events=db["labels"].shape[0])
+
+    def _features(self, db: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        f = db["feats"]
+        if self.occlude_index is not None:
+            f = f.at[:, self.occlude_index].set(0)
+        return f
+
+    def model_inputs(self, db: Dict[str, jnp.ndarray]):
+        """What gets passed to the model; sparse tasks pass a SparseBatch."""
+        return self.sparse_batch(db)
+
+    def apply_model(self, variables, db: Dict[str, jnp.ndarray], train: bool,
+                    rngs: Optional[Dict] = None):
+        """Run the model; returns (outputs, mutated batch_stats or None)."""
+        inputs = self.model_inputs(db)
+        if train:
+            outputs, updates = self.model.apply(
+                variables, inputs, train=True, rngs=rngs or {},
+                mutable=["batch_stats"])
+            return outputs, updates.get("batch_stats")
+        return self.model.apply(variables, inputs, train=False), None
+
+    def loss_and_metrics(self, outputs, db: Dict[str, jnp.ndarray]
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Return (loss_sum, weight, metric_sums). The global loss is
+        psum(loss_sum)/psum(weight) across data-parallel shards."""
+        raise NotImplementedError
+
+    # -- segment loss (ref: LitBase.py:124-174) --------------------------------------
+    def segment_loss(self, outputs_dense: jnp.ndarray, db: Dict[str, jnp.ndarray],
+                     targets_rows: jnp.ndarray, target_index: Optional[int] = None,
+                     use_float: bool = True
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Masked dense per-segment loss.
+
+        outputs_dense: [B, C, NX, NY] model output (ToDense torch layout)
+        targets_rows:  [N] or [N, L] per-row targets (padded rows masked out)
+        Returns (loss_sum, weight, target_dense, predictions_masked).
+        """
+        batch = self.sparse_batch(db)
+        t = targets_rows[:, None] if targets_rows.ndim == 1 else targets_rows
+        target_dense = scatter_to_dense(batch, t.astype(jnp.float32))  # [B,NX,NY,L]
+        target_dense = jnp.transpose(target_dense, (0, 3, 1, 2))       # [B,L,NX,NY]
+        occ = occupancy_mask(batch)[:, None, :, :]                     # [B,1,NX,NY]
+        occf = occ.astype(outputs_dense.dtype)
+        preds = outputs_dense * occf
+        if target_index is not None:
+            target_dense = target_dense[:, target_index:target_index + 1]
+        if self.SE_only:
+            m = self.se_mask[None, None, :, :]
+            elem = self.criterion.elementwise(preds * m, target_dense * m)
+            weight = jnp.sum(occf * m)
+        else:
+            elem = self.criterion.elementwise(preds, target_dense)
+            weight = jnp.sum(occf) * 1.0
+        # only occupied sites contribute (padding rows scattered nothing; dense
+        # zeros at unoccupied sites would otherwise add criterion(0,0)=0 anyway
+        # for L1/MSE, but mask explicitly for generality)
+        loss_sum = jnp.sum(elem * occf)
+        return loss_sum, jnp.maximum(weight, 1.0), target_dense, preds
+
+    # -- test-time host outputs ------------------------------------------------------
+    def test_outputs(self, outputs, db: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+        """Arrays the evaluator consumes (host side will np.asarray them)."""
+        return {"predictions": outputs}

@@ -1,0 +1,506 @@
+"""The training loop: jit-compiled SPMD train/eval steps, epochs, checkpoints.
+
+Replaces PyTorch Lightning's Trainer in the reference stack (ref: main.py:169-216,
+util.py:228-239 set_default_trainer_args). Capabilities mirrored:
+max_epochs/validation_freq, EarlyStopping, best-val_loss checkpointing with
+``epoch=E-val_loss=V.ckpt`` names (ref: main.py:177-181), resume
+(``resume_from_checkpoint``), TB scalar logging per epoch, limit_*_batches /
+overfit_batches debug flags (ref: README.md:96-104), terminate_on_nan, LR
+finder (ref: main.py:207-213), and a jax.profiler trace option (ref: main.py:182-187).
+
+TPU design: one compiled ``train_step`` per (row_bucket, event_bucket) shape
+— a ``shard_map`` over the 1-D data mesh; each device computes masked loss
+sums on its event shard, gradients are ``psum``-reduced over ICI, parameters
+stay replicated. bf16 compute with fp32 params via the ``half_precision``
+config flag maps to feats cast + XLA's native mixed precision.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import re
+import shutil
+import time
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from waveformml_tpu import optim as wopt
+from waveformml_tpu.config import to_dict
+from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+from waveformml_tpu.engineering.callbacks import EarlyStopping, LoggingCallback
+from waveformml_tpu.parallel.mesh import (
+    DATA_AXIS, get_mesh, split_block_for_devices, stack_shards)
+from waveformml_tpu.utils.tb import TBLogger
+
+log = logging.getLogger(__name__)
+
+
+class TrainState:
+    """params + batch_stats + optimizer state + bookkeeping (pytree-of-arrays
+    held on host between steps)."""
+
+    def __init__(self, params, batch_stats, opt_state, step: int = 0):
+        self.params = params
+        self.batch_stats = batch_stats
+        self.opt_state = opt_state
+        self.step = step
+
+
+class Trainer:
+    def __init__(self, config, task, logger: Optional[TBLogger] = None,
+                 callbacks: Optional[List] = None,
+                 checkpoint_dir: Optional[str] = None,
+                 max_epochs: Optional[int] = None,
+                 mesh=None,
+                 limit_train_batches: Optional[float] = None,
+                 limit_val_batches: Optional[float] = None,
+                 limit_test_batches: Optional[float] = None,
+                 overfit_batches: Optional[float] = None,
+                 terminate_on_nan: bool = True,
+                 profiler: bool = False,
+                 early_stopping_patience: int = 5,
+                 seed: int = 0):
+        self.config = config
+        self.task = task
+        self.logger = logger
+        self.callbacks = callbacks if callbacks is not None else [LoggingCallback()]
+        self.checkpoint_dir = checkpoint_dir
+        oc = config.optimize_config
+        self.max_epochs = max_epochs if max_epochs is not None else oc.total_epoch
+        self.validation_freq = getattr(oc, "validation_freq", 1)
+        self.mesh = mesh or get_mesh()
+        self.n_devices = self.mesh.devices.size
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.limit_test_batches = limit_test_batches
+        self.overfit_batches = overfit_batches
+        self.terminate_on_nan = terminate_on_nan
+        self.profiler = profiler
+        self.rng = jax.random.PRNGKey(seed)
+        self.state: Optional[TrainState] = None
+        self.scheduler = wopt.build_scheduler(
+            getattr(oc, "scheduler_class", None), task.lr,
+            to_dict(getattr(oc, "scheduler_params", {}) or {}))
+        self.optimizer = wopt.build_optimizer(
+            oc.optimizer_class, task.lr,
+            to_dict(getattr(oc, "optimizer_params", {}) or {}))
+        self.early_stopping = EarlyStopping(patience=early_stopping_patience)
+        self.current_epoch = 0
+        self.best_val_loss = math.inf
+        self.best_ckpt_path: Optional[str] = None
+        self.last_val_arrays: Dict[str, np.ndarray] = {}
+        self.last_test_arrays: Dict[str, np.ndarray] = {}
+        self._train_step_fn = None
+        self._eval_step_fn = None
+        self._step_times: List[float] = []
+
+    # -- step functions ---------------------------------------------------------------
+
+    def _build_steps(self):
+        from waveformml_tpu.nn.bn import set_bn_axis
+
+        task = self.task
+        optimizer = self.optimizer
+        mesh = self.mesh
+        dp = P(DATA_AXIS)
+        rep = P()
+        # sync BatchNorm statistics across the data mesh inside the steps
+        # (single-GPU reference parity; see waveformml_tpu/nn/bn.py)
+        set_bn_axis(DATA_AXIS)
+
+        def loss_fn(params, batch_stats, db, rng, train):
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            outputs, new_stats = task.apply_model(
+                variables, db, train=train, rngs={"dropout": rng})
+            loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
+            total_weight = jax.lax.psum(weight, DATA_AXIS)
+            loss = loss_sum / total_weight
+            return loss, (new_stats, metrics, loss_sum, weight)
+
+        def train_step(params, batch_stats, opt_state, rng, db):
+            db = jax.tree.map(lambda x: x[0], db)  # strip device axis
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (new_stats, metrics, loss_sum, weight)), grads = grad_fn(
+                params, batch_stats, db, rng, True)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            if new_stats is not None:
+                new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+            metrics = jax.tree.map(lambda m: jax.lax.psum(m, DATA_AXIS), metrics)
+            loss_total = jax.lax.psum(loss_sum, DATA_AXIS) / jax.lax.psum(weight, DATA_AXIS)
+            return new_params, new_stats, new_opt_state, loss_total, metrics
+
+        def eval_step(params, batch_stats, db):
+            db = jax.tree.map(lambda x: x[0], db)
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            outputs, _ = task.apply_model(variables, db, train=False)
+            loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
+            metrics = jax.tree.map(lambda m: jax.lax.psum(m, DATA_AXIS), metrics)
+            loss_sum = jax.lax.psum(loss_sum, DATA_AXIS)
+            weight = jax.lax.psum(weight, DATA_AXIS)
+            # keep per-shard outputs separated: [1, ...] per device → [D, ...]
+            test_out = jax.tree.map(lambda x: x[None], task.test_outputs(outputs, db))
+            return loss_sum, weight, metrics, test_out
+
+        smap_train = shard_map(
+            train_step, mesh=mesh,
+            in_specs=(rep, rep, rep, rep, dp),
+            out_specs=(rep, rep, rep, rep, rep),
+            check_vma=False)
+        smap_eval = shard_map(
+            eval_step, mesh=mesh,
+            in_specs=(rep, rep, dp),
+            out_specs=(rep, rep, rep, dp),
+            check_vma=False)
+
+        self._train_step_fn = jax.jit(smap_train, donate_argnums=(0, 1, 2))
+        self._eval_step_fn = jax.jit(smap_eval)
+
+    # -- batch preparation ------------------------------------------------------------
+
+    def _device_batch(self, block: FileBlock) -> Dict[str, np.ndarray]:
+        shards = split_block_for_devices(block, self.n_devices)
+        row_bucket = max(self.task.row_bucket(s) for s in shards)
+        event_bucket = max(self.task.event_bucket(s) for s in shards)
+        prepared = [self.task.prepare_block(s, row_bucket, event_bucket)
+                    for s in shards]
+        while len(prepared) < self.n_devices:  # ragged tail: empty shard
+            empty = {k: np.zeros_like(v) for k, v in prepared[0].items()}
+            prepared.append(empty)
+        return stack_shards(prepared)
+
+    # -- initialization / checkpointing -----------------------------------------------
+
+    def _ensure_state(self, sample_block: FileBlock):
+        if self.state is not None:
+            return
+        if self._train_step_fn is None:
+            self._build_steps()
+        db = self._device_batch(sample_block)
+        one = {k: jnp.asarray(v[0]) for k, v in db.items()}
+        self.rng, init_rng = jax.random.split(self.rng)
+        variables = self.task.init_variables(init_rng, one)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(params, batch_stats, opt_state)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        log.info("initialized model with %d parameters on %d device(s)",
+                 n_params, self.n_devices)
+
+    def save_checkpoint(self, path: str, extra: Optional[Dict[str, Any]] = None) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        payload = {"params": self.state.params,
+                   "batch_stats": self.state.batch_stats,
+                   "opt_state": self.state.opt_state}
+        ckptr.save(path, payload)
+        meta = {"epoch": self.current_epoch, "step": self.state.step,
+                "best_val_loss": self.best_val_loss,
+                "config": to_dict(self.config)}
+        if self.scheduler:
+            meta["scheduler"] = self.scheduler.state_dict()
+        meta.update(extra or {})
+        with open(os.path.join(path, "trainer_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+    def load_checkpoint(self, path: str, sample_block: Optional[FileBlock] = None,
+                        restore_training: bool = False) -> None:
+        import orbax.checkpoint as ocp
+
+        if sample_block is not None:
+            self._ensure_state(sample_block)
+        if self.state is None:
+            raise RuntimeError("initialize state (pass sample_block) before loading")
+        ckptr = ocp.PyTreeCheckpointer()
+        template = {"params": self.state.params,
+                    "batch_stats": self.state.batch_stats,
+                    "opt_state": self.state.opt_state}
+        restored = ckptr.restore(os.path.abspath(path), item=template)
+        self.state.params = restored["params"]
+        self.state.batch_stats = restored["batch_stats"]
+        if restore_training and restored.get("opt_state") is not None:
+            self.state.opt_state = restored["opt_state"]
+        meta_path = os.path.join(path, "trainer_meta.json")
+        if restore_training and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.current_epoch = meta.get("epoch", 0)
+            self.best_val_loss = meta.get("best_val_loss", math.inf)
+            if self.scheduler and "scheduler" in meta:
+                self.scheduler.load_state_dict(meta["scheduler"])
+
+    # -- loops ------------------------------------------------------------------------
+
+    def _limit(self, loader, limit: Optional[float]):
+        batches = list(range(len(loader)))
+        if limit is None:
+            return len(batches)
+        if limit <= 1.0 and isinstance(limit, float):
+            return max(1, int(len(batches) * limit))
+        return min(len(batches), int(limit))
+
+    def fit(self, data_module) -> Dict[str, float]:
+        data_module.setup("fit")
+        train_loader = data_module.train_dataloader()
+        data_module.setup("test")
+        val_loader = data_module.val_dataloader()
+        if self.overfit_batches:
+            self.limit_train_batches = self.overfit_batches
+            self.limit_val_batches = self.overfit_batches
+
+        first = next(iter(train_loader))
+        self._ensure_state(first)
+
+        ctx = None
+        if self.profiler and self.logger:
+            trace_dir = os.path.join(self.logger.log_dir, "profile")
+            jax.profiler.start_trace(trace_dir)
+            ctx = trace_dir
+
+        metrics: Dict[str, float] = {}
+        try:
+            while self.current_epoch < self.max_epochs:
+                t0 = time.time()
+                train_metrics = self._train_epoch(train_loader)
+                metrics.update(train_metrics)
+                if (self.current_epoch + 1) % self.validation_freq == 0:
+                    val_metrics = self._eval_epoch(val_loader, "val",
+                                                   self.limit_val_batches)
+                    metrics.update(val_metrics)
+                    self._maybe_checkpoint(val_metrics)
+                    for cb in self.callbacks:
+                        if hasattr(cb, "on_validation_end"):
+                            cb.on_validation_end(self, val_metrics, self.current_epoch)
+                    if self.trial_prune_check(val_metrics):
+                        break
+                    if self.early_stopping.update(val_metrics):
+                        log.info("early stopping at epoch %d", self.current_epoch)
+                        break
+                if self.scheduler:
+                    new_lr = self.scheduler.step(metrics.get("val_loss"))
+                    self.state.opt_state = wopt.set_learning_rate(
+                        self.state.opt_state, new_lr)
+                    if self.logger:
+                        self.logger.log_scalar("lr", new_lr, self.current_epoch)
+                if self.logger:
+                    self.logger.log_scalars(
+                        {k: v for k, v in metrics.items()
+                         if isinstance(v, (int, float))}, self.current_epoch)
+                log.info("epoch %d done in %.1fs: %s", self.current_epoch,
+                         time.time() - t0,
+                         {k: round(v, 5) for k, v in metrics.items()
+                          if isinstance(v, float)})
+                self.current_epoch += 1
+                if self.terminate_on_nan and not math.isfinite(
+                        metrics.get("train_loss", 0.0)):
+                    log.error("NaN loss — terminating")
+                    break
+        finally:
+            if ctx is not None:
+                jax.profiler.stop_trace()
+        for cb in self.callbacks:
+            if hasattr(cb, "on_train_end"):
+                cb.on_train_end(self)
+        if self.logger:
+            self.logger.flush()
+        return metrics
+
+    def trial_prune_check(self, val_metrics: Dict[str, float]) -> bool:
+        """HPO pruning hook (ref: ModelOptimization.py:37-56 PruningCallback)."""
+        trial = getattr(self.task, "trial", None)
+        if trial is None:
+            return False
+        trial.report(val_metrics.get("val_loss", math.inf), self.current_epoch)
+        if trial.should_prune():
+            from waveformml_tpu.optimization.hpo import TrialPruned
+
+            raise TrialPruned()
+        return False
+
+    def _train_epoch(self, loader) -> Dict[str, float]:
+        n_batches = self._limit(loader, self.limit_train_batches)
+        total_loss, count = 0.0, 0
+        agg: Dict[str, Any] = {}
+        for i, block in enumerate(loader):
+            if i >= n_batches:
+                break
+            db = self._device_batch(block)
+            db = {k: jnp.asarray(v) for k, v in db.items()}
+            self.rng, step_rng = jax.random.split(self.rng)
+            t0 = time.time()
+            (self.state.params, self.state.batch_stats, self.state.opt_state,
+             loss, metrics) = self._train_step_fn(
+                self.state.params, self.state.batch_stats, self.state.opt_state,
+                step_rng, db)
+            loss = float(loss)
+            self._step_times.append(time.time() - t0)
+            total_loss += loss
+            count += 1
+            self.state.step += 1
+            _accumulate(agg, metrics)
+        out = {"train_loss": total_loss / max(count, 1)}
+        out.update(_finalize(agg, prefix="train_"))
+        return out
+
+    def _eval_epoch(self, loader, prefix: str, limit, collect=None) -> Dict[str, float]:
+        if self._eval_step_fn is None:
+            self._build_steps()
+        n_batches = self._limit(loader, limit)
+        loss_sum, weight = 0.0, 0.0
+        agg: Dict[str, Any] = {}
+        arrays: Dict[str, np.ndarray] = {}
+        for i, block in enumerate(loader):
+            if i >= n_batches:
+                break
+            db = self._device_batch(block)
+            dbj = {k: jnp.asarray(v) for k, v in db.items()}
+            ls, w, metrics, test_out = self._eval_step_fn(
+                self.state.params, self.state.batch_stats, dbj)
+            loss_sum += float(ls)
+            weight += float(w)
+            _accumulate(agg, metrics)
+            if collect is not None:
+                collect(block, db, jax.tree.map(np.asarray, test_out))
+        out = {f"{prefix}_loss": loss_sum / max(weight, 1.0)}
+        out.update(_finalize(agg, prefix=f"{prefix}_"))
+        # keep raw arrays (e.g. confusion) for figure callbacks
+        for k, v in agg.items():
+            if isinstance(v, np.ndarray) and v.ndim >= 2:
+                arrays[k] = v
+        if prefix == "val":
+            self.last_val_arrays = arrays
+        else:
+            self.last_test_arrays = arrays
+        return out
+
+    def _maybe_checkpoint(self, val_metrics: Dict[str, float]) -> None:
+        vl = val_metrics.get("val_loss")
+        if vl is None or not self.checkpoint_dir:
+            return
+        if vl < self.best_val_loss:
+            self.best_val_loss = vl
+            name = f"epoch={self.current_epoch}-val_loss={vl:.2f}.ckpt"
+            path = os.path.join(self.checkpoint_dir, name)
+            if self.best_ckpt_path and os.path.exists(self.best_ckpt_path):
+                shutil.rmtree(self.best_ckpt_path, ignore_errors=True)
+            self.save_checkpoint(path)
+            self.best_ckpt_path = path
+            log.info("saved best checkpoint: %s", path)
+
+    def test(self, data_module, collect=None) -> Dict[str, float]:
+        data_module.setup("test")
+        loader = data_module.test_dataloader()
+        if self.state is None:
+            first = next(iter(loader))
+            self._ensure_state(first)
+        evaluator = getattr(self.task, "evaluator", None)
+
+        def default_collect(block, db, test_out):
+            if evaluator is not None:
+                evaluator.add_batch(block, db, test_out)
+
+        metrics = self._eval_epoch(loader, "test", self.limit_test_batches,
+                                   collect=collect or
+                                   (default_collect if evaluator is not None else None))
+        for cb in self.callbacks:
+            if hasattr(cb, "on_test_end"):
+                cb.on_test_end(self, metrics)
+        if self.logger:
+            self.logger.log_scalars(metrics, 0)
+            self.logger.flush()
+        return metrics
+
+    # -- LR finder (ref: main.py:207-213 auto_lr_find) --------------------------------
+
+    def lr_find(self, data_module, min_lr: float = 1e-6, max_lr: float = 1.0,
+                num_steps: int = 60) -> float:
+        data_module.setup("fit")
+        loader = data_module.train_dataloader()
+        first = next(iter(loader))
+        self._ensure_state(first)
+        import copy as _copy
+
+        saved = (jax.tree.map(lambda x: x, self.state.params),
+                 self.state.batch_stats, self.state.opt_state)
+        lrs = np.logspace(math.log10(min_lr), math.log10(max_lr), num_steps)
+        losses = []
+        it = iter(loader)
+        for i, lr in enumerate(lrs):
+            try:
+                block = next(it)
+            except StopIteration:
+                it = iter(loader)
+                block = next(it)
+            self.state.opt_state = wopt.set_learning_rate(self.state.opt_state, float(lr))
+            db = {k: jnp.asarray(v) for k, v in self._device_batch(block).items()}
+            self.rng, step_rng = jax.random.split(self.rng)
+            (self.state.params, self.state.batch_stats, self.state.opt_state,
+             loss, _) = self._train_step_fn(
+                self.state.params, self.state.batch_stats, self.state.opt_state,
+                step_rng, db)
+            losses.append(float(loss))
+            if not math.isfinite(losses[-1]) or (len(losses) > 10 and
+                                                 losses[-1] > 4 * min(losses)):
+                lrs = lrs[: len(losses)]
+                break
+        self.state.params, self.state.batch_stats, self.state.opt_state = saved
+        # steepest-descent heuristic
+        losses_arr = np.asarray(losses)
+        valid = np.isfinite(losses_arr)
+        if valid.sum() < 3:
+            return self.task.lr
+        grad = np.gradient(losses_arr[valid])
+        best = float(np.asarray(lrs)[valid][int(np.argmin(grad))])
+        log.info("lr_find suggests lr=%.3g", best)
+        return best
+
+    @property
+    def waveforms_per_second(self) -> Optional[float]:
+        if not self._step_times:
+            return None
+        return None
+
+
+def _accumulate(agg: Dict[str, Any], metrics: Dict[str, Any]) -> None:
+    for k, v in metrics.items():
+        v = np.asarray(v)
+        if k in agg:
+            agg[k] = agg[k] + v
+        else:
+            agg[k] = v
+
+
+def _finalize(agg: Dict[str, Any], prefix: str = "") -> Dict[str, float]:
+    """Turn (x_sum, x_count) pairs into means; scalars pass through."""
+    out: Dict[str, float] = {}
+    for k, v in agg.items():
+        if k.endswith("_count"):
+            continue
+        if k.endswith("_sum"):
+            base = k[:-4]
+            cnt = agg.get(base + "_count")
+            if cnt is not None and float(np.sum(cnt)) > 0:
+                out[prefix + base] = float(np.sum(v) / np.sum(cnt))
+        elif np.asarray(v).ndim == 0:
+            out[prefix + k] = float(v)
+    return out

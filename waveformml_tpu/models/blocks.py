@@ -17,8 +17,57 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from waveformml_tpu.nn.bn import get_bn_axis
+
 from waveformml_tpu.models.schedules import (
     get_frame_contraction, get_frame_expansion)
+
+
+class MaskedArrayBatchNorm(nn.Module):
+    """BatchNorm over channels-last arrays whose leading-dim entries may be
+    padding. Statistics are computed over real entries only (mask [B] or [N]),
+    synced across the data mesh when a BN axis is set — so padded static-shape
+    batches reproduce the reference's unpadded single-GPU BN numerics exactly
+    (SURVEY §7.3: padding must not change numerics)."""
+
+    num_features: int
+    eps: float = 1e-5
+    momentum: float = 0.1  # torch semantics: ra = (1-m)*ra + m*batch
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        if mask is None:
+            mask = jnp.ones(x.shape[0], dtype=bool)
+        m = mask.reshape((x.shape[0],) + (1,) * (x.ndim - 1)).astype(x.dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.num_features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.num_features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.num_features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.num_features,))
+        red_axes = tuple(range(x.ndim - 1))
+        if train:
+            axis = get_bn_axis()
+            # per-channel count of real elements
+            count = jnp.sum(jnp.broadcast_to(m, x[..., :1].shape))
+            xsum = jnp.sum(x * m, axis=red_axes)
+            if axis is not None:
+                count = jax.lax.psum(count, axis)
+                xsum = jax.lax.psum(xsum, axis)
+            count = jnp.maximum(count, 1.0)
+            mean = xsum / count
+            vsum = jnp.sum(((x - mean) ** 2) * m, axis=red_axes)
+            if axis is not None:
+                vsum = jax.lax.psum(vsum, axis)
+            var = vsum / count
+            if not self.is_initializing():
+                mom = self.momentum
+                ra_mean.value = (1 - mom) * ra_mean.value + mom * mean.astype(jnp.float32)
+                ra_var.value = (1 - mom) * ra_var.value + mom * var.astype(jnp.float32)
+        else:
+            mean = ra_mean.value.astype(x.dtype)
+            var = ra_var.value.astype(x.dtype)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
 
 
 class LinearPlanes(nn.Module):
@@ -108,14 +157,13 @@ class DilationBlock(nn.Module):
         return int(length)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         for i, (cin, cout, fs, st, pd, dil) in enumerate(self.schedule(
                 self.nin, self.nout, self.n, self.size_factor, self.pad_factor,
                 self.stride_factor, self.dil_factor)):
             x = nn.Conv(cout, (fs,), strides=(st,), padding=[(pd, pd)],
                         kernel_dilation=(dil,), dtype=x.dtype, name=f"conv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=x.dtype, name=f"bn_{i}")(x)
+            x = MaskedArrayBatchNorm(cout, name=f"bn_{i}")(x, mask=mask, train=train)
             x = jax.nn.relu(x)
         return x
 
@@ -227,7 +275,7 @@ class Conv1DNet(nn.Module):
         return out_len, layers[-1][1]
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         layers, _ = self.schedule(
             self.length, self.num_channels, self.out_size, self.num_expand,
             self.num_contract, self.expand_factor, self.size_factor,
@@ -235,8 +283,7 @@ class Conv1DNet(nn.Module):
         for i, (cin, cout, fs, st, pd) in enumerate(layers):
             x = nn.Conv(cout, (fs,), strides=(st,), padding=[(pd, pd)],
                         dtype=x.dtype, name=f"conv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=x.dtype, name=f"bn_{i}")(x)
+            x = MaskedArrayBatchNorm(cout, name=f"bn_{i}")(x, mask=mask, train=train)
             x = jax.nn.relu(x)
         return x
 
@@ -304,7 +351,7 @@ class Conv2DBlock(nn.Module):
         return size
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         for i, (cin, cout, fs, st, pd, dil) in enumerate(self.schedule(
                 self.nin, self.nout, self.n, self.size_factor, self.pad_factor,
                 self.stride_factor, self.dil_factor, self.expansion_factor,
@@ -312,8 +359,7 @@ class Conv2DBlock(nn.Module):
             x = nn.Conv(cout, (fs, fs), strides=(st, st),
                         padding=[(pd, pd), (pd, pd)], kernel_dilation=(dil, dil),
                         dtype=x.dtype, name=f"conv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=x.dtype, name=f"bn_{i}")(x)
+            x = MaskedArrayBatchNorm(cout, name=f"bn_{i}")(x, mask=mask, train=train)
             x = jax.nn.relu(x)
             if self.dropout:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -28,7 +28,8 @@ from waveformml_tpu.models.blocks import Conv2DBlock, LinearBlock, TemporalConvN
 from waveformml_tpu.models.sparse_blocks import (
     ExtractedFeatureConv, Pointwise2DForZ, SparseConv2DBlock, SparseConv2DForEZ,
     SparseConv2DForZ, SparseConv2DPreserve)
-from waveformml_tpu.ops.sparse import SparseBatch, occupancy_mask, scatter_to_dense
+from waveformml_tpu.ops.sparse import (SparseBatch, occupancy_mask,
+    scatter_to_dense)
 from waveformml_tpu.ops.sparse_conv import SparseGrid, SparseSequential
 from waveformml_tpu.registry import registry
 
@@ -206,7 +207,9 @@ class DenseConvNet(nn.Module):
 
     def __call__(self, batch: SparseBatch, train: bool = False):
         dense = scatter_to_dense(batch)  # [B, NX, NY, 2S]
-        x = self.conv(dense, train=train)
+        # padded event slots carry no occupancy; exclude them from BN stats
+        ev_mask = occupancy_mask(batch).any(axis=(1, 2))
+        x = self.conv(dense, train=train, mask=ev_mask)
         # flatten in torch (C, H, W) order to match reference shape math
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(batch.n_events, -1)
         return self.linear(x, train=train)

@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from waveformml_tpu.nn.bn import get_bn_axis
 from waveformml_tpu.registry import registry
 
 
@@ -163,7 +164,9 @@ class BatchNorm1d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         return nn.BatchNorm(use_running_average=not train, momentum=1 - self.momentum,
-                            epsilon=self.eps, dtype=x.dtype, name="bn")(x)
+                            epsilon=self.eps, dtype=x.dtype,
+                            axis_name=get_bn_axis() if train else None,
+                            name="bn")(x)
 
 
 @registry.register("BatchNorm2d", aliases=("nn.BatchNorm2d",))

@@ -192,9 +192,22 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.num_features,))
         bias = self.param("bias", nn.initializers.zeros, (self.num_features,))
         if train:
-            count = jnp.maximum(jnp.sum(mask), 1.0)
-            mean = jnp.sum(x * mask, axis=(0, 1, 2)) / count
-            var = jnp.sum(((x - mean) ** 2) * mask, axis=(0, 1, 2)) / count
+            from waveformml_tpu.nn.bn import get_bn_axis
+
+            axis = get_bn_axis()
+            count = jnp.sum(mask)
+            xsum = jnp.sum(x * mask, axis=(0, 1, 2))
+            if axis is not None:
+                # sync statistics across data-parallel shards (single-GPU
+                # reference parity: BN sees the whole global batch)
+                count = jax.lax.psum(count, axis)
+                xsum = jax.lax.psum(xsum, axis)
+            count = jnp.maximum(count, 1.0)
+            mean = xsum / count
+            vsum = jnp.sum(((x - mean) ** 2) * mask, axis=(0, 1, 2))
+            if axis is not None:
+                vsum = jax.lax.psum(vsum, axis)
+            var = vsum / count
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean.astype(jnp.float32)
