@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Train driver: ``python main.py <config.json> [options]``.
+
+Mirrors the reference's main.py surface (ref: main.py:36-222): JSON config
+load + validation, model-folder / experiment-name auto-increment (:99-109),
+TensorBoard logger versioning + run-info provenance (:144-168), checkpoint
+resume via --load_checkpoint / --load_best / --restore_training (:150-175),
+LR finder (--auto_lr_find, :207-213), static model validation (--validate,
+:120-121), HPO dispatch (-oc/--optuna_config, :126-142), trainer debug flags
+(--overfit_batches / --limit_*_batches / --profiler), then fit + optional
+test (-t).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config", help="path to the experiment config JSON/YAML")
+    p.add_argument("--test", "-t", action="store_true",
+                   help="run the test pass after training")
+    p.add_argument("--verbosity", "-v", type=int, default=3,
+                   help="log verbosity 0-5")
+    p.add_argument("--logfile", "-l", default=None)
+    p.add_argument("--load_checkpoint", "-lc", default=None,
+                   help="checkpoint path to start from")
+    p.add_argument("--load_best", "-lb", action="store_true",
+                   help="find and load the best checkpoint in the model folder")
+    p.add_argument("--restore_training", "-r", action="store_true",
+                   help="resume optimizer/scheduler/epoch state as well")
+    p.add_argument("--num_threads", "-nt", type=int, default=None)
+    p.add_argument("--optuna_config", "-oc", default=None,
+                   help="hyperparameter-optimization config (dispatches to HPO)")
+    p.add_argument("--pruning", "-p", action="store_true",
+                   help="enable trial pruning during HPO")
+    p.add_argument("--auto_lr_find", action="store_true")
+    p.add_argument("--validate", action="store_true",
+                   help="statically validate the algorithm DSL before training")
+    p.add_argument("--profiler", action="store_true")
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--overfit_batches", type=float, default=None)
+    p.add_argument("--limit_train_batches", type=float, default=None)
+    p.add_argument("--limit_val_batches", type=float, default=None)
+    p.add_argument("--limit_test_batches", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def choose_data_module(config):
+    """Pick the data module from config (ref: main.py:21-33)."""
+    from waveformml_tpu.registry import retrieve_class
+
+    name = getattr(config.dataset_config, "data_module", None) or "PSDDataModule"
+    return retrieve_class(name)(config)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.num_threads:
+        os.environ.setdefault("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] += f" --xla_cpu_multi_thread_eigen={args.num_threads > 1}"
+
+    from waveformml_tpu.config import load_config
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.registry import retrieve_class
+    from waveformml_tpu.utils.model_validation import ModelValidation
+    from waveformml_tpu.utils.tb import TBLogger
+    from waveformml_tpu.utils.util import (
+        get_model_folder, next_experiment_name, next_version_dir,
+        retrieve_best_checkpoint, setup_logger, write_run_info)
+
+    config = load_config(args.config)
+    log = setup_logger(args.verbosity, args.logfile)
+
+    model_folder = get_model_folder(config)
+    if args.validate:
+        ModelValidation.validate(config)
+        log.info("model validation passed")
+
+    if args.optuna_config:
+        from waveformml_tpu.config import load_config as _lc
+        from waveformml_tpu.optimization.hpo import ModelOptimization
+
+        opt_config = _lc(args.optuna_config, validate=False)
+        mo = ModelOptimization(opt_config, config, model_folder,
+                               trainer_args={"max_epochs": args.max_epochs,
+                                             "seed": args.seed})
+        mo.run_study(pruning=args.pruning)
+        return 0
+
+    exp_name = config.run_config.exp_name
+    if not args.restore_training:
+        exp_name = next_experiment_name(model_folder, exp_name)
+    run_dir = os.path.join(model_folder, "runs", exp_name)
+    log_dir = next_version_dir(run_dir)
+    logger = TBLogger(log_dir)
+    write_run_info(log_dir)
+    log.info("logging to %s", log_dir)
+
+    task_cls = retrieve_class(config.run_config.run_class)
+    task = task_cls(config)
+    trainer = Trainer(config, task, logger=logger, checkpoint_dir=log_dir,
+                      max_epochs=args.max_epochs,
+                      limit_train_batches=args.limit_train_batches,
+                      limit_val_batches=args.limit_val_batches,
+                      limit_test_batches=args.limit_test_batches,
+                      overfit_batches=args.overfit_batches,
+                      profiler=args.profiler, seed=args.seed)
+    data_module = choose_data_module(config)
+
+    ckpt = args.load_checkpoint
+    if args.load_best and not ckpt:
+        ckpt = retrieve_best_checkpoint(model_folder)
+        log.info("best checkpoint: %s", ckpt)
+    if ckpt:
+        data_module.setup("fit")
+        first = next(iter(data_module.train_dataloader()))
+        trainer.load_checkpoint(ckpt, sample_block=first,
+                                restore_training=args.restore_training)
+
+    if args.auto_lr_find:
+        new_lr = trainer.lr_find(data_module)
+        task.lr = new_lr
+        from waveformml_tpu import optim as wopt
+
+        trainer.state.opt_state = wopt.set_learning_rate(trainer.state.opt_state, new_lr)
+        if trainer.scheduler:
+            trainer.scheduler.base_lr = new_lr
+
+    fit_metrics = trainer.fit(data_module)
+    print("fit:", {k: round(v, 5) for k, v in fit_metrics.items()
+                   if isinstance(v, (int, float))})
+    if args.test:
+        test_metrics = trainer.test(data_module)
+        print("test:", {k: round(v, 5) for k, v in test_metrics.items()
+                        if isinstance(v, (int, float))})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

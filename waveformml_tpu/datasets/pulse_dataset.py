@@ -143,7 +143,7 @@ class PulseDataset(HDF5Dataset):
         self.shuffle_queue = []
         n_per_category = int(self.shuffled_size / max(1, self.n_categories))
         base = getattr(self.config, "base_path", "")
-        category_map = {os.path.normpath(os.path.join(base, p)): i
+        category_map = {os.path.normpath(os.path.abspath(os.path.join(base, p))): i
                         for i, p in enumerate(self.config.paths)}
         by_cat: Dict[int, List[str]] = {i: [] for i in range(self.n_categories)}
         for fp in self.ordered_file_set:
