@@ -1,0 +1,252 @@
+import os
+
+import numpy as np
+import pytest
+
+from waveformml_tpu.detector import NX, NY
+
+
+class FakeLogger:
+    def __init__(self):
+        self.figures = {}
+        self.scalars = {}
+        self.log_dir = "/tmp"
+
+    def log_figure(self, tag, fig, step=0, close=True):
+        self.figures[tag] = True
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+    def log_scalar(self, tag, value, step=0):
+        self.scalars[tag] = value
+
+    def log_scalars(self, values, step=0):
+        self.scalars.update(values)
+
+    def flush(self):
+        pass
+
+
+def test_stats_aggregator_roundtrip():
+    from waveformml_tpu.evaluation.stats import StatsAggregator
+
+    agg = StatsAggregator(FakeLogger())
+    agg.register_aggregator("acc_vs_E", (10,), (0.0,), (10.0,), 1, ("E",),
+                            ("MeV",), "accuracy", "")
+    results = np.array([1.0, 0.0, 1.0, 1.0])
+    params = np.array([0.5, 0.5, 5.5, 11.0])
+    agg.accumulate("acc_vs_E", results, (params,))
+    total, count = agg.results["acc_vs_E"]
+    assert count[1] == 2 and total[1] == 1.0     # bin for 0.5
+    assert count[-1] == 1                        # overflow
+    agg.log_metric("acc_vs_E", "acc", "accuracy vs E")
+    assert "evaluation/acc" in agg.logger.figures
+
+
+def test_metric_aggregator_welford():
+    from waveformml_tpu.evaluation.metric_agg import MetricAggregator
+
+    m = MetricAggregator("E", 0, 10, 10, ["a", "b"], metric_name="MAE")
+    rng = np.random.default_rng(0)
+    res = rng.normal(2.0, 0.5, 200)
+    par = rng.uniform(0, 10, 200)
+    m.add(res[:100], par[:100], "a")
+    m.add(res[100:], par[100:], "a")
+    mean, std = m.mean_std(0)
+    total_mean = (m.mean[0] * m.count[0]).sum() / m.count[0].sum()
+    assert total_mean == pytest.approx(res.mean(), abs=1e-6)
+
+
+def test_roc_curve_perfect_classifier():
+    from waveformml_tpu.evaluation.roc import ROCCurve
+
+    roc = ROCCurve(2)
+    logits = np.array([[5.0, -5.0]] * 50 + [[-5.0, 5.0]] * 50)
+    labels = np.array([0] * 50 + [1] * 50)
+    roc.update(logits, labels)
+    auc = roc.auc()
+    assert auc[0] > 0.95 and auc[1] > 0.95
+
+
+def test_pid_map():
+    from waveformml_tpu.evaluation.pid_eval import map_pid, retrieve_class_names_PIDS
+
+    np.testing.assert_array_equal(map_pid(np.array([1, 4, 6, 256, 258, 512, 999])),
+                                  [0, 1, 2, 3, 2, 4, -1])
+    names, pids = retrieve_class_names_PIDS()
+    assert names[2] == "Neutron Capture"
+    assert set(pids[2]) == {6, 258}
+
+
+def test_psd_evaluator_accumulates_and_dumps(rng):
+    from waveformml_tpu.evaluation.psd_eval import PSDEvaluator
+
+    logger = FakeLogger()
+    ev = PSDEvaluator(["A", "B"], logger)
+    n_events = 20
+    rows = []
+    for e in range(n_events):
+        for s in rng.choice(NX * NY, 2, replace=False):
+            rows.append([s % NX, s // NX, e])
+    coords = np.asarray(rows, dtype=np.int32)
+    pulses = rng.random((len(coords), 32)).astype(np.float64) * 0.01
+    labels = rng.integers(0, 2, n_events)
+    preds = labels.copy()
+    preds[:5] = 1 - preds[:5]  # some errors
+    logits = np.where((np.arange(n_events) % 2 == 0)[:, None],
+                      np.array([[2.0, -2.0]]), np.array([[-2.0, 2.0]]))
+    ev.add(coords, pulses, labels, preds, logits=logits)
+    assert ev.confusion.sum() == n_events
+    ev.dump()
+    assert "evaluation/confusion" in logger.figures
+    assert "evaluation/average_pulse" in logger.figures
+
+
+def test_z_evaluator_mae(rng):
+    from waveformml_tpu.evaluation.z_eval import ZEvaluatorWF
+
+    logger = FakeLogger()
+    ev = ZEvaluatorWF(logger)
+    B = 10
+    coords = np.stack([rng.integers(0, NX, 15), rng.integers(0, NY, 15),
+                       np.sort(rng.integers(0, B, 15))], axis=1).astype(np.int32)
+    target = np.zeros((B, 1, NX, NY))
+    pred = np.zeros((B, 1, NX, NY))
+    from waveformml_tpu.ops.sparse import consecutive_event_index
+
+    b = consecutive_event_index(coords[:, 2])
+    tvals = rng.uniform(0.2, 0.8, 15)
+    target[b, 0, coords[:, 0], coords[:, 1]] = tvals
+    pred[b, 0, coords[:, 0], coords[:, 1]] = tvals + 0.05
+    ev.add(pred, target, coords)
+    m = ev.metrics()
+    # MAE should be ≈ 0.05 * z_scale = 60 mm
+    vals = list(m.values())
+    assert vals and all(40 < v < 80 for v in vals)
+    ev.dump()
+    assert any("z_mae" in k.lower() or "z MAE" in k for k in logger.figures)
+
+
+def test_energy_evaluator_mape(rng):
+    from waveformml_tpu.evaluation.energy_eval import EnergyEvaluatorWF
+
+    logger = FakeLogger()
+    ev = EnergyEvaluatorWF(logger)
+    coords = np.array([[1, 1, 0], [2, 2, 1]], dtype=np.int32)
+    target = np.zeros((2, 1, NX, NY))
+    pred = np.zeros((2, 1, NX, NY))
+    target[0, 0, 1, 1] = 0.5
+    pred[0, 0, 1, 1] = 0.55   # 10% error
+    target[1, 0, 2, 2] = 0.4
+    pred[1, 0, 2, 2] = 0.44
+    ev.add(pred, target, coords)
+    ev.dump()
+    total = (ev.E_mape.mean * ev.E_mape.count).sum() / ev.E_mape.count.sum()
+    assert total == pytest.approx(0.1, abs=0.01)
+
+
+def test_ez_evaluator_composes(rng):
+    from waveformml_tpu.evaluation.ez_eval import EZEvaluatorWF
+
+    logger = FakeLogger()
+    ev = EZEvaluatorWF(logger)
+    coords = np.array([[3, 3, 0]], dtype=np.int32)
+    pred = np.zeros((1, 2, NX, NY))
+    targ = np.zeros((1, 2, NX, NY))
+    targ[0, 0, 3, 3] = 0.6   # z
+    targ[0, 1, 3, 3] = 0.3   # E
+    pred[0, 0, 3, 3] = 0.62
+    pred[0, 1, 3, 3] = 0.33
+    ev.add(pred, targ, coords)
+    ev.dump()
+    assert ev.z_eval.z_mae.count.sum() == 1
+    assert ev.e_eval.E_mape.count.sum() == 1
+
+
+def test_pid_evaluator(rng):
+    from waveformml_tpu.evaluation.pid_eval import PIDEvaluator
+
+    logger = FakeLogger()
+    ev = PIDEvaluator(logger, SE_only=False)
+    coords = np.stack([rng.integers(0, NX, 30), rng.integers(0, NY, 30),
+                       np.sort(rng.integers(0, 10, 30))], axis=1).astype(np.int32)
+    labels = rng.integers(0, 5, 30)
+    preds = labels.copy()
+    preds[:10] = (preds[:10] + 1) % 5
+    ev.add(coords, labels, preds)
+    assert ev.confusion.sum() == 30
+    ev.dump()
+    assert "evaluation/pid_confusion" in logger.figures
+
+
+def test_tensor_evaluator(rng):
+    from waveformml_tpu.evaluation.tensor_eval import TensorEvaluator
+
+    logger = FakeLogger()
+    ev = TensorEvaluator(logger, metric_name="mean absolute error")
+    dets = rng.integers(0, 308, 40)
+    f = rng.random((40, 16))
+    target = rng.random(40)
+    results = rng.random(40) * 0.1
+    ev.add(dets, f, target, results)
+    ev.dump()
+    assert any("metric_by_detector" in k for k in logger.figures)
+
+
+def test_waveform_evaluator(rng):
+    from waveformml_tpu.evaluation.waveform_eval import WaveformEvaluator
+
+    logger = FakeLogger()
+    ev = WaveformEvaluator(logger)
+    wfs = np.zeros((20, 64))
+    peaks = rng.integers(10, 40, 20)
+    for i, p in enumerate(peaks):
+        wfs[i, p] = 1.0
+        wfs[i, p + 1] = 0.6
+    z = rng.uniform(-500, 500, 20)
+    ev.add(wfs, z)
+    ev.dump()
+    assert "evaluation/aligned_waveforms_by_z" in logger.figures
+
+
+def test_trainer_test_pass_runs_evaluator(tmp_path, rng):
+    """Full wiring: trainer.test builds the task evaluator, feeds it every
+    batch, and dump() pushes figures (ref: LitCallbacks.py:52-73)."""
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.datasets.data_module import PSDDataModule
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.engineering.trainer import Trainer
+
+    write_classification_dirs(str(tmp_path / "data"), ["A", "B"], n_files=3,
+                              events_per_file=20, n_samples=8, seed=5)
+    cfg = Config({
+        "run_config": {"exp_name": "t", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "m", "n_samples": 8, "n_type": 2,
+                          "type_names": ["A", "B"],
+                          "model_base_path": str(tmp_path / "model"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "DenseConvNet",
+                       "net_type": "2DConvolution",
+                       "hparams": {"n_conv": 1, "n_lin": 1, "out_planes": 2,
+                                   "conv_params": {"size_factor": 2, "pad_factor": 1.0}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [],
+                           "base_path": str(tmp_path / "data"),
+                           "paths": ["A", "B"], "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "dataloader_params": {"batch_size": 1},
+                           "n_train": 20, "n_validate": 10, "n_test": 10},
+    })
+    logger = FakeLogger()
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, logger=logger, max_epochs=1, seed=0)
+    dm = PSDDataModule(cfg)
+    trainer.fit(dm)
+    metrics = trainer.test(dm)
+    assert task.evaluator is not None
+    assert task.evaluator.confusion.sum() > 0
+    assert any("confusion" in k for k in logger.figures)

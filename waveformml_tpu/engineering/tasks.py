@@ -44,6 +44,23 @@ class LitPSD(TaskBase):
         self.n_type = getattr(config.system_config, "n_type",
                               len(config.system_config.type_names))
 
+    def make_evaluator(self, logger=None):
+        """Evaluator selection by dataset class (ref: LitPSD.py:35-46)."""
+        from waveformml_tpu.evaluation.psd_eval import PhysEvaluator, PSDEvaluator
+
+        dc = self.config.dataset_config
+        calgroup = getattr(dc, "calgroup", None)
+        names = list(self.config.system_config.type_names)
+        eval_params = {}
+        if hasattr(self.config, "evaluation_config"):
+            from waveformml_tpu.config import to_dict
+
+            eval_params = to_dict(self.config.evaluation_config)
+        if dc.dataset_class in ("PulseDatasetDet", "PulseDatasetDetWithZ",
+                                "PulseDatasetDetWithEZ"):
+            return PhysEvaluator(names, logger, calgroup=calgroup, **eval_params)
+        return PSDEvaluator(names, logger, calgroup=calgroup, **eval_params)
+
     def loss_and_metrics(self, outputs, db):
         labels = db["labels"]
         ymask = db["label_mask"]
@@ -92,6 +109,34 @@ class LitWaveform(TaskBase):
             if hasattr(config.dataset_config, "dataset_params") else None
         cc = config.net_config.criterion_class
         self.use_accuracy = cc.startswith("BCE") or cc.startswith("CrossEntropy")
+
+    def make_evaluator(self, logger=None):
+        """(ref: LitWaveform.py:39-66)"""
+        from waveformml_tpu.config import to_dict
+        from waveformml_tpu.evaluation.tensor_eval import TensorEvaluator
+
+        cc = self.config.net_config.criterion_class
+        if cc == "L1Loss":
+            metric_name = "mean absolute error"
+        elif cc == "MSELoss":
+            metric_name = "mean squared error"
+        elif self.use_accuracy:
+            metric_name = "Accuracy"
+        else:
+            metric_name = "?"
+        dc = self.config.dataset_config
+        calgroup = getattr(dc, "calgroup", None)
+        tp = getattr(dc, "test_dataset_params", None)
+        test_has_phys = (tp is not None and getattr(tp, "label_name", None) == "phys"
+                         and not hasattr(tp, "label_index"))
+        eval_params = {}
+        if hasattr(self.config, "evaluation_config"):
+            eval_params = to_dict(self.config.evaluation_config)
+        eval_params.pop("additional_field_names", None)
+        return TensorEvaluator(logger, calgroup=calgroup,
+                               target_has_phys=test_has_phys,
+                               target_index=self.target_index,
+                               metric_name=metric_name, **eval_params)
 
     def event_bucket(self, block: FileBlock) -> int:
         return self.row_bucket(block)  # per-row labels
@@ -171,6 +216,30 @@ class LitZ(TaskBase):
         self.use_fft = bool(getattr(config.net_config, "UseFFT", False))
         self.z_index = 4  # phys z index (ref: AD1Evaluator.py:52)
 
+    def make_evaluator(self, logger=None):
+        """Evaluator choice (ref: LitZ.py:49-60)."""
+        from waveformml_tpu.config import to_dict
+        from waveformml_tpu.evaluation.z_eval import (
+            ZEvaluatorPhys, ZEvaluatorRealWFNorm, ZEvaluatorWF)
+
+        dc = self.config.dataset_config
+        calgroup = getattr(dc, "calgroup", None)
+        eval_params = {}
+        if hasattr(self.config, "evaluation_config"):
+            eval_params = to_dict(self.config.evaluation_config)
+        tp = getattr(dc, "test_dataset_params", None)
+        test_has_phys = (tp is not None and getattr(tp, "label_name", None) == "phys"
+                         and not hasattr(tp, "label_index"))
+        if tp is not None and hasattr(tp, "additional_fields"):
+            eval_params["additional_field_names"] = list(tp.additional_fields)
+        if test_has_phys:
+            return ZEvaluatorRealWFNorm(logger, calgroup=calgroup, **eval_params)
+        if getattr(self.config.net_config, "algorithm", None) == "features":
+            eval_params.pop("additional_field_names", None)
+            return ZEvaluatorPhys(logger, calgroup=calgroup, **eval_params)
+        eval_params.pop("additional_field_names", None)
+        return ZEvaluatorWF(logger, calgroup=calgroup, **eval_params)
+
     def _build_model(self):
         if hasattr(self.config.net_config, "net_class"):
             return super()._build_model()
@@ -237,6 +306,14 @@ class LitEZ(TaskBase):
         self.e_factor = self.escale / self.e_adjust
         self.phys_coord = getattr(nc, "algorithm", "conv") == "features"
 
+    def make_evaluator(self, logger=None):
+        """(ref: LitEZ.py:26-35)"""
+        from waveformml_tpu.evaluation.ez_eval import EZEvaluatorPhys, EZEvaluatorWF
+
+        calgroup = getattr(self.config.dataset_config, "calgroup", None)
+        cls = EZEvaluatorPhys if self.phys_coord else EZEvaluatorWF
+        return cls(logger, calgroup=calgroup, e_scale=self.e_adjust)
+
     def _build_model(self):
         if hasattr(self.config.net_config, "net_class"):
             return super()._build_model()
@@ -284,6 +361,12 @@ class LitSegClassifier(TaskBase):
         self.n_type = config.system_config.n_type
         self.seg_status = jnp.asarray(seg_status_maps()[0])
 
+    def make_evaluator(self, logger=None):
+        from waveformml_tpu.evaluation.pid_eval import PIDEvaluator
+
+        calgroup = getattr(self.config.dataset_config, "calgroup", None)
+        return PIDEvaluator(logger, calgroup=calgroup, SE_only=self.SE_only)
+
     prepare_block = LitZ.prepare_block
     event_bucket = LitZ.event_bucket
 
@@ -328,6 +411,13 @@ class LitSegQuantifier(TaskBase):
         super().__init__(config, trial)
         self.target_index = getattr(config.net_config, "target_index", None)
         self.seg_status = jnp.asarray(seg_status_maps()[0])
+
+    def make_evaluator(self, logger=None):
+        from waveformml_tpu.evaluation.seg_eval import SegEvaluator
+
+        calgroup = getattr(self.config.dataset_config, "calgroup", None)
+        return SegEvaluator(logger, calgroup=calgroup,
+                            target_index=self.target_index, SE_only=self.SE_only)
 
     prepare_block = LitZ.prepare_block
     event_bucket = LitZ.event_bucket

@@ -414,6 +414,12 @@ class Trainer:
             first = next(iter(loader))
             self._ensure_state(first)
         evaluator = getattr(self.task, "evaluator", None)
+        if evaluator is None and hasattr(self.task, "make_evaluator"):
+            try:
+                evaluator = self.task.make_evaluator(self.logger)
+                self.task.evaluator = evaluator
+            except Exception as e:
+                log.warning("evaluator construction failed: %s", e)
 
         def default_collect(block, db, test_out):
             if evaluator is not None:

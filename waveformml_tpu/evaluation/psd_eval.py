@@ -1,0 +1,177 @@
+"""Event-classification evaluators (ref: src/evaluation/PSDEvaluator.py, 485 LoC).
+
+``PSDEvaluator``: numba ``average_pulse`` summarized each event (summed
+gain-corrected pulses, PSD l/r, dt, multiplicity, spreads, moments — here the
+vectorized ops.dsp.average_pulse); accuracy binned vs energy / PSD /
+multiplicity / position; per-energy and per-n_SE confusion matrices;
+average-pulse figures; ROC/PR hooks (ref :101-253). ``PhysEvaluator``: the
+same on phys features with energy-weighted averaging (ref :301-485).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from waveformml_tpu.detector import MAX_RANGE, NX, NY
+from waveformml_tpu.evaluation.ad1 import SingleEndedEvaluator
+from waveformml_tpu.evaluation.metric_agg import MetricAggregator
+from waveformml_tpu.evaluation.roc import ROCCurve
+from waveformml_tpu.ops.dsp import (
+    average_pulse, confusion_accumulate, confusion_accumulate_1d,
+    weighted_average_quantities)
+from waveformml_tpu.ops.sparse import consecutive_event_index
+from waveformml_tpu.utils.plot import plot_confusion_matrix, plot_waveforms
+
+N_MULT = 5
+N_E_CONF = 5  # energy-binned confusion slices
+
+
+class PSDEvaluator(SingleEndedEvaluator):
+    def __init__(self, class_names: Sequence[str], logger=None,
+                 calgroup: Optional[str] = None, has_SE: bool = True, **kwargs):
+        super().__init__(logger, calgroup=calgroup, **kwargs)
+        self.class_names = list(class_names)
+        nc = len(self.class_names)
+        self.E_max = 10.0
+        self.acc_vs_E = MetricAggregator("summed_energy", 0.0, self.E_max, 25,
+                                         self.class_names,
+                                         metric_name="accuracy")
+        self.acc_vs_psd = MetricAggregator("PSD", 0.0, 0.6, 25, self.class_names,
+                                           metric_name="accuracy")
+        self.acc_vs_mult = MetricAggregator("multiplicity", 0.5, N_MULT + 0.5,
+                                            N_MULT, self.class_names,
+                                            metric_name="accuracy")
+        self.acc_vs_x = MetricAggregator("x position", -0.5, NX - 0.5, NX,
+                                         self.class_names, metric_name="accuracy")
+        self.acc_vs_y = MetricAggregator("y position", -0.5, NY - 0.5, NY,
+                                         self.class_names, metric_name="accuracy")
+        self.confusion = np.zeros((nc, nc))
+        self.confusion_vs_E = np.zeros((N_E_CONF + 1, nc, nc))
+        self.confusion_vs_nSE = np.zeros((4, nc, nc))
+        self.avg_pulse_sum = np.zeros((nc, 1))
+        self.avg_pulse_n = np.zeros(nc)
+        self.roc = ROCCurve(nc)
+        self._avg_initialized = False
+
+    # -- accumulation --------------------------------------------------------------
+    def add(self, coords: np.ndarray, pulses: np.ndarray, labels: np.ndarray,
+            predictions: np.ndarray, logits: Optional[np.ndarray] = None) -> None:
+        """coords [N, 3], pulses [N, 2S] (normalized), labels/predictions [B]."""
+        c = coords.copy()
+        c[:, 2] = consecutive_event_index(c[:, 2])
+        B = labels.shape[0]
+        gains = self.calibrator.gains if self.hascal else np.ones((NX, NY, 2))
+        n_samples = pulses.shape[1] // 2
+        times = np.arange(2, n_samples * 4 + 2, 4, dtype=np.float64)
+        summary = average_pulse(c, pulses * MAX_RANGE, gains, times,
+                                self.seg_status, B)
+        summed_E = summary["pulses"].sum(axis=1) / MAX_RANGE
+        psd = 0.5 * (summary["psdl"] + summary["psdr"])
+        acc = (labels == predictions).astype(np.float64)
+        if not self._avg_initialized:
+            self.avg_pulse_sum = np.zeros((len(self.class_names),
+                                           pulses.shape[1]))
+            self._avg_initialized = True
+        for ci, cname in enumerate(self.class_names):
+            sel = labels == ci
+            if not sel.any():
+                continue
+            self.acc_vs_E.add(acc[sel], summed_E[sel], cname)
+            self.acc_vs_psd.add(acc[sel], psd[sel], cname)
+            self.acc_vs_mult.add(acc[sel],
+                                 np.clip(summary["multiplicity"][sel], 1, N_MULT),
+                                 cname)
+            self.acc_vs_x.add(acc[sel], summary["coords"][sel, 0], cname)
+            self.acc_vs_y.add(acc[sel], summary["coords"][sel, 1], cname)
+            self.avg_pulse_sum[ci] += summary["pulses"][sel].sum(axis=0)
+            self.avg_pulse_n[ci] += sel.sum()
+        confusion_accumulate(predictions, labels, self.confusion)
+        confusion_accumulate_1d(predictions, labels, summed_E,
+                                self.confusion_vs_E, (0.0, self.E_max), N_E_CONF)
+        n_se_cat = np.clip(summary["n_SE"], 0, 3)
+        np.add.at(self.confusion_vs_nSE,
+                  (n_se_cat, labels.astype(np.int64),
+                   predictions.astype(np.int64)), 1)
+        if logits is not None:
+            self.roc.update(logits, labels)
+
+    def add_batch(self, block, db, test_out) -> None:
+        for d in range(test_out["pred"].shape[0]):
+            ymask = np.asarray(db["label_mask"][d], dtype=bool)
+            mask = np.asarray(db["mask"][d], dtype=bool)
+            if not ymask.any():
+                continue
+            self.add(np.asarray(db["coords"][d])[mask],
+                     np.asarray(db["feats"][d])[mask],
+                     np.asarray(db["labels"][d])[ymask],
+                     np.asarray(test_out["pred"][d])[ymask],
+                     logits=np.asarray(test_out["logits"][d])[ymask])
+
+    # -- rendering -----------------------------------------------------------------
+    def dump(self) -> None:
+        if self.logger is None:
+            return
+        for agg in (self.acc_vs_E, self.acc_vs_psd, self.acc_vs_mult,
+                    self.acc_vs_x, self.acc_vs_y):
+            agg.plot(self.logger)
+        if self.confusion.sum() > 0:
+            self.logger.log_figure(
+                self.namespace + "confusion",
+                plot_confusion_matrix(self.confusion, self.class_names))
+        for e in range(N_E_CONF):
+            if self.confusion_vs_E[e].sum() > 0:
+                lo = e * self.E_max / N_E_CONF
+                hi = (e + 1) * self.E_max / N_E_CONF
+                self.logger.log_figure(
+                    self.namespace + f"confusion_E_{lo:.0f}_{hi:.0f}",
+                    plot_confusion_matrix(self.confusion_vs_E[e],
+                                          self.class_names,
+                                          title=f"E ∈ [{lo:.1f}, {hi:.1f}) MeV"))
+        for k in range(4):
+            if self.confusion_vs_nSE[k].sum() > 0:
+                self.logger.log_figure(
+                    self.namespace + f"confusion_nSE_{k}",
+                    plot_confusion_matrix(self.confusion_vs_nSE[k],
+                                          self.class_names,
+                                          title=f"n_SE = {k}"))
+        present = self.avg_pulse_n > 0
+        if self._avg_initialized and present.any():
+            wfs = [self.avg_pulse_sum[i] / self.avg_pulse_n[i]
+                   for i in range(len(self.class_names)) if present[i]]
+            names = [n for i, n in enumerate(self.class_names) if present[i]]
+            self.logger.log_figure(self.namespace + "average_pulse",
+                                   plot_waveforms(wfs, names))
+        self.roc.plot(self.logger, self.class_names, self.namespace)
+
+
+class PhysEvaluator(PSDEvaluator):
+    """Phys-feature analog with energy-weighted event averaging (ref :301-485)."""
+
+    def add(self, coords, feats, labels, predictions, logits=None) -> None:
+        c = coords.copy()
+        c[:, 2] = consecutive_event_index(c[:, 2])
+        B = labels.shape[0]
+        # feats rows are phys 7-vectors; quantities matrix is [F, N]
+        q = np.asarray(feats).T.astype(np.float64)
+        out_c, out_q, out_m = weighted_average_quantities(c, q, B)
+        summed_E = out_q[self.E_index] * self.E_scale
+        psd = out_q[self.PSD_index]
+        acc = (labels == predictions).astype(np.float64)
+        if not self._avg_initialized:
+            self.avg_pulse_sum = np.zeros((len(self.class_names), feats.shape[1]))
+            self._avg_initialized = True
+        for ci, cname in enumerate(self.class_names):
+            sel = labels == ci
+            if not sel.any():
+                continue
+            self.acc_vs_E.add(acc[sel], summed_E[sel], cname)
+            self.acc_vs_psd.add(acc[sel], psd[sel], cname)
+            self.acc_vs_mult.add(acc[sel], np.clip(out_m[sel], 1, N_MULT), cname)
+            self.acc_vs_x.add(acc[sel], out_c[sel, 0], cname)
+            self.acc_vs_y.add(acc[sel], out_c[sel, 1], cname)
+        confusion_accumulate(predictions, labels, self.confusion)
+        confusion_accumulate_1d(predictions, labels, summed_E,
+                                self.confusion_vs_E, (0.0, self.E_max), N_E_CONF)
+        if logits is not None:
+            self.roc.update(logits, labels)
