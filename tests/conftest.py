@@ -22,6 +22,17 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _reset_bn_axis():
+    """The Trainer sets a process-global BN sync axis; reset it so standalone
+    module applications outside shard_map don't see an unbound axis name."""
+    from waveformml_tpu.nn.bn import set_bn_axis
+
+    set_bn_axis(None)
+    yield
+    set_bn_axis(None)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
