@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Test-only driver: load a checkpoint and run the evaluation pass
+(ref: Evaluate.py:31-84): re-uses the checkpoint's tfevents version dir,
+--calgroup override, --occlude feature occlusion, model export via --script.
+
+``python Evaluate.py config.json checkpoint_dir [-c calgroup] [-oc n]``
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("config", help="config file for the model")
+    parser.add_argument("checkpoint", help="checkpoint path")
+    parser.add_argument("--calgroup", "-c", type=str,
+                        help="calibration group override for evaluation")
+    parser.add_argument("--occlude", "-oc", type=int, default=None,
+                        help="feature index to occlude (zero) at test time")
+    parser.add_argument("--script", "-s", action="store_true",
+                        help="export the jitted model alongside the logs")
+    parser.add_argument("--verbosity", "-v", type=int, default=3)
+    parser.add_argument("--num_threads", "-nt", type=int)
+    parser.add_argument("--limit_test_batches", type=float, default=None)
+    args = parser.parse_args(argv)
+
+    from main import choose_data_module
+    from waveformml_tpu.config import load_config
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.registry import retrieve_class
+    from waveformml_tpu.utils.tb import TBLogger
+    from waveformml_tpu.utils.util import setup_logger
+
+    log = setup_logger(args.verbosity)
+    config = load_config(args.config)
+    if args.calgroup:
+        config.dataset_config["calgroup"] = args.calgroup
+    if args.occlude is not None:
+        config.dataset_config["occlude_index"] = args.occlude
+
+    # reuse the version dir the checkpoint lives in (ref: Evaluate.py:52-68)
+    ckpt_dir = os.path.dirname(os.path.abspath(args.checkpoint))
+    has_events = any("tfevents" in f for f in os.listdir(ckpt_dir)) \
+        if os.path.isdir(ckpt_dir) else False
+    log_dir = ckpt_dir if has_events else os.path.join(ckpt_dir, "evaluate")
+    logger = TBLogger(log_dir)
+    log.info("logging evaluation to %s", log_dir)
+
+    task_cls = retrieve_class(config.run_config.run_class)
+    task = task_cls(config)
+    trainer = Trainer(config, task, logger=logger,
+                      limit_test_batches=args.limit_test_batches)
+    data_module = choose_data_module(config)
+    data_module.setup("test")
+    first = next(iter(data_module.test_dataloader()))
+    trainer.load_checkpoint(args.checkpoint, sample_block=first)
+    if args.script:
+        export_dir = os.path.join(log_dir, "exported_model")
+        trainer.save_checkpoint(export_dir)
+        log.info("exported model checkpoint to %s", export_dir)
+    metrics = trainer.test(data_module)
+    print("test:", {k: round(v, 5) for k, v in metrics.items()
+                    if isinstance(v, (int, float))})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,175 @@
+import json
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from waveformml_tpu.config import Config, save_config
+from waveformml_tpu.datasets.synthetic import write_wfpair_cal
+from waveformml_tpu.io.sql import write_synthetic_caldb
+
+
+@pytest.fixture(scope="module")
+def z_model_setup(tmp_path_factory):
+    """A trained-enough (1-step) LitZ checkpoint + config on disk."""
+    import jax
+
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import LitZ
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    tmp = tmp_path_factory.mktemp("infer")
+    cfg = Config({
+        "run_config": {"exp_name": "z", "run_class": "LitZ", "imports": []},
+        "system_config": {"model_name": "z", "n_samples": 65, "n_type": 2,
+                          "type_names": ["a"], "model_base_path": str(tmp / "model"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_type": "2DConvolution",
+                       "algorithm": "conv",
+                       "hparams": {"conv": {"kernel_size": 3, "n_layers": 2},
+                                   "point": {"pointwise_layers": 1}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPair",
+                           "dataset_params": {}, "n_train": 8, "n_validate": 4},
+    })
+    config_path = str(tmp / "config.json")
+    save_config(cfg, config_path)
+    task = LitZ(cfg)
+    trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0)
+    rng = np.random.default_rng(0)
+    coords = np.array([[1, 1, 0], [2, 2, 1]], dtype=np.int32)
+    feats = rng.random((2, 130)).astype(np.float32)
+    labels = rng.random(2).astype(np.float32)
+    block = FileBlock(coords, feats, labels, {})
+    trainer._ensure_state(block)
+    ckpt = str(tmp / "model.ckpt")
+    trainer.save_checkpoint(ckpt)
+    caldb = str(tmp / "cal.db")
+    write_synthetic_caldb(caldb, "testcal", seed=2)
+    return tmp, config_path, ckpt, caldb
+
+
+def test_inference_model_roundtrip(z_model_setup):
+    from waveformml_tpu.config import load_config
+    from waveformml_tpu.inference.model import InferenceModel
+
+    tmp, config_path, ckpt, _ = z_model_setup
+    model = InferenceModel(load_config(config_path), ckpt)
+    rng = np.random.default_rng(1)
+    coords = np.array([[1, 1, 0], [3, 4, 0], [5, 5, 1]], dtype=np.int32)
+    vals = rng.random((3, 130)).astype(np.float32)
+    out = model(coords, vals)
+    assert out.shape == (2, 1, 14, 11)
+    # same result for a repeated call (deterministic eval)
+    out2 = model(coords, vals)
+    np.testing.assert_allclose(out, out2)
+
+
+def test_z_prediction_writer_end_to_end(z_model_setup, monkeypatch):
+    from waveformml_tpu.inference.prediction_writer import ZPredictionWriter
+    import h5py
+
+    tmp, config_path, ckpt, caldb = z_model_setup
+    monkeypatch.setenv("PROSPECT_CALDB", caldb)
+    input_path = str(tmp / "input_WFCalFilteredSE.h5")
+    write_wfpair_cal(input_path, n_events=30, seed=4)
+    with h5py.File(input_path) as h5:
+        original_ez = h5["WaveformPairCal"]["EZ"][()].copy()
+    out_path = str(tmp / "out_ModelOut.h5")
+    pw = ZPredictionWriter(out_path, input_path, config_path, ckpt,
+                           calgroup="testcal", n_rows_per_read=16,
+                           datatype="WaveformPairCal")
+    pw.write_predictions()
+    pw.write_XML(runtime=1.0)
+    with h5py.File(out_path) as h5:
+        rec = h5["WaveformPairCal"][()]
+        # z (EZ[:,1]) replaced by model predictions, E (EZ[:,0]) untouched
+        assert not np.allclose(rec["EZ"][:, 1], original_ez[:, 1])
+        np.testing.assert_allclose(rec["EZ"][:, 0], original_ez[:, 0])
+        # everything else preserved
+        np.testing.assert_array_equal(rec["waveform"],
+                                      _read(input_path, "waveform"))
+        attrs = h5["WaveformPairCal"].attrs
+        assert "nevents" in attrs
+    # XML sidecar written (standalone since input has no sidecar)
+    xml_path = out_path + ".xml"
+    assert os.path.exists(xml_path)
+    tree = ET.parse(xml_path)
+    steps = tree.getroot().findall(".//AnalysisStep")
+    assert steps and steps[0].get("code")
+
+
+def _read(path, field):
+    import h5py
+
+    with h5py.File(path) as h5:
+        return h5["WaveformPairCal"][field][()]
+
+
+def test_evaluate_cli(z_model_setup, tmp_path):
+    """Drive Evaluate.py via its main() on a PSD setup."""
+    import Evaluate
+    from waveformml_tpu.config import Config, save_config
+    from waveformml_tpu.datasets.data_module import PSDDataModule
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.engineering.trainer import Trainer
+
+    write_classification_dirs(str(tmp_path / "data"), ["A", "B"], n_files=3,
+                              events_per_file=20, n_samples=8, seed=9)
+    cfg = Config({
+        "run_config": {"exp_name": "t", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "m", "n_samples": 8, "n_type": 2,
+                          "type_names": ["A", "B"],
+                          "model_base_path": str(tmp_path / "model"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "DenseConvNet",
+                       "net_type": "2DConvolution",
+                       "hparams": {"n_conv": 1, "n_lin": 1, "out_planes": 2,
+                                   "conv_params": {"size_factor": 2, "pad_factor": 1.0}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [],
+                           "base_path": str(tmp_path / "data"),
+                           "paths": ["A", "B"], "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "dataloader_params": {"batch_size": 1},
+                           "n_train": 20, "n_validate": 10, "n_test": 10},
+    })
+    config_path = str(tmp_path / "cfg.json")
+    save_config(cfg, config_path)
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, max_epochs=1, seed=0)
+    dm = PSDDataModule(cfg)
+    trainer.fit(dm)
+    ckpt = str(tmp_path / "ckpt" / "epoch=0-val_loss=0.70.ckpt")
+    trainer.save_checkpoint(ckpt)
+    rc = Evaluate.main([config_path, ckpt, "-v", "2"])
+    assert rc == 0
+
+
+def test_combine_data_cli(tmp_path):
+    import CombineData
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+
+    write_classification_dirs(str(tmp_path / "data"), ["A", "B"], n_files=2,
+                              events_per_file=15, n_samples=8, seed=11)
+    out_dir = str(tmp_path / "combined")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = CombineData.main([str(tmp_path / "data" / "A"),
+                               str(tmp_path / "data" / "B"),
+                               "-t", "2d", "-s", "10", "-o", out_dir, "-v", "2"])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    combined = [f for f in os.listdir(out_dir) if f.startswith("Combined_")]
+    assert combined

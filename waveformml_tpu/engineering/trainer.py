@@ -232,14 +232,23 @@ class Trainer:
         if self.state is None:
             raise RuntimeError("initialize state (pass sample_block) before loading")
         ckptr = ocp.PyTreeCheckpointer()
-        template = {"params": self.state.params,
-                    "batch_stats": self.state.batch_stats,
-                    "opt_state": self.state.opt_state}
-        restored = ckptr.restore(os.path.abspath(path), item=template)
+        # template-free restore: params/batch_stats structure is defined by the
+        # model alone, so a checkpoint taken under a different optimizer config
+        # still loads (opt_state is only adopted when resuming training)
+        restored = ckptr.restore(os.path.abspath(path))
         self.state.params = restored["params"]
         self.state.batch_stats = restored["batch_stats"]
         if restore_training and restored.get("opt_state") is not None:
-            self.state.opt_state = restored["opt_state"]
+            try:
+                flat, treedef = jax.tree.flatten(self.state.opt_state)
+                new_flat = jax.tree.leaves(restored["opt_state"])
+                if len(flat) == len(new_flat):
+                    self.state.opt_state = jax.tree.unflatten(treedef, new_flat)
+                else:
+                    log.warning("optimizer state structure changed; starting "
+                                "with a fresh optimizer state")
+            except Exception as e:
+                log.warning("could not restore optimizer state (%s); fresh init", e)
         meta_path = os.path.join(path, "trainer_meta.json")
         if restore_training and os.path.exists(meta_path):
             with open(meta_path) as f:

@@ -1,0 +1,85 @@
+"""Frozen-model inference wrapper: checkpoint → jit batched predict.
+
+The reference side is ``load_from_checkpoint`` + ``model.eval()/freeze()``
+(ref: src/datasets/PredictionWriter.py:57-66). Here a checkpoint directory
+(orbax) restores task variables, and ``__call__`` pads ragged (coords, vals)
+chunks to bucketed static shapes and runs one jit-compiled eval forward per
+bucket shape — TPU streaming inference with a bounded number of compilations.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveformml_tpu.ops.sparse import bucket_size, consecutive_event_index, pad_sparse
+from waveformml_tpu.registry import retrieve_class
+
+log = logging.getLogger(__name__)
+
+
+class InferenceModel:
+    def __init__(self, config, checkpoint_path: str):
+        self.config = config
+        task_cls = retrieve_class(config.run_config.run_class)
+        self.task = task_cls(config)
+        self.variables = self._restore(checkpoint_path)
+        self._jitted: Dict[Tuple[int, int], any] = {}
+
+    def _restore(self, path: str):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path))
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats") is not None:
+            variables["batch_stats"] = restored["batch_stats"]
+        return variables
+
+    def _fn(self, row_bucket: int, event_bucket: int):
+        key = (row_bucket, event_bucket)
+        if key not in self._jitted:
+            task = self.task
+
+            @jax.jit
+            def fn(coords, feats, mask, labels, label_mask):
+                db = {"coords": coords, "feats": feats, "mask": mask,
+                      "labels": labels, "label_mask": label_mask}
+                outputs, _ = task.apply_model(self.variables, db, train=False)
+                return outputs
+
+            self._jitted[key] = fn
+        return self._jitted[key]
+
+    def __call__(self, coords: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        """Ragged chunk → model outputs, un-padded.
+
+        coords [N, 3] with consecutive-from-0 event ids; vals [N, F].
+        Event-level / dense outputs are truncated to the true event count;
+        per-row outputs to the true row count.
+        """
+        n = coords.shape[0]
+        n_events = int(coords[:, 2].max()) + 1 if n else 0
+        row_bucket = bucket_size(max(1, n))
+        event_bucket = bucket_size(max(1, n_events),
+                                   buckets=(16, 32, 64, 128, 256, 512, 1024,
+                                            2048, 4096, 8192, 16384, 32768))
+        c, f, m = pad_sparse(coords.astype(np.int32),
+                             np.asarray(vals, dtype=np.float32), row_bucket)
+        labels = np.zeros((event_bucket,), dtype=np.int64)
+        lmask = np.zeros((event_bucket,), dtype=bool)
+        lmask[:n_events] = True
+        out = self._fn(row_bucket, event_bucket)(
+            jnp.asarray(c), jnp.asarray(f), jnp.asarray(m),
+            jnp.asarray(labels), jnp.asarray(lmask))
+        out = np.asarray(out)
+        if out.shape[0] == event_bucket:
+            return out[:n_events]
+        if out.shape[0] == row_bucket:
+            return out[:n]
+        return out

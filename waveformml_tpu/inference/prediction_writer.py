@@ -1,0 +1,310 @@
+"""Batch-inference HDF5 writers: stream a file through a trained model and
+write a new HDF5 with predictions swapped into place.
+
+Equivalent of src/datasets/PredictionWriter.py (362 LoC):
+``PredictionWriter.write_predictions`` streams event-preserving chunks
+(ref :73-104), ``ZPredictionWriter`` swaps the NN z into EZ[:,1] after
+gain-normalizing raw ADC waveform pairs (ref :134-176), ``IRNPredictionWriter``
+swaps per-event phys outputs (ref :180-195), ``IRNIMPredictionWriter``
+converts classifier scores into PhysPulse records via
+convert_wf_phys_SE_classifier (ref :198-275), and ``ZAndClassWriter`` runs a
+z model and a classifier in one pass (ref :277-362). XML provenance sidecars
+written after (ref :125-130).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from waveformml_tpu.config import load_config
+from waveformml_tpu.detector import MAX_RANGE, NX, NY
+from waveformml_tpu.engineering.se_mask import seg_status_maps
+from waveformml_tpu.evaluation.ad1 import Z_NORMALIZATION_FACTOR
+from waveformml_tpu.inference.model import InferenceModel
+from waveformml_tpu.io.compound_types import (
+    PhysPulse, WaveformPairCal, extension_type_map)
+from waveformml_tpu.io.hdf5 import H5Input, P2XTableWriter
+from waveformml_tpu.io.sql import get_gains
+from waveformml_tpu.io.xml import XMLWriter
+from waveformml_tpu.datasets.pulse_dataset import dataset_class_type_map
+from waveformml_tpu.ops.calibration import convert_wf_phys_SE_classifier
+from waveformml_tpu.ops.sparse import (
+    normalize_waveforms, swap_sparse_from_dense, swap_sparse_from_event)
+from waveformml_tpu.utils.util import get_file_md5
+
+log = logging.getLogger(__name__)
+
+
+class PredictionWriter(P2XTableWriter):
+    """Base writer; subclasses implement swap_values / convert_values
+    (ref: PredictionWriter.py:17-130)."""
+
+    def __init__(self, path: str, input_path: str, config: str, checkpoint: str,
+                 **kwargs):
+        super().__init__(path)
+        self.XMLW = XMLWriter()
+        self.checkpoint_path = checkpoint
+        self.config_path = config
+        self.config = load_config(config)
+        self.input = H5Input(input_path)
+        self.input_type = extension_type_map(input_path)
+        self.n_buffer_rows = 1024 * 16
+        self.n_rows_per_read = 2048
+        self.swap = True
+        for key, val in kwargs.items():
+            setattr(self, key, val)
+        self.model = InferenceModel(self.config, checkpoint)
+        if "datatype" in kwargs:
+            if kwargs["datatype"] == "WaveformPairCal":
+                self.data_type = WaveformPairCal()
+            elif kwargs["datatype"] == "PhysPulse":
+                self.data_type = PhysPulse()
+            else:
+                raise IOError(
+                    f"unrecognized datatype: {kwargs['datatype']}, did you mean "
+                    "'WaveformPairCal' or 'PhysPulse'?")
+        else:
+            self.data_type = dataset_class_type_map(
+                self.config.dataset_config.dataset_class) or self.input_type
+
+    def write_predictions(self) -> None:
+        """(ref: PredictionWriter.py:73-104)"""
+        if "Chanmap" in self.input.h5f:
+            self.copy_chanmap(self.input)
+        self.input.setup_table(self.input_type.name, self.input_type.type,
+                               self.input_type.event_index_name,
+                               event_index_coord=self.input_type.event_index_coord)
+        nrows = self.input.h5f[self.input_type.name].shape[0]
+        self.create_table(self.data_type.name, (nrows,), self.data_type.type)
+        self.copy_p2x_attrs(self.input, self.data_type.name, self.input_type.name,
+                            self.data_type.names)
+        n_current_buffer = 0
+        for data in self.input.iter_chunks(self.n_rows_per_read):
+            if self.swap:
+                self.swap_values(data)
+            else:
+                data = self.convert_values(data)
+            self.add_rows(self.data_type.name, data)
+            n_current_buffer += data.shape[0]
+            if n_current_buffer >= self.n_buffer_rows:
+                n_current_buffer = 0
+                self.flush(self.data_type.name)
+        self.flush(self.data_type.name)
+        self.input.close()
+        self.close()
+
+    # -- model input prep -----------------------------------------------------------
+    def _coords_vals(self, data: np.ndarray):
+        """Normalize raw ADC pairs (needs gains) or pass phys features through;
+        event column renumbered consecutively (ref: ZPredictionWriter.swap_values)."""
+        if "waveform" in (data.dtype.names or ()):
+            if getattr(self, "gains", None) is None:
+                raise IOError("Must pass calgroup argument in order to normalize "
+                              "WaveformPairCal data before passing to model")
+            coords = data["coord"].copy()
+            vals = normalize_waveforms(coords, data["waveform"], self.gains)
+        else:
+            coords = data["coord"].copy()
+            from waveformml_tpu.ops.sparse import consecutive_event_index
+
+            coords[:, 2] = consecutive_event_index(coords[:, 2])
+            vals = np.asarray(data["pulse"], dtype=np.float32)
+        return coords, vals
+
+    def swap_values(self, data: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def convert_values(self, data: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    # -- provenance -----------------------------------------------------------------
+    def set_xml(self) -> None:
+        settings = {"model_checkpoint": self.checkpoint_path,
+                    "model_config": self.config_path}
+        if os.path.isfile(self.checkpoint_path):
+            settings["model_checkpoint_hash"] = get_file_md5(self.checkpoint_path)
+        if os.path.isfile(self.config_path):
+            settings["model_config_hash"] = get_file_md5(self.config_path)
+        self.XMLW.step_settings.update(settings)
+
+    def write_XML(self, runtime: float) -> None:
+        self.XMLW.input_file = self.input.path + ".xml"
+        self.XMLW.output_file = self.path
+        self.XMLW.step_name = type(self).__name__
+        self.set_xml()
+        self.XMLW.write_xml(self.path + ".xml", runtime)
+
+
+def _gain_factors(calgroup: str, scale_factor: Optional[float] = None) -> np.ndarray:
+    """690/MAX_RANGE/gain factors (ref: ZPredictionWriter.__init__ :139-146)."""
+    gains = get_gains(os.environ["PROSPECT_CALDB"], calgroup)
+    num = (scale_factor or 1.0) * 690.0 / MAX_RANGE
+    out = np.full((NX, NY, 2), num, dtype=np.float32)
+    return np.divide(out, gains, out=np.zeros_like(out), where=gains != 0)
+
+
+class ZPredictionWriter(PredictionWriter):
+    """Swap the NN z prediction into EZ[:, 1] (ref :134-176)."""
+
+    def __init__(self, path, input_path, config, checkpoint, **kwargs):
+        super().__init__(path, input_path, config, checkpoint, **kwargs)
+        self.z_scale = Z_NORMALIZATION_FACTOR
+        self.gains = None
+        if kwargs.get("calgroup"):
+            self.gains = _gain_factors(kwargs["calgroup"],
+                                       kwargs.get("scale_factor"))
+
+    def swap_values(self, data: np.ndarray) -> None:
+        coords, vals = self._coords_vals(data)
+        out = self.model(coords, vals)  # [B, 1, NX, NY]
+        dense = (out[:, 0] - 0.5) * self.z_scale
+        swap_sparse_from_dense(data["EZ"][:, 1], dense, data["coord"])
+
+    def set_xml(self) -> None:
+        super().set_xml()
+        self.XMLW.step_settings["EZ_index_replaced"] = [1]
+
+
+class IRNPredictionWriter(PredictionWriter):
+    """Per-event phys outputs swapped into phys[:, 4:] (ref :180-195)."""
+
+    def __init__(self, path, input_path, config, checkpoint, **kwargs):
+        super().__init__(path, input_path, config, checkpoint, **kwargs)
+        self.phys_index_replaced = 4
+
+    def swap_values(self, data: np.ndarray) -> None:
+        coords, vals = self._coords_vals(data)
+        output = self.model(coords, vals)  # per-event [B, F]
+        swap_sparse_from_event(data["phys"][:, self.phys_index_replaced:],
+                               output, data["coord"])
+
+    def set_xml(self) -> None:
+        super().set_xml()
+        self.XMLW.step_settings["phys_index_replaced"] = [4, 5, 6]
+
+
+class IRNIMPredictionWriter(PredictionWriter):
+    """Per-row classifier scores → phys columns, or full PhysPulse conversion
+    when the output datatype is PhysPulse (ref :198-275)."""
+
+    def __init__(self, path, input_path, config, checkpoint, **kwargs):
+        super().__init__(path, input_path, config, checkpoint, **kwargs)
+        self.phys_index_replaced = 2
+        self.output_is_sparse = kwargs.get("output_is_sparse", True)
+        self.seg_status, self.blind_detl, self.blind_detr = seg_status_maps(
+            kwargs.get("excludes"))
+        self.gains = None
+        if kwargs.get("calgroup"):
+            self.gains = _gain_factors(kwargs["calgroup"],
+                                       kwargs.get("scale_factor"))
+        if isinstance(self.data_type, PhysPulse):
+            self.swap = False
+
+    def swap_values(self, data: np.ndarray) -> None:
+        coords, vals = self._coords_vals(data)
+        output = self.model(coords, vals)
+        if self.output_is_sparse:
+            data["phys"][:, self.phys_index_replaced:] = output
+        else:
+            swap_sparse_from_dense(data["phys"][:, self.phys_index_replaced:],
+                                   output, data["coord"])
+
+    def convert_values(self, data: np.ndarray) -> np.ndarray:
+        coords, vals = self._coords_vals(data)
+        output = self.model(coords, vals)  # per-row class scores [N, 5]
+        phys = np.zeros((coords.shape[0],), dtype=self.data_type.type)
+        phys["evt"] = data["evt"]
+        phys["t"] = data["t"]
+        phys["PE"] = data["PE"]
+        phys["seg"] = data["coord"][:, 0] + data["coord"][:, 1] * NX
+        phys["PID"] = data["PID"]
+        convert_wf_phys_SE_classifier(
+            data["coord"], data["E"], phys["E"], phys["rand"], data["dt"],
+            phys["dt"], data["z"], phys["y"], data["PSD"], phys["PSD"],
+            phys["E_SE"], phys["y_SE"], phys["Esmear_SE"], phys["PSD_SE"],
+            data["EZ"][:, 1], output, self.blind_detl, self.blind_detr)
+        return phys
+
+    def set_xml(self) -> None:
+        super().set_xml()
+        if self.swap:
+            self.XMLW.step_settings["phys_index_replaced"] = [2, 3, 4, 5, 6]
+        else:
+            self.XMLW.step_settings.update({
+                "classifier_score_ioni_placement": "E",
+                "classifier_score_recoil_placement": "rand",
+                "classifier_score_ncap_placement": "dt",
+                "classifier_score_ingress_placement": "y",
+                "classifier_score_muon_placement": "PSD"})
+
+
+class ZAndClassWriter(PredictionWriter):
+    """Two models (z + segment classifier), one pass → PhysPulse
+    (ref :277-362; driven by scripts/WriteZAndClass.py)."""
+
+    def __init__(self, path, input_path, zconfig, zcheckpoint, classconfig,
+                 classcheckpoint, **kwargs):
+        if kwargs.get("datatype", "PhysPulse") != "PhysPulse":
+            raise IOError("datatype must be PhysPulse for ZAndClassWriter")
+        kwargs["datatype"] = "PhysPulse"
+        self.scale_factor_z = kwargs.pop("scale_factor_z", 1.0)
+        self.scale_factor_class = kwargs.pop("scale_factor_class", 1.0)
+        if "scale_factor" in kwargs:
+            raise IOError("Must specify scale factor for z or classifier "
+                          "(scale_factor_z or scale_factor_class)")
+        super().__init__(path, input_path, zconfig, zcheckpoint, **kwargs)
+        self.swap = False
+        self.z_scale = Z_NORMALIZATION_FACTOR
+        self.seg_status, self.blind_detl, self.blind_detr = seg_status_maps(
+            kwargs.get("excludes"))
+        self.gains = None
+        if kwargs.get("calgroup"):
+            self.gains = _gain_factors(kwargs["calgroup"])
+        self.class_config_path = classconfig
+        self.class_checkpoint_path = classcheckpoint
+        self.class_config = load_config(classconfig)
+        self.class_model = InferenceModel(self.class_config, classcheckpoint)
+
+    def convert_values(self, data: np.ndarray) -> np.ndarray:
+        if self.gains is None:
+            raise IOError("Must pass calgroup argument in order to normalize "
+                          "WaveformPairCal data before passing to model")
+        coords = data["coord"].copy()
+        vals = normalize_waveforms(coords, data["waveform"],
+                                   self.gains * self.scale_factor_class)
+        class_out = self.class_model(coords, vals)
+        ratio = self.scale_factor_z / self.scale_factor_class
+        z_in = vals * ratio if ratio != 1.0 else vals
+        z_dense = (self.model(coords, z_in)[:, 0] - 0.5) * self.z_scale
+        swap_sparse_from_dense(data["EZ"][:, 1], z_dense, data["coord"])
+        phys = np.zeros((coords.shape[0],), dtype=self.data_type.type)
+        phys["evt"] = data["evt"]
+        phys["t"] = data["t"]
+        phys["PE"] = data["PE"]
+        phys["seg"] = data["coord"][:, 0] + data["coord"][:, 1] * NX
+        phys["PID"] = data["PID"]
+        convert_wf_phys_SE_classifier(
+            data["coord"], data["E"], phys["E"], phys["rand"], data["dt"],
+            phys["dt"], data["z"], phys["y"], data["PSD"], phys["PSD"],
+            phys["E_SE"], phys["y_SE"], phys["Esmear_SE"], phys["PSD_SE"],
+            data["EZ"][:, 1], class_out, self.blind_detl, self.blind_detr)
+        return phys
+
+    def set_xml(self) -> None:
+        super().set_xml()
+        self.XMLW.step_settings.update({
+            "ML_z_placement": "y_SE",
+            "classifier_score_ioni_placement": "E",
+            "classifier_score_recoil_placement": "rand",
+            "classifier_score_ncap_placement": "dt",
+            "classifier_score_ingress_placement": "y",
+            "classifier_score_muon_placement": "PSD",
+            "model_z_checkpoint": self.checkpoint_path,
+            "model_z_config": self.config_path,
+            "model_classifier_checkpoint": self.class_checkpoint_path,
+            "model_classifier_config": self.class_config_path,
+            "scale_factor_z": self.scale_factor_z,
+            "scale_factor_class": self.scale_factor_class})

@@ -280,6 +280,44 @@ def z_basic_prediction_dense(coo: np.ndarray, z_pred: np.ndarray,
                 z_pred[b, x, y] = float(np.mean(vals))
 
 
+def convert_wf_phys_SE_classifier(coord, E_in, E_out, rand_out, dt_in, dt_out,
+                                  z_in, z_out, PSD_in, PSD_out, E_SE_out,
+                                  z_SE_out, Esmear_SE_out, PSD_SE_out, nn_z,
+                                  nn_out, blind_detl, blind_detr,
+                                  rng: Optional[np.random.Generator] = None) -> None:
+    """Build PhysPulse rows from classifier scores on single-ended segments
+    (ref: SparseUtils.py:1590-1621): at SE segments the 5 classifier scores are
+    placed into (E, rand, dt, y, PSD), the raw values into the *_SE fields and
+    the NN z into y_SE; double-ended rows pass through with a fresh rand."""
+    rng = rng or np.random.default_rng()
+    x = coord[:, 0].astype(np.int64)
+    y = coord[:, 1].astype(np.int64)
+    bl = blind_detl[x, y] == 1
+    br = blind_detr[x, y] == 1
+    dead = bl & br
+    se = (bl | br) & ~dead
+    de = ~bl & ~br
+    # single-ended rows: classifier scores into the phys slots
+    E_out[se] = nn_out[se, 0]
+    rand_out[se] = nn_out[se, 1]
+    dt_out[se] = nn_out[se, 2]
+    z_out[se] = nn_out[se, 3]
+    PSD_out[se] = nn_out[se, 4]
+    z_SE_out[se] = nn_z[se]
+    # surviving side gets the raw values (side 1 when the left PMT is blind)
+    side = np.where(bl, 1, 0)
+    rows = np.flatnonzero(se)
+    E_SE_out[rows, side[rows]] = E_in[rows]
+    Esmear_SE_out[rows, side[rows]] = rng.uniform(0.0, 1.0, rows.size)
+    PSD_SE_out[rows, side[rows]] = PSD_in[rows]
+    # double-ended rows: passthrough
+    E_out[de] = E_in[de]
+    rand_out[de] = rng.uniform(0.0, 1.0, int(de.sum()))
+    dt_out[de] = dt_in[de]
+    z_out[de] = z_in[de]
+    PSD_out[de] = PSD_in[de]
+
+
 def make_synthetic_tables(rng: Optional[np.random.Generator] = None,
                           n_points: int = 21) -> CalibrationTables:
     """Physically-shaped synthetic calibration tables for hermetic tests:
