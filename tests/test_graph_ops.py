@@ -1,0 +1,69 @@
+import numpy as np
+import pytest
+
+from waveformml_tpu.ops.graph import (
+    _knn_numpy, _window_edges_numpy, cartesian_edge_attr, knn_graph, pad_edges,
+    window_edges)
+
+
+def _edge_set(edges):
+    return set(map(tuple, edges.T.tolist()))
+
+
+def test_window_edges_matches_numpy_fallback(rng):
+    n = 200
+    x = rng.integers(0, 14, n).astype(np.int64)
+    y = rng.integers(0, 11, n).astype(np.int64)
+    b = np.sort(rng.integers(0, 40, n)).astype(np.int64)
+    coo = np.stack([x, y], axis=1)
+    fast = window_edges(coo, b, max_dist=1, self_loops=True)
+    slow = _window_edges_numpy(x, y, b, 2, True)
+    assert _edge_set(fast) == _edge_set(slow)
+    assert fast.shape == slow.shape
+
+
+def test_window_edges_semantics():
+    # two rows adjacent within one event, one far row, one other-event row
+    coo = np.array([[1, 1], [2, 2], [9, 9], [1, 1]])
+    b = np.array([0, 0, 0, 1])
+    edges = window_edges(coo, b, max_dist=1, self_loops=False)
+    es = _edge_set(edges)
+    assert (0, 1) in es and (1, 0) in es
+    assert not any(2 in e for e in es)           # far row isolated
+    assert not any(3 in e for e in es)           # other event isolated
+    edges_sl = window_edges(coo, b, max_dist=1, self_loops=True)
+    assert (3, 3) in _edge_set(edges_sl)
+
+
+def test_knn_graph_matches_numpy(rng):
+    n = 80
+    pos = rng.random((n, 2)) * 10
+    b = np.sort(rng.integers(0, 8, n)).astype(np.int64)
+    fast = knn_graph(pos, 3, b)
+    slow = _knn_numpy(np.ascontiguousarray(pos[:, 0]),
+                      np.ascontiguousarray(pos[:, 1]), b, 3, False)
+    assert _edge_set(fast) == _edge_set(slow)
+
+
+def test_knn_graph_small_events():
+    pos = np.array([[0.0, 0.0], [1.0, 0.0]])
+    b = np.array([0, 0])
+    edges = knn_graph(pos, 6, b)  # k > available neighbors
+    assert _edge_set(edges) == {(1, 0), (0, 1)}
+
+
+def test_pad_edges():
+    edges = np.array([[0, 1], [1, 0]])
+    padded, mask = pad_edges(edges, 8)
+    assert padded.shape == (2, 8)
+    assert mask.sum() == 2
+    assert not mask[2:].any()
+
+
+def test_cartesian_edge_attr():
+    pos = np.array([[0.0, 0.0], [1.0, 2.0]])
+    edges = np.array([[0], [1]])
+    attr = cartesian_edge_attr(pos, edges, norm=False)
+    np.testing.assert_allclose(attr, [[1.0, 2.0]])
+    attr_n = cartesian_edge_attr(pos, edges, norm=True, max_value=2.0)
+    np.testing.assert_allclose(attr_n, [[0.75, 1.0]])

@@ -225,3 +225,11 @@ class PSDDataModule:
         if self.test_dataset is None:
             self.setup("test")
         return DataLoaderLite(self.test_dataset, shuffle=False, **self._loader_params())
+
+
+@registry.register("GraphDataModule", aliases=("GraphDataModule.GraphDataModule",))
+class GraphDataModule(PSDDataModule):
+    """Config-compatible alias of the reference's GraphDataModule
+    (ref: src/engineering/GraphDataModule.py:22-52). Graph construction happens
+    in the task's prepare_block (host C++ kernels), so the loader pipeline is
+    identical to PSDDataModule — no PyG materialization step is needed."""

@@ -97,6 +97,7 @@ class TaskBase:
             pad = np.zeros((row_bucket,) + v.shape[1:], dtype=v.dtype)
             pad[: v.shape[0]] = v
             out[f"extra_{k}"] = pad
+        self.add_graph_edges(block, out)
         return out
 
     # -- device-side pure functions --------------------------------------------------
@@ -111,8 +112,51 @@ class TaskBase:
         return f
 
     def model_inputs(self, db: Dict[str, jnp.ndarray]):
-        """What gets passed to the model; sparse tasks pass a SparseBatch."""
+        """What gets passed to the model; sparse tasks pass a SparseBatch,
+        graph models the whole prepared dict (with padded edge lists)."""
+        if getattr(type(self.model), "is_graph", False):
+            out = dict(db)
+            out["feats"] = self._features(db)
+            return out
         return self.sparse_batch(db)
+
+    # -- graph edge preparation (host side) ------------------------------------------
+    def add_graph_edges(self, block: FileBlock, out: Dict[str, np.ndarray]) -> None:
+        """Build padded edge lists for graph models (C++ kernels in ops.graph;
+        the reference builds these in-forward with PyG — GraphNet.py:222-243)."""
+        if not getattr(type(self.model), "is_graph", False):
+            return
+        from waveformml_tpu.ops.graph import knn_graph, pad_edges, window_edges
+
+        coords = block.coords
+        n = coords.shape[0]
+        pos = coords[:, :2].astype(np.float64)
+        batch_col = coords[:, 2].astype(np.int64)
+        seen = set()
+        for req in self.model.edge_requirements():
+            if req[0] == "knn":
+                _, k, loop = req
+                key = f"knn{k}"
+                if key in seen:
+                    continue
+                seen.add(key)
+                edges = knn_graph(pos, k, batch_col, loop=loop) if n else \
+                    np.zeros((2, 0), np.int64)
+                cap = bucket_size(max(1, edges.shape[1]))
+                e, m = pad_edges(edges, cap)
+                out[f"edges_{key}"], out[f"edge_mask_{key}"] = e, m
+            else:
+                _, d, loops = req
+                key = f"w{d}"
+                if key in seen:
+                    continue
+                seen.add(key)
+                edges = window_edges(coords[:, :2], batch_col, max_dist=d,
+                                     self_loops=loops) if n else \
+                    np.zeros((2, 0), np.int64)
+                cap = bucket_size(max(1, edges.shape[1]))
+                e, m = pad_edges(edges, cap)
+                out[f"edges_{key}"], out[f"edge_mask_{key}"] = e, m
 
     def apply_model(self, variables, db: Dict[str, jnp.ndarray], train: bool,
                     rngs: Optional[Dict] = None):

@@ -264,6 +264,7 @@ class LitZ(TaskBase):
             pad = np.zeros((row_bucket,) + v.shape[1:], dtype=v.dtype)
             pad[: v.shape[0]] = v
             out[f"extra_{k}"] = pad
+        self.add_graph_edges(block, out)
         return out
 
     def _features(self, db):

@@ -10,6 +10,8 @@ from waveformml_tpu.models.sparse_blocks import (
 from waveformml_tpu.models.nets import (
     DenseConvNet, ExtractedFeatureConvNet, SCNet, SingleEndedEZConv,
     SingleEndedZConv, SPConvNet, SPConvPreserveNet, batch_to_grid)
+from waveformml_tpu.models.graph_net import (
+    Graph3DNet, GraphNet, GraphZ, GraphZNet, PointNet, SingleEndedEZGraph)
 from waveformml_tpu.models.waveform_models import (
     ConvWaveformNet, LinearWaveformNet, RecurrentWaveformNet, TemporalWaveformNet)
 
@@ -21,5 +23,6 @@ __all__ = [
     "SparseConv2DPreserve", "DenseConvNet", "ExtractedFeatureConvNet", "SCNet",
     "SingleEndedEZConv", "SingleEndedZConv", "SPConvNet", "SPConvPreserveNet",
     "batch_to_grid", "ConvWaveformNet", "LinearWaveformNet",
-    "RecurrentWaveformNet", "TemporalWaveformNet",
+    "RecurrentWaveformNet", "TemporalWaveformNet", "GraphNet",
+    "GraphZ", "GraphZNet", "PointNet", "Graph3DNet", "SingleEndedEZGraph",
 ]

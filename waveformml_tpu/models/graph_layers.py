@@ -1,0 +1,452 @@
+"""Message-passing graph convolutions in JAX/flax over padded edge lists.
+
+TPU-native equivalents of the 18 torch-geometric conv types the reference
+selects by index (ref: src/models/GraphNet.py:279-315 retrieve_class,
+src/models/GraphBlocks.py:107-143 choose_network). All layers operate on
+static shapes: x [N, F], edges [2, E] (source, target), edge_mask [E], and
+optional edge_attr [E, D]; padded edges are masked out of the segment-sum /
+softmax aggregations. Semantics follow each PyG layer's inference-time math.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(messages: jax.Array, targets: jax.Array, n_nodes: int,
+                edge_mask: Optional[jax.Array] = None) -> jax.Array:
+    if edge_mask is not None:
+        messages = jnp.where(edge_mask[:, None], messages, 0)
+    return jax.ops.segment_sum(messages, targets, num_segments=n_nodes)
+
+
+def segment_mean(messages, targets, n_nodes, edge_mask=None):
+    s = segment_sum(messages, targets, n_nodes, edge_mask)
+    ones = jnp.ones((messages.shape[0], 1), messages.dtype)
+    cnt = segment_sum(ones, targets, n_nodes, edge_mask)
+    return s / jnp.maximum(cnt, 1)
+
+
+def segment_max(messages, targets, n_nodes, edge_mask=None):
+    if edge_mask is not None:
+        messages = jnp.where(edge_mask[:, None], messages, -jnp.inf)
+    out = jax.ops.segment_max(messages, targets, num_segments=n_nodes)
+    return jnp.where(jnp.isfinite(out), out, 0)
+
+
+def edge_softmax(logits: jax.Array, targets: jax.Array, n_nodes: int,
+                 edge_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Softmax over incoming edges of each target node. logits [E, H]."""
+    if edge_mask is not None:
+        logits = jnp.where(edge_mask[:, None], logits, -jnp.inf)
+    maxes = jax.ops.segment_max(logits, targets, num_segments=n_nodes)
+    maxes = jnp.where(jnp.isfinite(maxes), maxes, 0)
+    exp = jnp.exp(logits - maxes[targets])
+    if edge_mask is not None:
+        exp = jnp.where(edge_mask[:, None], exp, 0)
+    denom = jax.ops.segment_sum(exp, targets, num_segments=n_nodes)
+    return exp / jnp.maximum(denom[targets], 1e-16)
+
+
+def _sym_norm(edges, edge_mask, n_nodes, edge_weight=None):
+    """D^-1/2 A D^-1/2 edge coefficients (GCN normalization)."""
+    w = edge_weight if edge_weight is not None else \
+        jnp.ones(edges.shape[1], jnp.float32)
+    if edge_mask is not None:
+        w = jnp.where(edge_mask, w, 0)
+    deg = jax.ops.segment_sum(w, edges[1], num_segments=n_nodes)
+    dinv = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
+    return w * dinv[edges[0]] * dinv[edges[1]]
+
+
+class GCNConv(nn.Module):
+    """(index 0) symmetric-normalized aggregation (PyG GCNConv)."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        h = nn.Dense(self.out_channels, use_bias=False, name="lin")(x)
+        ew = edge_attr[:, 0] if edge_attr is not None and edge_attr.ndim == 2 \
+            else edge_attr
+        coeff = _sym_norm(edges, edge_mask, n, ew)
+        out = segment_sum(h[edges[0]] * coeff[:, None], edges[1], n, edge_mask)
+        return out + self.param("bias", nn.initializers.zeros, (self.out_channels,))
+
+
+class SAGEConv(nn.Module):
+    """(index 1) W1 x + W2 · mean_agg(x_src)."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        agg = segment_mean(x[edges[0]], edges[1], n, edge_mask)
+        return nn.Dense(self.out_channels, name="lin_l")(agg) + \
+            nn.Dense(self.out_channels, name="lin_r")(x)
+
+
+class GraphConv(nn.Module):
+    """(index 2) W1 x + W2 · sum_agg(e_w · x_src)."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        msg = x[edges[0]]
+        if edge_attr is not None:
+            ew = edge_attr if edge_attr.ndim == 1 else edge_attr[:, 0]
+            msg = msg * ew[:, None]
+        agg = segment_sum(msg, edges[1], n, edge_mask)
+        return nn.Dense(self.out_channels, name="lin_rel")(agg) + \
+            nn.Dense(self.out_channels, name="lin_root")(x)
+
+
+class GATConv(nn.Module):
+    """(index 3) single-head graph attention (PyG GATConv)."""
+
+    in_channels: int
+    out_channels: int
+    heads: int = 1
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        H, C = self.heads, self.out_channels
+        h = nn.Dense(H * C, use_bias=False, name="lin")(x).reshape(n, H, C)
+        a_src = self.param("att_src", nn.initializers.glorot_uniform(), (H, C))
+        a_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (H, C))
+        alpha = (h[edges[0]] * a_src).sum(-1) + (h[edges[1]] * a_dst).sum(-1)
+        alpha = jax.nn.leaky_relu(alpha, self.negative_slope)
+        alpha = edge_softmax(alpha, edges[1], n, edge_mask)
+        out = segment_sum((h[edges[0]] * alpha[..., None]).reshape(-1, H * C),
+                          edges[1], n, edge_mask)
+        if H == 1:
+            return out
+        return out  # concatenated heads
+
+
+class GATv2Conv(nn.Module):
+    """(index 4) GATv2: attention after the nonlinearity."""
+
+    in_channels: int
+    out_channels: int
+    heads: int = 1
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        H, C = self.heads, self.out_channels
+        hl = nn.Dense(H * C, use_bias=False, name="lin_l")(x).reshape(n, H, C)
+        hr = nn.Dense(H * C, use_bias=False, name="lin_r")(x).reshape(n, H, C)
+        att = self.param("att", nn.initializers.glorot_uniform(), (H, C))
+        z = jax.nn.leaky_relu(hl[edges[0]] + hr[edges[1]], self.negative_slope)
+        alpha = (z * att).sum(-1)
+        alpha = edge_softmax(alpha, edges[1], n, edge_mask)
+        out = segment_sum((hl[edges[0]] * alpha[..., None]).reshape(-1, H * C),
+                          edges[1], n, edge_mask)
+        return out
+
+
+class TransformerConv(nn.Module):
+    """(index 5) scaled-dot-product attention with optional edge features."""
+
+    in_channels: int
+    out_channels: int
+    heads: int = 1
+    edge_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        H, C = self.heads, self.out_channels
+        q = nn.Dense(H * C, name="q")(x).reshape(n, H, C)
+        k = nn.Dense(H * C, name="k")(x).reshape(n, H, C)
+        v = nn.Dense(H * C, name="v")(x).reshape(n, H, C)
+        ke = k[edges[0]]
+        ve = v[edges[0]]
+        if edge_attr is not None:
+            e = nn.Dense(H * C, name="edge")(edge_attr).reshape(-1, H, C)
+            ke = ke + e
+            ve = ve + e
+        alpha = (q[edges[1]] * ke).sum(-1) / jnp.sqrt(C)
+        alpha = edge_softmax(alpha, edges[1], n, edge_mask)
+        out = segment_sum((ve * alpha[..., None]).reshape(-1, H * C),
+                          edges[1], n, edge_mask)
+        return out + nn.Dense(H * C, name="skip")(x)
+
+
+class TAGConv(nn.Module):
+    """(index 6) topology-adaptive: Σ_k W_k (norm-A)^k x, K=3."""
+
+    in_channels: int
+    out_channels: int
+    K: int = 3
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        coeff = _sym_norm(edges, edge_mask, n)
+        out = nn.Dense(self.out_channels, name="lin_0")(x)
+        h = x
+        for k in range(1, self.K + 1):
+            h = segment_sum(h[edges[0]] * coeff[:, None], edges[1], n, edge_mask)
+            out = out + nn.Dense(self.out_channels, name=f"lin_{k}")(h)
+        return out
+
+
+class GINConv(nn.Module):
+    """(index 7) nn((1 + ε)x + sum_agg(x_src)); nn supplied as a submodule."""
+
+    net: Any
+    eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        agg = segment_sum(x[edges[0]], edges[1], n, edge_mask)
+        return self.net((1 + self.eps) * x + agg, train=train)
+
+
+class GINEConv(nn.Module):
+    """GINE: edge features added to messages before ReLU."""
+
+    net: Any
+    edge_dim: Optional[int] = None
+    eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        msg = x[edges[0]]
+        if edge_attr is not None:
+            e = nn.Dense(x.shape[-1], name="edge_proj")(edge_attr)
+            msg = jax.nn.relu(msg + e)
+        agg = segment_sum(msg, edges[1], n, edge_mask)
+        return self.net((1 + self.eps) * x + agg, train=train)
+
+
+class ARMAConv(nn.Module):
+    """(index 8) one-stack ARMA filter: act(norm-A x V + x_init W)."""
+
+    in_channels: int
+    out_channels: int
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        coeff = _sym_norm(edges, edge_mask, n)
+        h = x
+        for layer in range(self.num_layers):
+            prop = segment_sum(h[edges[0]] * coeff[:, None], edges[1], n, edge_mask)
+            h = jax.nn.relu(nn.Dense(self.out_channels, name=f"V_{layer}")(prop)
+                            + nn.Dense(self.out_channels, name=f"W_{layer}")(x))
+        return h
+
+
+class SGConv(nn.Module):
+    """(index 9) simplified GCN: W (norm-A)^K x."""
+
+    in_channels: int
+    out_channels: int
+    K: int = 1
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        ew = edge_attr[:, 0] if edge_attr is not None and edge_attr.ndim == 2 \
+            else edge_attr
+        coeff = _sym_norm(edges, edge_mask, n, ew)
+        h = x
+        for _ in range(self.K):
+            h = segment_sum(h[edges[0]] * coeff[:, None], edges[1], n, edge_mask)
+        return nn.Dense(self.out_channels, name="lin")(h)
+
+
+class GMMConv(nn.Module):
+    """(index 10) gaussian-mixture conv over pseudo-coordinates
+    (edge_attr [E, dim], `kernel_size` gaussians)."""
+
+    in_channels: int
+    out_channels: int
+    dim: int = 2
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        K = self.kernel_size
+        if edge_attr is None:
+            edge_attr = jnp.zeros((edges.shape[1], self.dim), x.dtype)
+        mu = self.param("mu", nn.initializers.normal(0.1), (K, self.dim))
+        sigma = self.param("sigma", nn.initializers.ones, (K, self.dim))
+        diff = edge_attr[:, None, :] - mu[None]                  # [E, K, D]
+        w = jnp.exp(-0.5 * ((diff / jnp.maximum(jnp.abs(sigma), 1e-6)) ** 2)
+                    .sum(-1))                                     # [E, K]
+        h = nn.Dense(K * self.out_channels, use_bias=False,
+                     name="g")(x).reshape(n, K, self.out_channels)
+        msg = (h[edges[0]] * w[..., None]).sum(1)                 # [E, C]
+        out = segment_mean(msg, edges[1], n, edge_mask)
+        return out + self.param("bias", nn.initializers.zeros, (self.out_channels,))
+
+
+class FiLMConv(nn.Module):
+    """(index 11) feature-wise linear modulation of messages by the target."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        gamma_beta = nn.Dense(2 * self.out_channels, name="film")(x)
+        gamma, beta = jnp.split(gamma_beta, 2, axis=-1)
+        msg = nn.Dense(self.out_channels, use_bias=False, name="lin")(x)
+        mod = jax.nn.relu(gamma[edges[1]] * msg[edges[0]] + beta[edges[1]])
+        agg = segment_mean(mod, edges[1], n, edge_mask)
+        return agg + nn.Dense(self.out_channels, name="lin_skip")(x)
+
+
+class EdgeConv(nn.Module):
+    """(index 12) max-agg of nn([x_i ‖ x_j − x_i]) (DGCNN edge conv)."""
+
+    net: Any
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        src, dst = edges[0], edges[1]
+        z = jnp.concatenate([x[dst], x[src] - x[dst]], axis=-1)
+        msg = self.net(z, train=train)
+        return segment_max(msg, dst, n, edge_mask)
+
+
+class FeaStConv(nn.Module):
+    """(index 13) feature-steered conv: soft assignment over H weight heads."""
+
+    in_channels: int
+    out_channels: int
+    heads: int = 4
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        H = self.heads
+        u = nn.Dense(H, name="u")
+        q = jax.nn.softmax(u(x[edges[0]] - x[edges[1]]), axis=-1)     # [E, H]
+        h = nn.Dense(H * self.out_channels, use_bias=False,
+                     name="lin")(x).reshape(n, H, self.out_channels)
+        msg = (h[edges[0]] * q[..., None]).sum(1)
+        out = segment_mean(msg, edges[1], n, edge_mask)
+        return out + self.param("bias", nn.initializers.zeros, (self.out_channels,))
+
+
+class LEConv(nn.Module):
+    """(index 14) local-extremum conv: Σ_j e_w (W2 x_i − W3 x_j) + W1 x_i."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        h2 = nn.Dense(self.out_channels, name="lin2")(x)
+        h3 = nn.Dense(self.out_channels, name="lin3")(x)
+        ew = jnp.ones(edges.shape[1], x.dtype)
+        if edge_attr is not None:
+            ew = edge_attr if edge_attr.ndim == 1 else edge_attr[:, 0]
+        msg = ew[:, None] * (h2[edges[1]] - h3[edges[0]])
+        agg = segment_sum(msg, edges[1], n, edge_mask)
+        return agg + nn.Dense(self.out_channels, name="lin1")(x)
+
+
+class ClusterGCNConv(nn.Module):
+    """(index 15) D^-1(A + λ·diag) aggregation."""
+
+    in_channels: int
+    out_channels: int
+    diag_lambda: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        agg = segment_mean(x[edges[0]], edges[1], n, edge_mask)
+        agg = agg + self.diag_lambda * x
+        return nn.Dense(self.out_channels, name="lin")(agg)
+
+
+class GENConv(nn.Module):
+    """(index 16) softmax aggregation of relu(x_j + e) + MLP."""
+
+    in_channels: int
+    out_channels: int
+    beta: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
+        n = x.shape[0]
+        h = nn.Dense(self.out_channels, name="lin_in")(x)
+        msg = h[edges[0]]
+        if edge_attr is not None:
+            e = nn.Dense(self.out_channels, name="edge_proj")(edge_attr)
+            msg = msg + e
+        msg = jax.nn.relu(msg) + 1e-7
+        alpha = edge_softmax(msg * self.beta, edges[1], n, edge_mask)
+        agg = segment_sum(msg * alpha, edges[1], n, edge_mask)
+        z = h + agg
+        z = nn.Dense(2 * self.out_channels, name="mlp1")(z)
+        z = jax.nn.relu(z)
+        return nn.Dense(self.out_channels, name="mlp2")(z)
+
+
+class SuperGATConv(GATConv):
+    """(index 17) SuperGAT — self-supervised attention at train time; the
+    propagation rule at inference matches GATConv."""
+
+
+GRAPH_CONV_BY_INDEX = [
+    GCNConv, SAGEConv, GraphConv, GATConv, GATv2Conv, TransformerConv,
+    TAGConv, GINConv, ARMAConv, SGConv, GMMConv, FiLMConv, EdgeConv,
+    FeaStConv, LEConv, ClusterGCNConv, GENConv, SuperGATConv,
+]
+
+
+def class_needs_nn(index: int) -> bool:
+    """(ref: GraphNet.py:256-260)"""
+    return index in (7, 12)
+
+
+def needs_edge_attr(index: int) -> bool:
+    """(ref: GraphNet.py:276-277)"""
+    return index in (5, 10, 16)
+
+
+def nn_input_modifier(index: int, num_layer: int, graph_params=None) -> int:
+    """(ref: GraphNet.py:249-254)"""
+    if index == 12:
+        return 2
+    if graph_params and "heads" in graph_params and num_layer > 0 and index == 17:
+        return graph_params["heads"]
+    return 1
+
+
+def global_max_pool(x: jax.Array, batch: jax.Array, n_events: int,
+                    node_mask: Optional[jax.Array] = None) -> jax.Array:
+    return segment_max(x, batch, n_events, node_mask)
+
+
+def global_mean_pool(x: jax.Array, batch: jax.Array, n_events: int,
+                     node_mask: Optional[jax.Array] = None) -> jax.Array:
+    return segment_mean(x, batch, n_events, node_mask)

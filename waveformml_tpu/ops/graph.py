@@ -1,0 +1,206 @@
+"""Graph-construction ops: window-neighborhood edges and per-event kNN.
+
+The reference builds edges with a C kernel compiled at import
+(ref: src/custom_functions/__init__.py:5-35 + cffi.c:5-37, wrapped by
+src/utils/GraphUtils.py:7-40 window_edges) and PyG's ``knn_graph``. Here the
+native side is a C++/OpenMP shared library (csrc/window_edges.cpp) built on
+first use with g++ and loaded via ctypes, with pure-numpy fallbacks
+(ref: GraphUtils.py:44-57 get_edges) when no compiler is available.
+
+Edge conventions match the reference: window edges are symmetric (i, j)+(j, i)
+pairs in row order with optional leading self loops; kNN edges are
+(source=neighbor, target=row) pairs like PyG's default flow.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_LIB = None
+_LIB_FAILED = False
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc", "window_edges.cpp")
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native")
+
+
+def _build_library() -> Optional[str]:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    so_path = os.path.join(_CACHE_DIR, "libwindow_edges.so")
+    if os.path.exists(so_path) and \
+            os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
+        return so_path
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           _SRC, "-o", so_path]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return so_path
+    except Exception as e:
+        log.warning("native edge-kernel build failed (%s); using numpy fallback", e)
+        return None
+
+
+def _get_lib():
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    so = _build_library()
+    if so is None:
+        _LIB_FAILED = True
+        return None
+    lib = ctypes.CDLL(so)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.window_edges_count.restype = ctypes.c_int64
+    lib.window_edges_count.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                       i64p, i64p, ctypes.c_bool, i64p]
+    lib.window_edges_fill.restype = None
+    lib.window_edges_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                      i64p, i64p, ctypes.c_bool, i64p, i64p, i64p]
+    lib.knn_edges.restype = ctypes.c_int64
+    lib.knn_edges.argtypes = [ctypes.c_int64, ctypes.c_int64, f64p, f64p, i64p,
+                              ctypes.c_bool, i64p, i64p]
+    _LIB = lib
+    return _LIB
+
+
+def _ptr64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _ptrf64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def window_edges(coo: np.ndarray, batch: np.ndarray, max_dist: int = 1,
+                 self_loops: bool = True) -> np.ndarray:
+    """Edges between same-event rows within Chebyshev distance ≤ max_dist
+    (the C bound is strict ``< max_dist + 1``, ref: GraphUtils.py:30).
+
+    coo: [N, 2] int coords; batch: [N] event ids (sorted). Returns [2, E] int64.
+    """
+    x = np.ascontiguousarray(coo[:, 0], dtype=np.int64)
+    y = np.ascontiguousarray(coo[:, 1], dtype=np.int64)
+    b = np.ascontiguousarray(batch, dtype=np.int64)
+    n = x.shape[0]
+    if n == 0:
+        return np.zeros((2, 0), dtype=np.int64)
+    bound = max_dist + 1
+    lib = _get_lib()
+    if lib is None:
+        return _window_edges_numpy(x, y, b, bound, self_loops)
+    counts = np.zeros(n, dtype=np.int64)
+    total = lib.window_edges_count(bound, n, _ptr64(x), _ptr64(y), _ptr64(b),
+                                   self_loops, _ptr64(counts))
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    e1 = np.zeros(total, dtype=np.int64)
+    e2 = np.zeros(total, dtype=np.int64)
+    lib.window_edges_fill(bound, n, _ptr64(x), _ptr64(y), _ptr64(b),
+                          self_loops, _ptr64(offsets), _ptr64(e1), _ptr64(e2))
+    return np.stack([e1, e2])
+
+
+def _window_edges_numpy(x, y, b, bound, self_loops) -> np.ndarray:
+    """Vectorized fallback (quadratic within each event)."""
+    edges1, edges2 = [], []
+    n = x.shape[0]
+    starts = np.flatnonzero(np.diff(b)) + 1
+    bounds = np.concatenate([[0], starts, [n]])
+    for e in range(len(bounds) - 1):
+        lo, hi = bounds[e], bounds[e + 1]
+        for i in range(lo, hi):
+            if self_loops:
+                edges1.append(i)
+                edges2.append(i)
+            for j in range(i + 1, hi):
+                if abs(x[i] - x[j]) < bound and abs(y[i] - y[j]) < bound:
+                    edges1 += [i, j]
+                    edges2 += [j, i]
+    return np.stack([np.asarray(edges1, dtype=np.int64),
+                     np.asarray(edges2, dtype=np.int64)]) if edges1 else \
+        np.zeros((2, 0), dtype=np.int64)
+
+
+def knn_graph(pos: np.ndarray, k: int, batch: np.ndarray,
+              loop: bool = False) -> np.ndarray:
+    """Per-event k nearest neighbors; (source=neighbor, target=row) pairs
+    (PyG knn_graph flow convention). Returns [2, E] int64."""
+    n = pos.shape[0]
+    if n == 0:
+        return np.zeros((2, 0), dtype=np.int64)
+    px = np.ascontiguousarray(pos[:, 0], dtype=np.float64)
+    py = np.ascontiguousarray(pos[:, 1], dtype=np.float64)
+    b = np.ascontiguousarray(batch, dtype=np.int64)
+    lib = _get_lib()
+    if lib is None:
+        return _knn_numpy(px, py, b, k, loop)
+    cap = n * k
+    e1 = np.zeros(cap, dtype=np.int64)
+    e2 = np.zeros(cap, dtype=np.int64)
+    total = lib.knn_edges(k, n, _ptrf64(px), _ptrf64(py), _ptr64(b), loop,
+                          _ptr64(e1), _ptr64(e2))
+    return np.stack([e1[:total], e2[:total]])
+
+
+def _knn_numpy(px, py, b, k, loop) -> np.ndarray:
+    edges1, edges2 = [], []
+    n = px.shape[0]
+    starts = np.flatnonzero(np.diff(b)) + 1
+    bounds = np.concatenate([[0], starts, [n]])
+    for e in range(len(bounds) - 1):
+        lo, hi = bounds[e], bounds[e + 1]
+        p = np.stack([px[lo:hi], py[lo:hi]], axis=1)
+        d = ((p[:, None] - p[None, :]) ** 2).sum(-1)
+        if not loop:
+            np.fill_diagonal(d, np.inf)
+        kk = min(k, hi - lo - (0 if loop else 1))
+        if kk <= 0:
+            continue
+        idx = np.argsort(d, axis=1)[:, :kk]
+        for i in range(hi - lo):
+            for j in idx[i]:
+                edges1.append(lo + int(j))
+                edges2.append(lo + i)
+    return np.stack([np.asarray(edges1, dtype=np.int64),
+                     np.asarray(edges2, dtype=np.int64)]) if edges1 else \
+        np.zeros((2, 0), dtype=np.int64)
+
+
+def pad_edges(edges: np.ndarray, n_edges: int,
+              edge_attr: Optional[np.ndarray] = None):
+    """Pad an edge list to a static size with a validity mask; padded edges
+    point at node 0 and are masked out of aggregations."""
+    e = edges.shape[1]
+    assert e <= n_edges, f"{e} edges > bucket {n_edges}"
+    out = np.zeros((2, n_edges), dtype=np.int64)
+    out[:, :e] = edges
+    mask = np.zeros(n_edges, dtype=bool)
+    mask[:e] = True
+    if edge_attr is None:
+        return out, mask
+    attr = np.zeros((n_edges,) + edge_attr.shape[1:], dtype=edge_attr.dtype)
+    attr[:e] = edge_attr
+    return out, mask, attr
+
+
+def cartesian_edge_attr(pos: np.ndarray, edges: np.ndarray,
+                        local: bool = False, norm: bool = True,
+                        max_value: Optional[float] = None) -> np.ndarray:
+    """PyG Cartesian / LocalCartesian edge attributes: relative target−source
+    positions, optionally normalized to [0, 1] (ref: GraphNet.py:148-158)."""
+    rel = pos[edges[1]] - pos[edges[0]]
+    if local:
+        scale = np.abs(rel).max(axis=0, initial=1e-9)
+        return rel / (2 * scale) + 0.5
+    if norm:
+        mv = max_value if max_value is not None else np.abs(rel).max(initial=1e-9)
+        return rel / (2 * mv) + 0.5
+    return rel

@@ -99,6 +99,19 @@ def split_block_for_devices(block: FileBlock, n_devices: int) -> List[FileBlock]
 
 
 def stack_shards(shards: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    """Stack per-device prepared dicts along a new leading device axis."""
-    keys = shards[0].keys()
-    return {k: np.stack([s[k] for s in shards]) for k in keys}
+    """Stack per-device prepared dicts along a new leading device axis,
+    zero-padding each array to the max shape across shards (safe for all our
+    arrays: masks pad False, edges pad to node 0 with their mask False)."""
+    out = {}
+    for k in shards[0].keys():
+        arrs = [np.asarray(s[k]) for s in shards]
+        shapes = np.array([a.shape for a in arrs])
+        target = tuple(shapes.max(axis=0))
+        padded = []
+        for a in arrs:
+            if a.shape != target:
+                pad = [(0, t - s) for s, t in zip(a.shape, target)]
+                a = np.pad(a, pad)
+            padded.append(a)
+        out[k] = np.stack(padded)
+    return out
