@@ -8,6 +8,13 @@ workload on CPU (the reference's implemented reality is single-device
 CPU/GPU torch — SURVEY §2.11; BASELINE.md north star: ≥10× waveforms/sec/chip
 over the CPU torch baseline).
 
+Methodology: K jit train steps are dispatched back-to-back (each step's
+output state feeds the next, so the work is fully chained) and timed with a
+single host fetch of the final loss — async dispatch pipelines the tunnel
+latency away while the fetch forces completion of all K steps.
+``jax.block_until_ready`` alone does NOT synchronize through this
+environment's TPU tunnel; only a host materialization does.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
@@ -20,11 +27,11 @@ import time
 import numpy as np
 
 N_SAMPLES = 65          # waveform pair → 130 features (WaveformPairCal layout)
-N_EVENTS = 256          # events per training step
+N_EVENTS = 4096         # events per training step (JAX side)
+TORCH_EVENTS = 512      # torch-CPU baseline batch (throughput is size-stable)
 AVG_MULT = 3            # pulses per event
 N_TYPE = 2
-WARMUP_STEPS = 5
-BENCH_STEPS = 30
+SCAN_STEPS = 50
 TORCH_STEPS = 8
 
 
@@ -42,7 +49,7 @@ def _synthetic_batch(rng, n_events, n_feat):
 
 
 def bench_jax() -> float:
-    """Waveforms/sec for the jit SPMD train step on the current device."""
+    """Waveforms/sec for the jit SPMD train step, K chained dispatches."""
     import jax
     import jax.numpy as jnp
 
@@ -65,23 +72,22 @@ def bench_jax() -> float:
     step_rng = jax.random.PRNGKey(0)
 
     def one_step():
-        nonlocal db
-        (trainer.state.params, trainer.state.batch_stats,
-         trainer.state.opt_state, loss, _) = trainer._train_step_fn(
+        out = trainer._train_step_fn(
             trainer.state.params, trainer.state.batch_stats,
             trainer.state.opt_state, step_rng, db)
-        return loss
+        (trainer.state.params, trainer.state.batch_stats,
+         trainer.state.opt_state) = out[0], out[1], out[2]
+        return out[3]
 
-    for _ in range(WARMUP_STEPS):
+    for _ in range(3):
         loss = one_step()
-    jax.block_until_ready(loss)
+    float(loss)  # warmup + compile, synced
     t0 = time.perf_counter()
-    for _ in range(BENCH_STEPS):
+    for _ in range(SCAN_STEPS):
         loss = one_step()
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    waveforms = coords.shape[0] * BENCH_STEPS
-    return waveforms / dt
+    float(loss)  # host fetch forces completion of the whole chain
+    dt = (time.perf_counter() - t0) / SCAN_STEPS
+    return coords.shape[0] / dt
 
 
 def bench_torch_cpu() -> float:
@@ -92,24 +98,26 @@ def bench_torch_cpu() -> float:
     import torch.nn as nn
 
     from waveformml_tpu.detector import NX, NY
-    from waveformml_tpu.models.sparse_blocks import SparseConv2DBlock
-
     torch.set_num_threads(os.cpu_count() or 8)
     n_feat = 2 * N_SAMPLES
-    # mirror the flagship's channel schedule (version-3 SparseConv2DBlock)
-    specs = SparseConv2DBlock.schedule(n_feat, 8, 3, True, size_factor=3,
-                                       pad_factor=1.0, version=3)
+    # mirror the flagship SubM stack (SubM on the dense grid == padded Conv2d)
+    from waveformml_tpu.models.sparse_blocks import SparseConv2DForEZ
+
+    specs = SparseConv2DForEZ.schedule(n_feat, out_planes=8, kernel_size=3,
+                                       n_conv=2, n_point=1, conv_position=1,
+                                       version=2)
     convs = []
-    out_hw = [NX, NY]
+    cfinal = n_feat
     for spec in specs:
-        if spec[0] != "conv":
-            continue
-        _, cin, cout, k, s, p, d = spec
-        convs += [nn.Conv2d(cin, cout, k, s, p, d), nn.BatchNorm2d(cout), nn.ReLU()]
-        out_hw = [(out_hw[0] + 2 * p - k - (k - 1) * (d - 1)) // s + 1,
-                  (out_hw[1] + 2 * p - k - (k - 1) * (d - 1)) // s + 1]
-        cfinal = cout
-    flat = out_hw[0] * out_hw[1] * cfinal
+        if spec[0] == "subm":
+            _, cin, cout, k, pd, _key = spec
+            convs.append(nn.Conv2d(cin, cout, k, 1, pd))
+            cfinal = cout
+        elif spec[0] == "bn":
+            convs.append(nn.BatchNorm2d(spec[1]))
+        elif spec[0] == "relu":
+            convs.append(nn.ReLU())
+    flat = NX * NY * cfinal
     model = nn.Sequential(*convs)
     head = nn.Sequential(nn.Flatten(), nn.Linear(flat, 18), nn.Linear(18, N_TYPE))
     params = list(model.parameters()) + list(head.parameters())
@@ -117,8 +125,10 @@ def bench_torch_cpu() -> float:
     crit = nn.CrossEntropyLoss()
 
     rng = np.random.default_rng(0)
-    coords, feats, labels = _synthetic_batch(rng, N_EVENTS, n_feat)
-    dense = np.zeros((N_EVENTS, NX, NY, n_feat), dtype=np.float32)
+    # same per-waveform workload as the JAX side, smaller batch (CPU throughput
+    # is batch-size-stable here; per-waveform rate is what we compare)
+    coords, feats, labels = _synthetic_batch(rng, TORCH_EVENTS, n_feat)
+    dense = np.zeros((TORCH_EVENTS, NX, NY, n_feat), dtype=np.float32)
     dense[coords[:, 2], coords[:, 0], coords[:, 1]] = feats
     x = torch.from_numpy(dense).permute(0, 3, 1, 2).contiguous()
     y = torch.from_numpy(labels)
@@ -129,13 +139,12 @@ def bench_torch_cpu() -> float:
         loss.backward()
         opt.step()
 
-    for _ in range(2):
-        one_step()
+    one_step()
     t0 = time.perf_counter()
     for _ in range(TORCH_STEPS):
         one_step()
-    dt = time.perf_counter() - t0
-    return coords.shape[0] * TORCH_STEPS / dt
+    dt = (time.perf_counter() - t0) / TORCH_STEPS
+    return coords.shape[0] / dt
 
 
 def main() -> int:

@@ -142,8 +142,7 @@ class SPConvPreserveNet(nn.Module):
         hp = self.config.net_config.hparams
         params = to_dict(hp.conv_params)
         model = SparseConv2DPreserve(sc.n_samples * 2, sc.n_type, hp.n_conv, **params)
-        g = batch_to_grid(batch)
-        out = model(g, train=train)
+        out = model(batch, train=train)
         # return active-site feature rows, like spconv .features
         from waveformml_tpu.ops.sparse import gather_from_dense
         return gather_from_dense(out.features, batch)
@@ -239,8 +238,9 @@ class SingleEndedZConv(nn.Module):
             model = Pointwise2DForZ(n_in, **to_dict(net_config.hparams.point))
         else:
             raise IOError(f"unknown algorithm {algorithm}")
-        g = batch_to_grid(batch)
-        return model(g, train=train)
+        # spec nets take the SparseBatch directly: pure-SubM stacks run the
+        # row-space gather-GEMM fast path, others densify internally
+        return model(batch, train=train)
 
 
 @registry.register("SingleEndedEZConv", aliases=("SingleEndedEZConv.SingleEndedEZConv",))
@@ -266,8 +266,7 @@ class SingleEndedEZConv(nn.Module):
         out_planes = 1 if use_z else 2
         model = SparseConv2DForEZ(n_in, out_planes=out_planes,
                                   **to_dict(net_config.hparams))
-        g = batch_to_grid(batch)
-        x = model(g, train=train)  # [B, out_planes, NX, NY]
+        x = model(batch, train=train)  # [B, out_planes, NX, NY]
         if use_z:
             z = jax.lax.stop_gradient(self.z_apply(batch))
             x = jnp.concatenate([x, z], axis=1)
@@ -297,7 +296,34 @@ class ExtractedFeatureConvNet(nn.Module):
         self.linear = LinearBlock(flat, sc.n_type, hp.n_lin)
 
     def __call__(self, batch: SparseBatch, train: bool = False):
-        g = batch_to_grid(batch)
-        x = self.model(g, train=train)
+        x = self.model(batch, train=train)
+        x = x.reshape(batch.n_events, -1)
+        return self.linear(x, train=train)
+
+
+@registry.register("SubMPSDNet", aliases=("SPConvNet.SubMPSDNet",))
+class SubMPSDNet(nn.Module):
+    """Event classifier over a pure-SubM sparse stack — runs the row-space
+    gather-GEMM fast path end to end (dense materialization only of the final
+    few channels). Semantics: SparseConv2DForEZ version-2 stack (SubM convs
+    with shared indice keys, ref: SPConvBlocks.py:143-199) + flatten + linear
+    head, the SubM analog of SPConvNet's hparams generator."""
+
+    config: Any
+
+    def setup(self):
+        sc = self.config.system_config
+        hp = self.config.net_config.hparams
+        n_in = sc.n_samples * 2
+        out_planes = getattr(hp, "out_planes", 8)
+        params = to_dict(getattr(hp, "conv_params", None) or {})
+        params.setdefault("version", 2)
+        self.stack = SparseConv2DForEZ(n_in, out_planes=out_planes, **params)
+        flat = out_planes * NX * NY
+        self.n_linear = flat
+        self.linear = LinearBlock(flat, sc.n_type, getattr(hp, "n_lin", 2))
+
+    def __call__(self, batch: SparseBatch, train: bool = False):
+        x = self.stack(batch, train=train)          # [B, C, NX, NY]
         x = x.reshape(batch.n_events, -1)
         return self.linear(x, train=train)

@@ -16,6 +16,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from waveformml_tpu.models.schedules import (
     get_frame_contraction, get_frame_expansion)
@@ -53,18 +54,91 @@ def _build(specs: Sequence[Tuple], name_prefix: str = "") -> List[Any]:
     return layers
 
 
+class RowSubMConv2d(nn.Module):
+    """Row-space SubM conv (gather-GEMM fast path; see ops.row_conv).
+    Same kernel/bias shapes as the dense SubMConv2d's inner nn.Conv."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, feats, plan, mask):
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k * k, self.in_channels, self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_channels,)) if self.use_bias else None
+        from waveformml_tpu.ops.row_conv import subm_conv_rows
+
+        return subm_conv_rows(feats, plan, kernel, bias, mask)
+
+
+def _row_compatible(specs: Sequence[Tuple]) -> bool:
+    """True when every layer has a row-space equivalent (pure SubM stacks)."""
+    return all(s[0] in ("subm", "bn", "relu", "todense") for s in specs)
+
+
 class _SpecNet(nn.Module):
-    """Base: subclasses provide specs(); forward runs the built stack."""
+    """Base: subclasses provide specs(); forward runs the built stack.
+
+    Accepts a SparseGrid (dense-grid execution) or a SparseBatch: pure-SubM
+    stacks then run the row-space gather-GEMM fast path (ops.row_conv) —
+    identical numerics, ~20× less HBM traffic at large batch; stacks with
+    regular/strided convs densify first."""
 
     def specs(self) -> List[Tuple]:
         raise NotImplementedError
 
     @nn.compact
-    def __call__(self, g: SparseGrid, train: bool = False):
+    def __call__(self, g, train: bool = False):
+        from waveformml_tpu.ops.sparse import SparseBatch
+
+        specs = self.specs()
+        if isinstance(g, SparseBatch):
+            if _row_compatible(specs):
+                return self._row_forward(g, specs, train)
+            from waveformml_tpu.models.nets import batch_to_grid
+
+            g = batch_to_grid(g)
         out = g
-        for layer in _build(self.specs()):
+        for layer in _build(specs):
             out = layer(out, train=train)
         return out
+
+    def _row_forward(self, batch, specs, train: bool):
+        from waveformml_tpu.models.blocks import MaskedArrayBatchNorm
+        from waveformml_tpu.ops.row_conv import (
+            build_neighbor_plan, build_site_lookup, rows_to_dense)
+
+        lut = build_site_lookup(batch)
+        plans = {}
+        x = batch.feats
+        mask = batch.mask
+        to_dense = False
+        for i, spec in enumerate(specs):
+            nm = f"l{i}"
+            if spec[0] == "subm":
+                _, cin, cout, k, p, key = spec
+                if k not in plans:
+                    plans[k] = build_neighbor_plan(batch, k, lut)
+                x = RowSubMConv2d(cin, cout, k, name=nm)(x, plans[k], mask)
+            elif spec[0] == "bn":
+                x = MaskedArrayBatchNorm(spec[1], name=nm)(x, mask=mask, train=train)
+                x = jnp.where(mask[:, None], x, 0)
+            elif spec[0] == "relu":
+                x = jax.nn.relu(x)
+            elif spec[0] == "todense":
+                to_dense = True
+        if to_dense:
+            return rows_to_dense(x, batch)
+        from waveformml_tpu.ops.sparse import occupancy_mask, scatter_to_dense
+
+        # site-preserving stacks return a SparseGrid equivalent
+        return SparseGrid(
+            jnp.transpose(rows_to_dense(x, batch), (0, 2, 3, 1)),
+            occupancy_mask(batch))
 
 
 class SparseConv2DForEZ(_SpecNet):
@@ -533,9 +607,18 @@ class SparseConv2DPreserve(_SpecNet):
         return specs
 
     @nn.compact
-    def __call__(self, g: SparseGrid, train: bool = False):
+    def __call__(self, g, train: bool = False):
+        from waveformml_tpu.ops.sparse import SparseBatch
+
+        specs = self.specs()
+        if isinstance(g, SparseBatch):
+            if _row_compatible(specs):  # v1/v2 SubM chains
+                return self._row_forward(g, specs, train)
+            from waveformml_tpu.models.nets import batch_to_grid
+
+            g = batch_to_grid(g)
         out = g
-        for i, spec in enumerate(self.specs()):
+        for i, spec in enumerate(specs):
             nm = f"l{i}"
             if spec[0] == "conv_keyed":
                 _, cin, cout, k, s, p, d, key = spec

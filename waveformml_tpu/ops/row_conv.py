@@ -1,0 +1,89 @@
+"""Row-space submanifold convolution: gather-GEMM on active sites only.
+
+The dense-grid sparse conv (ops.sparse_conv) materializes [B, NX, NY, C]
+tensors whose occupancy is ~2% — at large batch the HBM traffic of those
+zeros dominates the step. For SubMConv stacks (output sites = input sites,
+stride 1 — the LitZ/LitEZ/SegClassifier model families and any version-1/2
+block) the TPU-native fast path works in ROW space:
+
+  1. a tiny int32 scatter builds the site→row map [B·NX·NY] (the spconv
+     "indice key" equivalent — built once per batch, shared by every layer),
+  2. per-row neighbor indices come from coordinate arithmetic + gather,
+  3. the conv is one MXU GEMM: gathered neighbor features [N, K²·C] times the
+     kernel [K²·C, C_out], masked where neighbors are absent.
+
+Per-event traffic drops ~20× vs the dense path; FLOPs drop by the occupancy
+factor. Exact same numerics as the dense SubM conv (tests assert equality).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from waveformml_tpu.detector import NX, NY
+from waveformml_tpu.ops.sparse import SparseBatch
+
+
+def build_site_lookup(batch: SparseBatch) -> jax.Array:
+    """site→row map [B·NX·NY] int32; -1 where no active row. Padding rows'
+    flat_site() is out of bounds and dropped by the scatter."""
+    n = batch.n_rows
+    size = batch.n_events * NX * NY
+    lut = jnp.full((size,), -1, jnp.int32)
+    return lut.at[batch.flat_site()].set(jnp.arange(n, dtype=jnp.int32),
+                                         mode="drop")
+
+
+def build_neighbor_plan(batch: SparseBatch, kernel_size: int,
+                        lut: Optional[jax.Array] = None) -> jax.Array:
+    """Neighbor row indices [N, K²] for a centered K×K window; -1 where the
+    neighbor site is inactive or out of bounds."""
+    k = kernel_size
+    if lut is None:
+        lut = build_site_lookup(batch)
+    half = (k - 1) // 2
+    offs = [(dx, dy) for dx in range(-half, k - half) for dy in range(-half, k - half)]
+    x, y, ev = batch.x, batch.y, batch.event
+    size = batch.n_events * NX * NY
+    rows = []
+    for dx, dy in offs:
+        nx_, ny_ = x + dx, y + dy
+        valid = (nx_ >= 0) & (nx_ < NX) & (ny_ >= 0) & (ny_ < NY) & batch.mask
+        site = ev * (NX * NY) + nx_ * NY + ny_
+        site = jnp.clip(site, 0, size - 1)
+        rows.append(jnp.where(valid, lut[site], -1))
+    return jnp.stack(rows, axis=1)               # [N, K²], -1 where absent
+
+
+def subm_conv_rows(feats: jax.Array, plan: jax.Array, kernel: jax.Array,
+                   bias: Optional[jax.Array], mask: jax.Array) -> jax.Array:
+    """Row-space SubM conv: out[r] = Σ_k feats[plan[r, k]] @ kernel[k] + bias.
+
+    feats [N, C]; plan [N, K²] (-1 absent); kernel [K², C, Cout] (flax HWIO
+    kernel reshaped); returns [N, Cout], zero at padding rows.
+    """
+    n, c = feats.shape
+    kk, _, cout = kernel.shape
+    safe = jnp.maximum(plan, 0)
+    gathered = feats[safe]                               # [N, K², C]
+    gathered = jnp.where((plan >= 0)[..., None], gathered, 0)
+    out = jax.lax.dot_general(
+        gathered.reshape(n, kk * c), kernel.reshape(kk * c, cout),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(feats.dtype)
+    if bias is not None:
+        out = out + bias
+    return jnp.where(mask[:, None], out, 0)
+
+
+def rows_to_dense(rows: jax.Array, batch: SparseBatch) -> jax.Array:
+    """Scatter final row outputs [N, C] to torch-layout dense [B, C, NX, NY]
+    (the ToDense tail — only the small final channel count pays scatter cost)."""
+    B = batch.n_events
+    c = rows.shape[-1]
+    flat = jnp.zeros((B * NX * NY, c), rows.dtype)
+    flat = flat.at[batch.flat_site()].add(
+        jnp.where(batch.mask[:, None], rows, 0), mode="drop")
+    return jnp.transpose(flat.reshape(B, NX, NY, c), (0, 3, 1, 2))
