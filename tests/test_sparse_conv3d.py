@@ -1,0 +1,200 @@
+"""3D (x, y, t) sparse conv path: rank-generic conv semantics, SCNet with
+net_type 3DConvolution, and the PulseDataset3D → SparseBatch pipeline."""
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveformml_tpu.config import Config
+from waveformml_tpu.detector import NX, NY
+from waveformml_tpu.ops.sparse import (
+    SparseBatch, occupancy_mask_3d, pad_sparse, scatter_to_dense_3d)
+from waveformml_tpu.ops.sparse_conv import (
+    SparseConv2d, SparseGrid, SubMConv2d, dilate_occupancy)
+
+T = 6
+
+
+def _grid3d(rng, B=2, C=3, density=0.05):
+    occ = rng.random((B, NX, NY, T)) < density
+    occ[:, 0, 0, 0] = True
+    feats = rng.normal(size=(B, NX, NY, T, C)).astype(np.float32)
+    feats = feats * occ[..., None]
+    return SparseGrid(jnp.array(feats), jnp.array(occ))
+
+
+def _batch3d(rng, n_events=3, n_pad=256):
+    rows, feats = [], []
+    for e in range(n_events):
+        sites = rng.choice(NX * NY, size=int(rng.integers(1, 4)), replace=False)
+        for s in sites:
+            for t in sorted(rng.choice(T, size=int(rng.integers(1, T)), replace=False)):
+                rows.append([s % NX, s // NX, int(t), e])
+                feats.append(rng.normal(size=2))
+    coords = np.asarray(rows, dtype=np.int32)
+    f = np.asarray(feats, dtype=np.float32)
+    c, f, m = pad_sparse(coords, f, n_pad)
+    return SparseBatch(jnp.array(c), jnp.array(f), jnp.array(m), n_events)
+
+
+def _brute_force_subm3d(feats, occ, kernel, bias):
+    B, H, W, D, Cin = feats.shape
+    kh, kw, kd, _, Cout = kernel.shape
+    out = np.zeros((B, H, W, D, Cout), np.float32)
+    for b in range(B):
+        for i, j, k in zip(*np.nonzero(occ[b])):
+            acc = np.zeros(Cout, np.float32)
+            for di in range(kh):
+                for dj in range(kw):
+                    for dk in range(kd):
+                        ii, jj, kk = i + di - kh // 2, j + dj - kw // 2, k + dk - kd // 2
+                        if (0 <= ii < H and 0 <= jj < W and 0 <= kk < D
+                                and occ[b, ii, jj, kk]):
+                            acc += feats[b, ii, jj, kk] @ kernel[di, dj, dk]
+            out[b, i, j, k] = acc + bias
+    return out
+
+
+def test_subm_conv3d_exact(rng):
+    g = _grid3d(rng)
+    layer = SubMConv2d(3, 5, kernel_size=3)  # rank comes from the input grid
+    variables = layer.init(jax.random.PRNGKey(0), g)
+    out = layer.apply(variables, g)
+    kernel = np.asarray(variables["params"]["conv"]["kernel"])
+    bias = np.asarray(variables["params"]["conv"]["bias"])
+    ref = _brute_force_subm3d(np.asarray(g.features), np.asarray(g.occupancy),
+                              kernel, bias)
+    np.testing.assert_allclose(np.asarray(out.features), ref, rtol=2e-4, atol=2e-5)
+    assert bool(jnp.all(out.occupancy == g.occupancy))
+
+
+def test_sparse_conv3d_occupancy_dilation(rng):
+    g = _grid3d(rng, density=0.02)
+    layer = SparseConv2d(3, 4, kernel_size=3, stride=1, padding=1)
+    variables = layer.init(jax.random.PRNGKey(1), g)
+    out = layer.apply(variables, g)
+    occ = np.asarray(g.occupancy)
+    want = np.zeros_like(occ)
+    B, H, W, D = occ.shape
+    for b in range(B):
+        for i, j, k in zip(*np.nonzero(occ[b])):
+            want[b, max(0, i - 1):i + 2, max(0, j - 1):j + 2,
+                 max(0, k - 1):k + 2] = True
+    np.testing.assert_array_equal(np.asarray(out.occupancy), want)
+    # inactive output sites carry zero features
+    inactive = ~np.asarray(out.occupancy)
+    assert np.abs(np.asarray(out.features)[inactive]).max() == 0
+
+
+def test_scatter_3d_round_trip(rng):
+    b = _batch3d(rng)
+    dense = scatter_to_dense_3d(b, T)
+    occ = occupancy_mask_3d(b, T)
+    assert dense.shape == (3, NX, NY, T, 2)
+    n_real = int(np.asarray(b.mask).sum())
+    assert int(np.asarray(occ).sum()) == n_real
+    # every real row's features land at its site
+    c = np.asarray(b.coords)[np.asarray(b.mask)]
+    f = np.asarray(b.feats)[np.asarray(b.mask)]
+    d = np.asarray(dense)
+    for row in range(n_real):
+        x, y, t, e = c[row]
+        np.testing.assert_allclose(d[e, x, y, t], f[row], rtol=1e-6)
+
+
+def test_scnet_3d_algorithm_dsl(rng):
+    from waveformml_tpu.models.nets import SCNet
+    cfg = Config({
+        "system_config": {"n_samples": T, "n_type": 3, "model_name": "m",
+                          "model_base_path": "/tmp/m"},
+        "net_config": {
+            "net_type": "3DConvolution",
+            "algorithm": [
+                "spconv.SubMConv3d", [2, 4, 3, 1, 1, 1],
+                "nn.BatchNorm1d", [4],
+                "nn.ReLU",
+                "spconv.SparseConv3d", [4, 4, 2, 2, 0, 1],
+                "spconv.ToDense",
+                "nn.Linear", [4 * (NX // 2) * (NY // 2) * (T // 2), 16],
+                "nn.ReLU",
+                "nn.Linear", [16, 3],
+            ]},
+    })
+    model = SCNet(cfg)
+    b = _batch3d(rng)
+    variables = model.init(jax.random.PRNGKey(0), b)
+    out = model.apply(variables, b)
+    assert out.shape == (3, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_pulse_dataset_3d_end_to_end(rng, tmp_path):
+    """Synthetic *Waveform3DPairSim.h5 dirs → PulseDataset3D → collate →
+    4-column SparseBatch → SCNet 3D forward."""
+    from waveformml_tpu.datasets.data_module import PSDDataModule, collate_blocks
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs_3d
+    from waveformml_tpu.models.nets import SCNet
+
+    n_samples = T
+    write_classification_dirs_3d(str(tmp_path / "data"), ["a", "b"],
+                                 n_files=2, events_per_file=6,
+                                 n_samples=n_samples, seed=1)
+    cfg = Config({
+        "run_config": {"exp_name": "e", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "m3d", "n_samples": n_samples,
+                          "n_type": 2, "type_names": ["a", "b"],
+                          "model_base_path": str(tmp_path / "model"),
+                          "half_precision": 0},
+        "net_config": {"net_type": "3DConvolution", "criterion_class": "CrossEntropyLoss",
+                       "criterion_params": [], "imports": [],
+                       "net_class": "SCNet",
+                       "algorithm": [
+                           "spconv.SubMConv3d", [2, 4, 3, 1, 1, 1],
+                           "nn.ReLU",
+                           "spconv.ToDense",
+                           "nn.Linear", [4 * NX * NY * n_samples, 8],
+                           "nn.ReLU",
+                           "nn.Linear", [8, 2],
+                       ]},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [],
+                           "base_path": str(tmp_path / "data"),
+                           "paths": ["a", "b"],
+                           "dataset_class": "PulseDataset3D",
+                           "dataset_params": {}, "n_train": 8, "n_validate": 4,
+                           "dataloader_params": {"batch_size": 2, "num_workers": 0}},
+    })
+    dm = PSDDataModule(cfg)
+    dm.gen_train_dataset()
+    block = next(iter(dm.train_dataloader()))
+    assert block.coords.shape[1] == 4
+    assert block.coords[:, 3].max() >= 0
+
+    from waveformml_tpu.engineering.tasks import LitPSD
+    task = LitPSD(cfg)
+    db = task.prepare_block(block, task.row_bucket(block), task.event_bucket(block))
+    db = {k: jnp.asarray(v) for k, v in db.items()}
+    batch = task.sparse_batch(db)
+    assert batch.coords.shape[1] == 4
+    variables = task.model.init(jax.random.PRNGKey(0), batch)
+    out = task.model.apply(variables, batch)
+    assert out.shape == (batch.n_events, 2)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_rank2_unaffected(rng):
+    """The rank-generalized classes still match the 2D brute force."""
+    occ = rng.random((2, NX, NY)) < 0.15
+    occ[:, 0, 0] = True
+    feats = (rng.normal(size=(2, NX, NY, 3)) * occ[..., None]).astype(np.float32)
+    g = SparseGrid(jnp.array(feats), jnp.array(occ))
+    out_occ = dilate_occupancy(g.occupancy, 3, 1, 1, 1)
+    want = np.zeros_like(occ)
+    for b in range(2):
+        for i, j in zip(*np.nonzero(occ[b])):
+            want[b, max(0, i - 1):i + 2, max(0, j - 1):j + 2] = True
+    np.testing.assert_array_equal(np.asarray(out_occ), want)

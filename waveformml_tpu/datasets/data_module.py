@@ -37,7 +37,7 @@ def collate_blocks(blocks: Sequence[FileBlock]) -> FileBlock:
         for i, b in enumerate(blocks):
             c = b.coords.copy()
             if c.ndim == 2:
-                c[:, 2] += offset
+                c[:, -1] += offset
             offset += b.labels.shape[0]
             coords_list.append(c)
         extras = {}
@@ -51,7 +51,7 @@ def collate_blocks(blocks: Sequence[FileBlock]) -> FileBlock:
         )
     if merged.coords.ndim == 2:
         c = merged.coords.copy()
-        c[:, 2] = consecutive_event_index(c[:, 2])
+        c[:, -1] = consecutive_event_index(c[:, -1])
         merged = FileBlock(c, merged.feats, merged.labels, merged.extras)
     return merged
 

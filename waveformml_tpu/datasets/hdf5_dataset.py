@@ -271,7 +271,7 @@ class HDF5Dataset:
         lo_ev, hi_ev = di["event_range"]
         if not self.info["event_based"]:
             return lo_ev, hi_ev + 1
-        ev = coords if coords.ndim == 1 else coords[:, 2]
+        ev = coords if coords.ndim == 1 else coords[:, -1]
         first = int(np.searchsorted(ev, lo_ev, side="left")) if lo_ev > 0 else 0
         if hi_ev + 1 < di["n_events"]:
             last = int(np.searchsorted(ev, hi_ev, side="right"))

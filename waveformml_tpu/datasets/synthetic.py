@@ -111,6 +111,60 @@ def write_classification_dirs(base: str, type_names: Sequence[str],
     return out
 
 
+def write_waveform_3d_pair_sim(path: str, n_events: int, n_samples: int,
+                               kind: int = 0, seed: int = 0,
+                               threshold: float = 30.0) -> None:
+    """Write a *Waveform3DPairSim.h5 file (table "Waveform3DPairs",
+    coord[4]=(x, y, t, event) + waveform[2]) for PulseDataset3D: each active
+    segment contributes one row per time sample where either PMT clears the
+    noise threshold — sparse in space AND time."""
+    from waveformml_tpu.io.compound_types import Waveform3DPair
+
+    rng = np.random.default_rng(seed)
+    ev = make_events(rng, n_events, n_samples, kind)
+    coords2d = ev["coords"]                       # [P, 3] (x, y, event)
+    wf = ev["waveforms"].reshape(-1, 2, n_samples)  # [P, 2, S]
+    rows_c, rows_w = [], []
+    for p in range(coords2d.shape[0]):
+        keep = np.flatnonzero(wf[p].max(axis=0) > threshold)
+        if keep.size == 0:
+            keep = np.array([int(wf[p].max(axis=0).argmax())])
+        x, y, e = coords2d[p]
+        c = np.empty((keep.size, 4), np.int32)
+        c[:, 0], c[:, 1], c[:, 2], c[:, 3] = x, y, keep, e
+        rows_c.append(c)
+        rows_w.append(wf[p, :, keep])             # [T_keep, 2]
+    coords = np.concatenate(rows_c)
+    waves = np.concatenate(rows_w).astype(np.float32)
+    order = np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0], coords[:, 3]))
+    coords, waves = coords[order], waves[order]
+    t = Waveform3DPair()
+    rec = np.zeros(coords.shape[0], dtype=t.type)
+    rec["coord"] = coords
+    rec["waveform"] = waves
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as h5:
+        h5.create_dataset(t.NAME, data=rec)
+        h5[t.NAME].attrs.create("nevents", np.array([float(n_events)]))
+
+
+def write_classification_dirs_3d(base: str, type_names: Sequence[str],
+                                 n_files: int, events_per_file: int,
+                                 n_samples: int, seed: int = 0) -> Dict[str, str]:
+    """Directory-per-class layout of *Waveform3DPairSim.h5 files for
+    net_type 3DConvolution runs."""
+    out = {}
+    for k, name in enumerate(type_names):
+        d = os.path.join(base, name)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_files):
+            p = os.path.join(d, f"{name}_{i:05d}_Waveform3DPairSim.h5")
+            write_waveform_3d_pair_sim(p, events_per_file, n_samples, kind=k,
+                                       seed=seed + 1000 * k + i)
+        out[name] = d
+    return out
+
+
 def write_wfpair_cal(path: str, n_events: int, seed: int = 0,
                      file_tag: str = "WFPairSim") -> None:
     """Write a *WFPairSim.h5 / *WFCalFilteredSE.h5-style WaveformPairCal table."""

@@ -70,7 +70,7 @@ class TaskBase:
 
     def event_bucket(self, block: FileBlock) -> int:
         if block.coords.ndim == 2 and block.coords.shape[0]:
-            return bucket_size(int(block.coords[:, 2].max()) + 1,
+            return bucket_size(int(block.coords[:, -1].max()) + 1,
                                buckets=(16, 32, 64, 128, 256, 512, 1024, 2048,
                                         4096, 8192, 16384, 32768))
         return bucket_size(max(1, block.labels.shape[0]),
@@ -131,7 +131,7 @@ class TaskBase:
         coords = block.coords
         n = coords.shape[0]
         pos = coords[:, :2].astype(np.float64)
-        batch_col = coords[:, 2].astype(np.int64)
+        batch_col = coords[:, -1].astype(np.int64)
         seen = set()
         for req in self.model.edge_requirements():
             if req[0] == "knn":

@@ -64,7 +64,7 @@ class InferenceModel:
         per-row outputs to the true row count.
         """
         n = coords.shape[0]
-        n_events = int(coords[:, 2].max()) + 1 if n else 0
+        n_events = int(coords[:, -1].max()) + 1 if n else 0
         row_bucket = bucket_size(max(1, n))
         event_bucket = bucket_size(max(1, n_events),
                                    buckets=(16, 32, 64, 128, 256, 512, 1024,

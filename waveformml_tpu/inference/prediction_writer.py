@@ -110,7 +110,7 @@ class PredictionWriter(P2XTableWriter):
             coords = data["coord"].copy()
             from waveformml_tpu.ops.sparse import consecutive_event_index
 
-            coords[:, 2] = consecutive_event_index(coords[:, 2])
+            coords[:, -1] = consecutive_event_index(coords[:, -1])
             vals = np.asarray(data["pulse"], dtype=np.float32)
         return coords, vals
 

@@ -73,6 +73,19 @@ class DetPulseCoord(H5CompoundType):
     EVENT_INDEX_COORD = 2
 
 
+class Waveform3DPair(H5CompoundType):
+    """Per-(segment, sample) 3D pulse rows consumed by PulseDataset3D
+    (ref: PulseDataset.py:585-625 — table "Waveform3DPairs", coord with the
+    event index at column 3, 2-PMT samples per row; the schema itself is not
+    shipped with the reference, so this declares the minimal contract the
+    dataset reads: coord[4]=(x, y, t, event) i32 + waveform[2] f32)."""
+
+    NAME = "Waveform3DPairs"
+    FIELDS = [("coord", np.int32, 4), ("waveform", np.float32, 2)]
+    EVENT_INDEX_NAME = "coord"
+    EVENT_INDEX_COORD = 3
+
+
 class WaveformPairNorm(H5CompoundType):
     """Normalized waveform pair records (ref: H5CompoundTypes.py:66-85)."""
 
@@ -182,5 +195,6 @@ def extension_type_map(path: str) -> H5CompoundType:
 
 ALL_TYPES: Dict[str, type] = {
     c.NAME: c
-    for c in (DetPulseCoord, WaveformPairNorm, WaveformNorm, WaveformPairCal, PhysPulse, Waveform)
+    for c in (DetPulseCoord, Waveform3DPair, WaveformPairNorm, WaveformNorm,
+              WaveformPairCal, PhysPulse, Waveform)
 }

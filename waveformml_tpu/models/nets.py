@@ -43,6 +43,16 @@ def batch_to_grid(batch: SparseBatch, feats=None) -> SparseGrid:
     return SparseGrid(dense, occ)
 
 
+def batch_to_grid_3d(batch: SparseBatch, n_t: int, feats=None) -> SparseGrid:
+    """4-column SparseBatch → [B, NX, NY, T, C] SparseGrid for 3DConvolution
+    nets (ref: SCNet.py:58-60 spatial_size [14, 11, nsamples])."""
+    from waveformml_tpu.ops.sparse import occupancy_mask_3d, scatter_to_dense_3d
+
+    dense = scatter_to_dense_3d(batch, n_t, feats)
+    occ = occupancy_mask_3d(batch, n_t)
+    return SparseGrid(dense, occ)
+
+
 def _apply_waveform_layer(layers: Sequence[Any], feats, n_samples: int, train: bool):
     """Run the leading nn.Conv1d stack per waveform pair: [N, 2S] is reshaped
     to [N, S, 2] (2 channels of S samples — ref: SCNet.py:69-72 reshapes to
@@ -157,6 +167,13 @@ class SCNet(nn.Module):
     def setup(self):
         net_config = self.config.net_config
         self.nsamples = self.config.system_config.n_samples
+        net_type = getattr(net_config, "net_type", "2DConvolution")
+        if net_type == "3DConvolution":
+            self._ndim = 3
+        else:
+            if net_type != "2DConvolution":
+                log.warning("unknown net_type in net_config: %s", net_type)
+            self._ndim = 2
         wf, sparse, linear = split_algorithm(net_config.algorithm)
         self._has_wf = bool(wf)
         if wf:
@@ -171,10 +188,16 @@ class SCNet(nn.Module):
         if self._has_wf:
             feats = _apply_waveform_layer(self.waveform_layers, feats,
                                           self.nsamples, train)
-        g = batch_to_grid(batch, feats)
+        if self._ndim == 3:
+            # grid [B, 14, 11, T, C] with T = n_samples (ref SCNet.py:58-60)
+            g = batch_to_grid_3d(batch, self.nsamples, feats)
+        else:
+            g = batch_to_grid(batch, feats)
         x = self.sparse_model(g, train=train)
         if isinstance(x, SparseGrid):
-            x = jnp.transpose(x.masked(), (0, 3, 1, 2))
+            m = x.masked()
+            # torch channels-first flatten order, any rank
+            x = jnp.transpose(m, (0, m.ndim - 1) + tuple(range(1, m.ndim - 1)))
         x = x.reshape(batch.n_events, -1)
         for layer in self.linear_layers:
             x = layer(x, train=train)

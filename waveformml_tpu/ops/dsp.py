@@ -526,7 +526,7 @@ def average_pulse(coords: np.ndarray, pulses: np.ndarray, gains: np.ndarray,
 
     x = coords[:, 0].astype(np.int64)
     y = coords[:, 1].astype(np.int64)
-    ev = coords[:, 2].astype(np.int64)
+    ev = coords[:, -1].astype(np.int64)
     corrected = pulses.astype(np.float64).copy()
     corrected[:, :n_samples] *= gains[x, y, 0][:, None]
     corrected[:, n_samples:] *= gains[x, y, 1][:, None]
@@ -581,7 +581,7 @@ def weighted_average_quantities(coords: np.ndarray, quantities: np.ndarray,
     out_quantities [F,B], out_mult [B]).
     """
     F = quantities.shape[0]
-    ev = coords[:, 2].astype(np.int64)
+    ev = coords[:, -1].astype(np.int64)
     out_q = np.zeros((F, n_events))
     out_c = np.zeros((n_events, 2))
     out_m = np.zeros(n_events, dtype=np.int64)

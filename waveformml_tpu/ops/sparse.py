@@ -35,7 +35,9 @@ from waveformml_tpu.detector import NX, NY
 class SparseBatch:
     """A padded batch of sparse detector pulses.
 
-    coords: [N, 3] int32 — (x, y, event_index); padding rows have coords 0
+    coords: [N, 3] int32 — (x, y, event_index), or [N, 4] (x, y, t, event)
+            for 3D nets (ref PulseDataset3D batch_index=3, PulseDataset.py:585-625);
+            the event index is always the LAST column. Padding rows have coords 0.
     feats:  [N, F] float — per-site features (waveform samples or phys features)
     mask:   [N] bool — True for real rows, False for padding
     n_events: static int — number of events B in the batch
@@ -55,8 +57,14 @@ class SparseBatch:
         return self.coords[:, 1]
 
     @property
-    def event(self) -> jax.Array:
+    def t(self) -> jax.Array:
+        """Time-sample coordinate (3D batches only: coords [N, 4])."""
+        assert self.coords.shape[1] == 4, "t requires 4-column (3D) coords"
         return self.coords[:, 2]
+
+    @property
+    def event(self) -> jax.Array:
+        return self.coords[:, -1]
 
     @property
     def n_rows(self) -> int:
@@ -71,6 +79,12 @@ class SparseBatch:
         rows are pushed to an out-of-range slot handled by scatter 'drop' mode."""
         idx = (self.event * (NX * NY) + self.x * NY + self.y).astype(jnp.int32)
         return jnp.where(self.mask, idx, self.n_events * NX * NY)
+
+    def flat_site_3d(self, n_t: int) -> jax.Array:
+        """Flattened (event, x, y, t) index into a [B*NX*NY*T] dense grid."""
+        idx = (self.event * (NX * NY * n_t) + self.x * (NY * n_t)
+               + self.y * n_t + self.t).astype(jnp.int32)
+        return jnp.where(self.mask, idx, self.n_events * NX * NY * n_t)
 
 
 def bucket_size(n: int, buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)) -> int:
@@ -131,6 +145,27 @@ def occupancy_mask(batch: SparseBatch) -> jax.Array:
     return flat.reshape(B, NX, NY)
 
 
+def scatter_to_dense_3d(batch: SparseBatch, n_t: int,
+                        feats: Optional[jax.Array] = None) -> jax.Array:
+    """Scatter a 3D (x, y, t) sparse batch onto [B, NX, NY, T, F] — the
+    spconv.SparseConvTensor equivalent for net_type 3DConvolution
+    (ref: SPConvNet.py:47-49 spatial_size [14, 11, n_samples])."""
+    f = batch.feats if feats is None else feats
+    B = batch.n_events
+    flat = jnp.zeros((B * NX * NY * n_t, f.shape[-1]), dtype=f.dtype)
+    flat = flat.at[batch.flat_site_3d(n_t)].add(
+        jnp.where(batch.mask[:, None], f, 0), mode="drop")
+    return flat.reshape(B, NX, NY, n_t, f.shape[-1])
+
+
+def occupancy_mask_3d(batch: SparseBatch, n_t: int) -> jax.Array:
+    """Dense 3D occupancy: [B, NX, NY, T] bool."""
+    B = batch.n_events
+    flat = jnp.zeros((B * NX * NY * n_t,), dtype=jnp.bool_)
+    flat = flat.at[batch.flat_site_3d(n_t)].set(True, mode="drop")
+    return flat.reshape(B, NX, NY, n_t)
+
+
 def gather_from_dense(dense: jax.Array, batch: SparseBatch) -> jax.Array:
     """Gather dense [B, NX, NY, F] values back at the batch's sparse sites →
     [N, F]; padding rows read site 0 of event 0 but are masked to zero."""
@@ -179,7 +214,7 @@ def swap_sparse_from_dense(sparse_out: np.ndarray, dense: np.ndarray,
     column in coordinate order, in place. The dense batch index is the count of
     *distinct consecutive* event ids, not the raw event number
     (ref: SparseUtils.py:1459-1475)."""
-    b = consecutive_event_index(coords[:, 2])
+    b = consecutive_event_index(coords[:, -1])
     x = coords[:, 0].astype(np.int64)
     y = coords[:, 1].astype(np.int64)
     sparse_out[:] = dense[b, x, y]
@@ -189,7 +224,7 @@ def swap_sparse_from_event(sparse_out: np.ndarray, per_event: np.ndarray,
                            coords: np.ndarray) -> None:
     """Broadcast per-event values onto every pulse row of that event, with the
     same consecutive-event renumbering (ref: SparseUtils.py:1477-1501)."""
-    sparse_out[:] = per_event[consecutive_event_index(coords[:, 2])]
+    sparse_out[:] = per_event[consecutive_event_index(coords[:, -1])]
 
 
 def gen_multiplicity_list(event_col: np.ndarray) -> np.ndarray:
@@ -203,7 +238,7 @@ def gen_multiplicity_list(event_col: np.ndarray) -> np.ndarray:
 def retrieve_n_SE(coords: np.ndarray, seg_status: np.ndarray) -> np.ndarray:
     """Per-ROW count of single-ended segments in the row's event
     (ref: SparseUtils.py:1518-1537)."""
-    dense = consecutive_event_index(coords[:, 2])
+    dense = consecutive_event_index(coords[:, -1])
     is_se = (seg_status[coords[:, 0].astype(np.int64),
                         coords[:, 1].astype(np.int64)] == 0.5).astype(np.int64)
     counts = np.bincount(dense, weights=is_se).astype(np.int64) if dense.size else np.zeros(0, np.int64)
@@ -234,5 +269,5 @@ def normalize_waveforms(coords: np.ndarray, waveforms: np.ndarray,
     out = np.empty((n, two_s), dtype=np.float32)
     out[:, :s] = waveforms[:, :s] * gain_factors[x, y, 0][:, None]
     out[:, s:] = waveforms[:, s:] * gain_factors[x, y, 1][:, None]
-    coords[:, 2] = consecutive_event_index(coords[:, 2])
+    coords[:, -1] = consecutive_event_index(coords[:, -1])
     return out

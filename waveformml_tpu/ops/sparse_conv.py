@@ -39,11 +39,20 @@ def _pair(v) -> Tuple[int, int]:
     return (int(v), int(v))
 
 
+def _ntuple(v, n: int) -> Tuple[int, ...]:
+    if isinstance(v, (list, tuple)):
+        assert len(v) == n, f"expected {n}-tuple, got {v}"
+        return tuple(int(x) for x in v)
+    return (int(v),) * n
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SparseGrid:
-    """Dense-layout sparse tensor: features [B, H, W, C] (zeros off-mask),
-    occupancy [B, H, W] bool, and saved occupancies per indice_key."""
+    """Dense-layout sparse tensor: features [B, *spatial, C] (zeros off-mask,
+    2 or 3 spatial dims), occupancy [B, *spatial] bool, and saved occupancies
+    per indice_key. The conv layers below derive their rank from the input,
+    so the same classes serve 2DConvolution and 3DConvolution nets."""
 
     features: jax.Array
     occupancy: jax.Array
@@ -54,8 +63,12 @@ class SparseGrid:
         return self.features.shape[0]
 
     @property
-    def spatial_shape(self) -> Tuple[int, int]:
-        return self.features.shape[1:3]
+    def spatial_shape(self) -> Tuple[int, ...]:
+        return self.features.shape[1:-1]
+
+    @property
+    def ndim_spatial(self) -> int:
+        return self.features.ndim - 2
 
     @property
     def n_features(self) -> int:
@@ -74,16 +87,25 @@ class SparseGrid:
         return self.features * self.occupancy[..., None].astype(self.features.dtype)
 
 
+def _conv_dims(nd: int):
+    """(lhs, rhs, out) dimension-number strings for nd spatial dims."""
+    sp = "DHW"[-nd:] if nd <= 3 else None
+    assert sp, f"unsupported conv rank {nd}"
+    return (f"N{sp}C", f"{sp}IO", f"N{sp}C")
+
+
 def dilate_occupancy(occ: jax.Array, kernel_size, stride, padding, dilation) -> jax.Array:
     """Occupancy evolution of a regular sparse conv: output site active iff its
-    receptive window contains ≥1 active input site."""
-    k, s, p, d = _pair(kernel_size), _pair(stride), _pair(padding), _pair(dilation)
+    receptive window contains ≥1 active input site. Rank comes from occ."""
+    nd = occ.ndim - 1
+    k, s, p, d = (_ntuple(kernel_size, nd), _ntuple(stride, nd),
+                  _ntuple(padding, nd), _ntuple(dilation, nd))
     x = occ[..., None].astype(jnp.float32)
-    ones = jnp.ones((k[0], k[1], 1, 1), jnp.float32)
+    ones = jnp.ones(k + (1, 1), jnp.float32)
     y = jax.lax.conv_general_dilated(
         x, ones, window_strides=s,
-        padding=[(p[0], p[0]), (p[1], p[1])], rhs_dilation=d,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        padding=[(pi, pi) for pi in p], rhs_dilation=d,
+        dimension_numbers=_conv_dims(nd))
     return y[..., 0] > 0.5
 
 
@@ -102,11 +124,12 @@ class SubMConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
-        k, d = _pair(self.kernel_size), _pair(self.dilation)
+        nd = g.ndim_spatial
+        k, d = _ntuple(self.kernel_size, nd), _ntuple(self.dilation, nd)
         # SubM keeps spatial size: pad to same (spconv pads (k-1)//2 implicitly)
-        p = (((k[0] - 1) * d[0]) // 2, ((k[1] - 1) * d[1]) // 2)
-        y = nn.Conv(self.out_channels, k, strides=(1, 1),
-                    padding=[(p[0], p[0]), (p[1], p[1])], kernel_dilation=d,
+        p = tuple(((ki - 1) * di) // 2 for ki, di in zip(k, d))
+        y = nn.Conv(self.out_channels, k, strides=(1,) * nd,
+                    padding=[(pi, pi) for pi in p], kernel_dilation=d,
                     use_bias=self.use_bias, dtype=g.features.dtype,
                     name="conv")(g.masked())
         y = y * g.occupancy[..., None].astype(y.dtype)
@@ -127,10 +150,11 @@ class SparseConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
-        k, s, p, d = (_pair(self.kernel_size), _pair(self.stride),
-                      _pair(self.padding), _pair(self.dilation))
+        nd = g.ndim_spatial
+        k, s, p, d = (_ntuple(self.kernel_size, nd), _ntuple(self.stride, nd),
+                      _ntuple(self.padding, nd), _ntuple(self.dilation, nd))
         y = nn.Conv(self.out_channels, k, strides=s,
-                    padding=[(p[0], p[0]), (p[1], p[1])], kernel_dilation=d,
+                    padding=[(pi, pi) for pi in p], kernel_dilation=d,
                     use_bias=self.use_bias, dtype=g.features.dtype,
                     name="conv")(g.masked())
         new_occ = dilate_occupancy(g.occupancy, k, s, p, d)
@@ -159,16 +183,19 @@ class SparseInverseConv2d(nn.Module):
             raise ValueError(f"indice_key '{self.indice_key}' not found; "
                              f"have {list(g.indice_occ)}")
         prev_occ = g.indice_occ[self.indice_key]
-        k, s, p = _pair(self.kernel_size), _pair(self.stride), _pair(self.padding)
+        nd = g.ndim_spatial
+        k, s, p = (_ntuple(self.kernel_size, nd), _ntuple(self.stride, nd),
+                   _ntuple(self.padding, nd))
         y = nn.ConvTranspose(self.out_channels, k, strides=s,
-                             padding=[(p[0], p[0]), (p[1], p[1])],
+                             padding=[(pi, pi) for pi in p],
                              use_bias=self.use_bias, dtype=g.features.dtype,
                              name="conv")(g.masked())
         # crop/pad to the saved occupancy's spatial shape
-        th, tw = prev_occ.shape[1:3]
-        y = y[:, :th, :tw, :]
-        if y.shape[1] < th or y.shape[2] < tw:
-            y = jnp.pad(y, ((0, 0), (0, th - y.shape[1]), (0, tw - y.shape[2]), (0, 0)))
+        target = prev_occ.shape[1:]
+        y = y[(slice(None),) + tuple(slice(0, t) for t in target)]
+        if any(y.shape[1 + i] < target[i] for i in range(nd)):
+            pads = [(0, 0)] + [(0, target[i] - y.shape[1 + i]) for i in range(nd)] + [(0, 0)]
+            y = jnp.pad(y, pads)
         y = y * prev_occ[..., None].astype(y.dtype)
         return SparseGrid(y, prev_occ, dict(g.indice_occ))
 
@@ -195,8 +222,9 @@ class MaskedBatchNorm(nn.Module):
             from waveformml_tpu.nn.bn import get_bn_axis
 
             axis = get_bn_axis()
+            red_axes = tuple(range(x.ndim - 1))
             count = jnp.sum(mask)
-            xsum = jnp.sum(x * mask, axis=(0, 1, 2))
+            xsum = jnp.sum(x * mask, axis=red_axes)
             if axis is not None:
                 # sync statistics across data-parallel shards (single-GPU
                 # reference parity: BN sees the whole global batch)
@@ -204,7 +232,7 @@ class MaskedBatchNorm(nn.Module):
                 xsum = jax.lax.psum(xsum, axis)
             count = jnp.maximum(count, 1.0)
             mean = xsum / count
-            vsum = jnp.sum(((x - mean) ** 2) * mask, axis=(0, 1, 2))
+            vsum = jnp.sum(((x - mean) ** 2) * mask, axis=red_axes)
             if axis is not None:
                 vsum = jax.lax.psum(vsum, axis)
             var = vsum / count
@@ -236,11 +264,12 @@ class SparseActivation(nn.Module):
 
 
 class ToDense(nn.Module):
-    """spconv.ToDense equivalent: SparseGrid → dense [B, C, H, W] (torch
+    """spconv.ToDense equivalent: SparseGrid → dense [B, C, *spatial] (torch
     layout, matching the reference models' flatten ordering expectations)."""
 
     def __call__(self, g: SparseGrid, train: bool = False) -> jax.Array:
-        return jnp.transpose(g.masked(), (0, 3, 1, 2))
+        x = g.masked()
+        return jnp.transpose(x, (0, x.ndim - 1) + tuple(range(1, x.ndim - 1)))
 
 
 class SparseSequential(nn.Module):
@@ -261,6 +290,13 @@ registry.register("spconv.SubMConv2d", SubMConv2d, aliases=("SubMConv2d",))
 registry.register("spconv.SparseConv2d", SparseConv2d, aliases=("SparseConv2d",))
 registry.register("spconv.SparseInverseConv2d", SparseInverseConv2d,
                   aliases=("SparseInverseConv2d",))
+# rank is derived from the input grid, so the 3d DSL names (ModelValidation.py
+# ref :26-31 lists spconv.SparseConv3d/SubMConv3d/SparseConvTranspose3d)
+# resolve to the same rank-generic classes
+registry.register("spconv.SubMConv3d", SubMConv2d, aliases=("SubMConv3d",))
+registry.register("spconv.SparseConv3d", SparseConv2d, aliases=("SparseConv3d",))
+registry.register("spconv.SparseInverseConv3d", SparseInverseConv2d,
+                  aliases=("SparseInverseConv3d",))
 registry.register("spconv.ToDense", ToDense,
                   aliases=("ToDense", "sparseconvnet.SparseToDense"))
 registry.register("spconv.SparseSequential", SparseSequential,

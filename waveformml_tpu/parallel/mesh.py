@@ -60,7 +60,7 @@ def split_block_for_devices(block: FileBlock, n_devices: int) -> List[FileBlock]
     if n_devices == 1:
         return [block]
     if block.coords.ndim == 2:
-        ev = block.coords[:, 2]
+        ev = block.coords[:, -1]
         n_events = int(ev[-1]) + 1 if len(ev) else 0
         # balanced split: first (n % D) devices get one extra event, so no
         # device is left empty (empty shards would skew pmean'd BN statistics)
