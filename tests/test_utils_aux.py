@@ -1,0 +1,153 @@
+"""Aux utilities: SimpleProfiler, HistCollator, GraphDataset cache,
+AnalyzeWaveforms script."""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_simple_profiler_summary(tmp_path):
+    from waveformml_tpu.utils.profiler import SimpleProfiler
+
+    p = SimpleProfiler()
+    for _ in range(3):
+        with p.profile("run_training_step"):
+            time.sleep(0.01)
+    with p.profile("get_train_batch"):
+        time.sleep(0.005)
+    rows = dict((r[0], r) for r in p.rows())
+    assert rows["run_training_step"][1] == 3
+    assert rows["run_training_step"][2] >= 0.03
+    out = tmp_path / "profile_results.txt"
+    p.describe(str(out))
+    text = out.read_text()
+    assert "Profiler Report" in text
+    assert "run_training_step" in text and "get_train_batch" in text
+
+
+def test_trainer_writes_profile_results(tmp_path, rng):
+    """--profiler through the Trainer drops profile_results.txt in the log dir."""
+    from waveformml_tpu.config import Config, validate_config
+    from waveformml_tpu.datasets.data_module import PSDDataModule
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.utils.tb import TBLogger
+
+    write_classification_dirs(str(tmp_path / "data"), ["a", "b"], n_files=2,
+                              events_per_file=6, n_samples=8, seed=3)
+    cfg = Config({
+        "run_config": {"exp_name": "p", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "prof", "n_samples": 8, "n_type": 2,
+                          "type_names": ["a", "b"],
+                          "model_base_path": str(tmp_path / "model"),
+                          "half_precision": 0},
+        "net_config": {"net_type": "2DConvolution", "net_class": "DenseConvNet",
+                       "criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [],
+                       "hparams": {"n_conv": 1, "n_lin": 1, "out_planes": 2,
+                                   "conv_params": {"size_factor": 3,
+                                                   "pad_factor": 1.0}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.05, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [],
+                           "base_path": str(tmp_path / "data"),
+                           "paths": ["a", "b"], "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 6, "n_validate": 6,
+                           "dataloader_params": {"batch_size": 1, "num_workers": 0}},
+    })
+    validate_config(cfg)
+    task = LitPSD(cfg)
+    logger = TBLogger(str(tmp_path / "logs"))
+    trainer = Trainer(cfg, task, logger=logger, profiler=True, seed=0)
+    trainer.fit(PSDDataModule(cfg))
+    path = os.path.join(logger.log_dir, "profile_results.txt")
+    assert os.path.exists(path)
+    text = open(path).read()
+    assert "run_training_step" in text and "evaluation_step" in text
+
+
+def test_hist_collator():
+    from waveformml_tpu.utils.hist import Hist2DCollator, HistCollator
+
+    h = HistCollator(bins=10, range=(0.0, 1.0))
+    h.add(np.array([0.05, 0.15, 0.15, 0.95]))
+    assert h.counts.sum() == 4
+    assert h.counts[1] == 2
+    h2 = HistCollator(bins=10, range=(0.0, 1.0))
+    h2.add(np.array([0.05]))
+    h.merge(h2)
+    assert h.counts[0] == 2
+    assert h.normalized().sum() == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        h.add_histogram(np.zeros(5))
+
+    h2d = Hist2DCollator(bins=(4, 4), range=((0, 1), (0, 1)))
+    h2d.add(np.array([0.1, 0.9]), np.array([0.1, 0.9]))
+    assert h2d.counts.sum() == 2
+    assert h2d.counts[0, 0] == 1 and h2d.counts[3, 3] == 1
+
+
+def test_graph_dataset_cache(tmp_path, rng):
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.datasets.graph_dataset import GraphDataset
+    from waveformml_tpu.datasets.pulse_dataset import PulseDataset2D
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+
+    write_classification_dirs(str(tmp_path / "data"), ["A"], n_files=2,
+                              events_per_file=8, n_samples=8, seed=7)
+    cfg = Config({
+        "system_config": {"model_name": "m", "model_base_path": str(tmp_path / "model"),
+                          "n_samples": 8, "type_names": ["A"]},
+        "dataset_config": {"base_path": str(tmp_path / "data"),
+                           "paths": ["A"], "dataset_params": {}},
+    })
+    ds = PulseDataset2D(cfg, "train", 16)
+    g = GraphDataset(ds, edge_specs=[("knn", 3, False), ("window", 1, True)])
+    assert len(g) == len(ds.get_file_list())
+    assert all(os.path.exists(p) for p in g.processed_file_names)
+    block = g[0]
+    raw = ds[0]
+    np.testing.assert_array_equal(block.coords, raw.coords)
+    np.testing.assert_allclose(block.feats, raw.feats)
+    assert "edges_knn3" in block.extras and "edge_mask_knn3" in block.extras
+    assert "edges_w1" in block.extras
+    e = block.extras["edges_knn3"]
+    m = block.extras["edge_mask_knn3"]
+    assert e.shape[0] == 2 and m.dtype == bool
+    # cache hit: second construction must not re-process (mtimes unchanged)
+    mtimes = [os.path.getmtime(p) for p in g.processed_file_names]
+    g2 = GraphDataset(ds, edge_specs=[("knn", 3, False)])
+    assert [os.path.getmtime(p) for p in g2.processed_file_names] == mtimes
+    # PyG-compatible surface
+    assert g.len() == len(g)
+    np.testing.assert_array_equal(g.get(0).coords, block.coords)
+
+
+def test_analyze_waveforms_script(tmp_path):
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+
+    write_classification_dirs(str(tmp_path / "data"), ["A", "B"], n_files=2,
+                              events_per_file=8, n_samples=40, seed=11)
+    out = tmp_path / "analysis"
+    env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "AnalyzeWaveforms.py"),
+         str(tmp_path / "data" / "A"), str(tmp_path / "data" / "B"),
+         "-o", str(out)],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr
+    z = np.load(out / "average_waveforms.npz")
+    assert "A_mean" in z and "B_mean" in z and z["A_mean"].shape == (80,)
+    feats = json.load(open(out / "waveform_features.json"))
+    assert feats["A"]["n"] > 0 and 0 <= feats["A"]["psd"] <= 1
+    # classes differ in tail fraction → PSD must separate them
+    assert feats["B"]["psd"] > feats["A"]["psd"]
+    assert (out / "average_waveforms.png").exists()

@@ -98,6 +98,9 @@ class Trainer:
         self.best_val_loss = math.inf
         self.best_ckpt_path: Optional[str] = None
         self.last_val_arrays: Dict[str, np.ndarray] = {}
+        # per-section wall-clock profile → profile_results.txt (ref main.py:182-187)
+        from waveformml_tpu.utils.profiler import SimpleProfiler
+        self.simple_profiler = SimpleProfiler() if profiler else None
         self.last_test_arrays: Dict[str, np.ndarray] = {}
         self._train_step_fn = None
         self._eval_step_fn = None
@@ -327,6 +330,10 @@ class Trainer:
         finally:
             if ctx is not None:
                 jax.profiler.stop_trace()
+            if self.simple_profiler and self.logger:
+                path = os.path.join(self.logger.log_dir, "profile_results.txt")
+                self.simple_profiler.describe(path)
+                log.info("wrote profiler summary to %s", path)
         for cb in self.callbacks:
             if hasattr(cb, "on_train_end"):
                 cb.on_train_end(self)
@@ -350,18 +357,31 @@ class Trainer:
         n_batches = self._limit(loader, self.limit_train_batches)
         total_loss, count = 0.0, 0
         agg: Dict[str, Any] = {}
-        for i, block in enumerate(loader):
-            if i >= n_batches:
+        prof = self.simple_profiler
+        it = iter(loader)
+        for i in range(n_batches):
+            if prof:
+                prof.start("get_train_batch")
+            try:
+                block = next(it)
+            except StopIteration:
                 break
+            finally:
+                if prof:
+                    prof.stop("get_train_batch")
             db = self._device_batch(block)
             db = {k: jnp.asarray(v) for k, v in db.items()}
             self.rng, step_rng = jax.random.split(self.rng)
             t0 = time.time()
+            if prof:
+                prof.start("run_training_step")
             (self.state.params, self.state.batch_stats, self.state.opt_state,
              loss, metrics) = self._train_step_fn(
                 self.state.params, self.state.batch_stats, self.state.opt_state,
                 step_rng, db)
             loss = float(loss)
+            if prof:
+                prof.stop("run_training_step")
             self._step_times.append(time.time() - t0)
             total_loss += loss
             count += 1
@@ -383,9 +403,14 @@ class Trainer:
                 break
             db = self._device_batch(block)
             dbj = {k: jnp.asarray(v) for k, v in db.items()}
+            if self.simple_profiler:
+                self.simple_profiler.start("evaluation_step")
             ls, w, metrics, test_out = self._eval_step_fn(
                 self.state.params, self.state.batch_stats, dbj)
-            loss_sum += float(ls)
+            ls = float(ls)
+            if self.simple_profiler:
+                self.simple_profiler.stop("evaluation_step")
+            loss_sum += ls
             weight += float(w)
             _accumulate(agg, metrics)
             if collect is not None:
