@@ -109,6 +109,11 @@ class TaskBase:
         f = db["feats"]
         if self.occlude_index is not None:
             f = f.at[:, self.occlude_index].set(0)
+        if not self.needs_float:
+            # half_precision → bf16 compute (TPU-native mixed precision: the
+            # conv stack runs bf16 on the MXU with fp32 accumulation and fp32
+            # master params; the reference's PL precision=16 equivalent)
+            f = f.astype(jnp.bfloat16)
         return f
 
     def model_inputs(self, db: Dict[str, jnp.ndarray]):
@@ -160,14 +165,23 @@ class TaskBase:
 
     def apply_model(self, variables, db: Dict[str, jnp.ndarray], train: bool,
                     rngs: Optional[Dict] = None):
-        """Run the model; returns (outputs, mutated batch_stats or None)."""
+        """Run the model; returns (outputs, mutated batch_stats or None).
+        Outputs are upcast to fp32 so losses/metrics/evaluators always run in
+        full precision regardless of the bf16 compute path."""
         inputs = self.model_inputs(db)
         if train:
             outputs, updates = self.model.apply(
                 variables, inputs, train=True, rngs=rngs or {},
                 mutable=["batch_stats"])
-            return outputs, updates.get("batch_stats")
-        return self.model.apply(variables, inputs, train=False), None
+            return self._f32(outputs), updates.get("batch_stats")
+        return self._f32(self.model.apply(variables, inputs, train=False)), None
+
+    @staticmethod
+    def _f32(outputs):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+            outputs)
 
     def loss_and_metrics(self, outputs, db: Dict[str, jnp.ndarray]
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
