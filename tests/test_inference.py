@@ -173,3 +173,60 @@ def test_combine_data_cli(tmp_path):
     assert rc == 0
     combined = [f for f in os.listdir(out_dir) if f.startswith("Combined_")]
     assert combined
+
+
+def test_single_ended_ez_with_frozen_z(z_model_setup, rng):
+    """net_config z_weights + z_config → LitEZ composes a frozen pretrained Z
+    model: out_planes 1 + concatenated stop-gradient z channel
+    (ref: SingleEndedEZConv.py:23-64)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu.engineering.tasks import LitEZ
+    from waveformml_tpu.ops.sparse import SparseBatch, pad_sparse
+
+    tmp, config_path, ckpt, _ = z_model_setup
+    cfg = Config({
+        "run_config": {"exp_name": "ez", "run_class": "LitEZ", "imports": []},
+        "system_config": {"model_name": "ez", "n_samples": 65, "n_type": 2,
+                          "type_names": ["a"], "model_base_path": str(tmp / "model_ez"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_type": "2DConvolution",
+                       "net_class": "SingleEndedEZConv",
+                       "algorithm": "conv",
+                       "z_weights": ckpt, "z_config": config_path,
+                       "hparams": {"kernel_size": 3, "n_conv": 1, "n_point": 1,
+                                   "conv_position": 1, "version": 1}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPairEZ",
+                           "dataset_params": {}, "n_train": 8, "n_validate": 4},
+    })
+    task = LitEZ(cfg)
+    assert task.model.z_apply is not None
+    coords = np.array([[1, 1, 0], [3, 4, 0], [5, 5, 1]], np.int32)
+    feats = rng.random((3, 130)).astype(np.float32)
+    c, f, m = pad_sparse(coords, feats, 16)
+    batch = SparseBatch(*(np.asarray(x) for x in (c, f, m)), 2)
+    variables = task.model.init(jax.random.PRNGKey(0), batch)
+    out = task.model.apply(variables, batch)
+    assert out.shape == (2, 2, 14, 11)  # E channel + frozen z channel
+
+    # the z channel equals the frozen z model's own output (stop-gradded)
+    from waveformml_tpu.config import load_config
+    from waveformml_tpu.inference.model import InferenceModel
+    inf = InferenceModel(load_config(config_path), ckpt)
+    z_direct = inf.task.model.apply(inf.variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(out[:, 1:2]), np.asarray(z_direct),
+                               rtol=1e-6)
+
+    # gradients don't flow into the frozen branch: E-model grads finite
+    def loss_fn(p):
+        o = task.model.apply({**variables, "params": p}, batch)
+        return jnp.sum(o ** 2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(g))

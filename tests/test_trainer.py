@@ -138,3 +138,45 @@ def test_lr_finder(psd_setup):
     dm = PSDDataModule(cfg)
     lr = trainer.lr_find(dm, num_steps=12)
     assert lr > 0
+
+
+def test_borrowed_event_bucket_binds_correctly(tmp_path):
+    """LitEZ/LitSegClassifier/LitSegQuantifier borrow LitZ.prepare_block and
+    event_bucket by assignment; zero-arg super() inside those methods used to
+    mis-bind (TypeError: obj must be an instance or subtype) when called on
+    the borrowing class. Regression for the trainer._device_batch path."""
+    import numpy as np
+
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import (LitEZ, LitSegClassifier,
+                                                  LitSegQuantifier, LitZ)
+
+    cfg = Config({
+        "run_config": {"exp_name": "e", "run_class": "LitEZ", "imports": []},
+        "system_config": {"model_name": "m", "n_samples": 8, "n_type": 2,
+                          "type_names": ["a"], "model_base_path": str(tmp_path),
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_type": "2DConvolution",
+                       "algorithm": "conv",
+                       "hparams": {"kernel_size": 3, "n_conv": 1, "n_point": 1,
+                                   "conv_position": 1, "version": 1}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPairEZ",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    coords = np.array([[1, 1, 0], [2, 2, 1], [3, 3, 2]], np.int32)
+    feats = np.zeros((3, 16), np.float32)
+    for cls, labels in ((LitZ, np.zeros(3, np.float32)),
+                        (LitEZ, np.zeros((3, 2), np.float32)),
+                        (LitSegClassifier, np.zeros(3, np.int64)),
+                        (LitSegQuantifier, np.zeros((3, 2), np.float32))):
+        task = cls(cfg)
+        block = FileBlock(coords, feats, labels, {})
+        assert task.event_bucket(block) >= 3
+        db = task.prepare_block(block, 8, task.event_bucket(block))
+        assert db["coords"].shape[0] == 8

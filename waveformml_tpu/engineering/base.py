@@ -56,8 +56,38 @@ class TaskBase:
     def _build_model(self):
         if hasattr(self.config.net_config, "net_class"):
             cls = registry.retrieve_class(self.config.net_config.net_class)
-            return cls(self.config)
+            kwargs = {}
+            z_apply = self._build_frozen_z()
+            if z_apply is not None:
+                kwargs["z_apply"] = z_apply
+            return cls(self.config, **kwargs)
         return None
+
+    def _build_frozen_z(self):
+        """Load a frozen pretrained Z model when net_config carries
+        z_weights + z_config (ref: SingleEndedEZConv.py:23-31 loads a LitZ
+        checkpoint and freezes it); returns apply(batch) -> [B, 1, NX, NY]
+        with restored parameters closed over (gradients stopped by the
+        consuming module)."""
+        nc = self.config.net_config
+        if not hasattr(nc, "z_weights"):
+            return None
+        if not hasattr(nc, "z_config"):
+            raise ValueError(
+                "if specifying z_weights, you must also specify z_config")
+        from waveformml_tpu.config import load_config
+        from waveformml_tpu.inference.model import InferenceModel
+
+        z_cfg = load_config(nc.z_config)
+        self.log.info("Using Z model from %s", nc.z_weights)
+        inf = InferenceModel(z_cfg, nc.z_weights)
+
+        def z_apply(batch):
+            # pure flax apply over the restored (frozen) variables — traces
+            # inside the training jit; the consumer stop-gradients the output
+            return inf.task.model.apply(inf.variables, batch, train=False)
+
+        return z_apply
 
     def init_variables(self, rng, device_batch: Dict[str, jnp.ndarray]):
         """Initialize flax variables from one (unstacked) prepared batch."""

@@ -241,13 +241,15 @@ class LitZ(TaskBase):
         return ZEvaluatorWF(logger, calgroup=calgroup, **eval_params)
 
     def _build_model(self):
+        # explicit base call: these methods are shared by assignment into
+        # sibling tasks (LitEZ etc.), where zero-arg super() would mis-bind
         if hasattr(self.config.net_config, "net_class"):
-            return super()._build_model()
+            return TaskBase._build_model(self)
         return None
 
     def event_bucket(self, block: FileBlock) -> int:
         if block.coords.ndim == 2 and block.coords.shape[0]:
-            return super().event_bucket(block)
+            return TaskBase.event_bucket(self, block)
         return bucket_size(max(1, block.labels.shape[0]))
 
     def prepare_block(self, block, row_bucket, event_bucket):

@@ -65,6 +65,18 @@ def _apply_waveform_layer(layers: Sequence[Any], feats, n_samples: int, train: b
     return x.transpose(0, 2, 1).reshape(n, -1)
 
 
+@registry.register("BasicNetwork", aliases=("BasicNetwork.BasicNetwork",))
+class BasicNetwork(nn.Module):
+    """Trivial config-holding base model (ref: BasicNetwork.py:1-15) — kept so
+    configs/imports naming it resolve; forwards features unchanged."""
+
+    config: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        return batch.feats if isinstance(batch, SparseBatch) else batch
+
+
 @registry.register("SPConvNet", aliases=("SPConvNet.SPConvNet",))
 class SPConvNet(nn.Module):
     """Sparse-conv event classifier (ref: SPConvNet.py:28-157): optional TCN

@@ -93,3 +93,33 @@ def find_tfevents(log_dir: str) -> List[str]:
     for root, _, files in os.walk(log_dir):
         out.extend(os.path.join(root, f) for f in files if "tfevents" in f)
     return sorted(out)
+
+
+def run_evaluation(log_folder: str, config, ckpt: str,
+                   calgroup: Optional[str] = None) -> Dict[str, float]:
+    """Programmatic test-run against an existing log dir + checkpoint
+    (ref: TensorBoardUtils.py:43-62 run_evaluation): optional calgroup
+    override, logger into the checkpoint's version dir, restore, test."""
+    from waveformml_tpu.config import load_config
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.registry import retrieve_class
+
+    if isinstance(config, str):
+        config = load_config(config)
+    if calgroup:
+        if hasattr(config.dataset_config, "calgroup"):
+            import logging
+            logging.getLogger(__name__).warning(
+                "overriding calgroup %s with user supplied calgroup %s",
+                config.dataset_config.calgroup, calgroup)
+        config.dataset_config["calgroup"] = calgroup
+    logger = TBLogger(log_folder)
+    task_cls = retrieve_class(config.run_config.run_class)
+    task = task_cls(config)
+    trainer = Trainer(config, task, logger=logger)
+    from main import choose_data_module
+    data_module = choose_data_module(config)
+    data_module.setup("test")
+    first = next(iter(data_module.test_dataloader()))
+    trainer.load_checkpoint(ckpt, sample_block=first)
+    return trainer.test(data_module)
