@@ -152,3 +152,130 @@ def test_submpsdnet_trains(rng, tmp_path):
          trainer.state.opt_state) = out[0], out[1], out[2]
         losses.append(float(out[3]))
     assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+
+
+def test_folded_site_linear_matches_dense_flatten(rng):
+    """FoldedSiteLinear == Dense over flatten(rows_to_dense(...)) exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu.detector import NX, NY
+    from waveformml_tpu.models.blocks import FoldedSiteLinear
+    from waveformml_tpu.ops.row_conv import rows_to_dense
+    from waveformml_tpu.ops.sparse import SparseBatch, pad_sparse
+
+    n_events, C, F = 5, 6, 7
+    rows = []
+    for e in range(n_events):
+        for s in rng.choice(NX * NY, size=int(rng.integers(1, 4)), replace=False):
+            rows.append([s % NX, s // NX, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], C)).astype(np.float32)
+    c, f, m = pad_sparse(coords, feats, 32)
+    b = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), n_events)
+
+    layer = FoldedSiteLinear(C, F)
+    variables = layer.init(jax.random.PRNGKey(0), b.feats, b)
+    out = layer.apply(variables, b.feats, b)
+
+    dense = rows_to_dense(b.feats, b).reshape(n_events, -1)  # [B, C*NX*NY]
+    ref = dense @ variables["params"]["kernel"] + variables["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_submpsdnet_folded_head_matches_dense_head(rng):
+    """SubMPSDNet (folded head) == stack→rows_to_dense→flatten→same weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.detector import NX, NY
+    from waveformml_tpu.models.nets import SubMPSDNet
+    from waveformml_tpu.ops.row_conv import rows_to_dense
+    from waveformml_tpu.ops.sparse import SparseBatch, pad_sparse
+
+    cfg = Config({
+        "system_config": {"n_samples": 8, "n_type": 3, "model_name": "m",
+                          "model_base_path": "/tmp/m"},
+        "net_config": {"hparams": {"out_planes": 4, "n_lin": 2,
+                                   "conv_params": {"kernel_size": 3, "n_conv": 1,
+                                                   "n_point": 1,
+                                                   "conv_position": 1,
+                                                   "version": 2}}},
+    })
+    model = SubMPSDNet(cfg)
+    rows = []
+    for e in range(4):
+        for s in rng.choice(NX * NY, size=2, replace=False):
+            rows.append([s % NX, s // NX, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], 16)).astype(np.float32)
+    c, f, m = pad_sparse(coords, feats, 32)
+    b = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), 4)
+    variables = model.init(jax.random.PRNGKey(1), b)
+    out = model.apply(variables, b)
+    assert out.shape == (4, 3)
+
+    # reference: run the stack to rows, dense-scatter, flatten, apply the
+    # SAME head parameters as plain matmuls
+    rows_out = model.apply(variables, b, method=lambda mdl, bb: mdl.stack(
+        bb, train=False, return_rows=True))
+    dense = rows_to_dense(rows_out, b).reshape(4, -1)
+    p = variables["params"]
+    x = dense @ p["head0"]["kernel"] + p["head0"]["bias"]
+    x = x @ p["linear"]["dense_0"]["kernel"] + p["linear"]["dense_0"]["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_subm_conv_rows_custom_vjp_matches_autodiff(rng):
+    """The gather-based custom VJP equals autodiff of the plain gather-GEMM
+    (which XLA differentiates with a scatter-add)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu.detector import NX, NY
+    from waveformml_tpu.ops.row_conv import (_gather_gemm, build_neighbor_plan,
+                                             subm_conv_rows)
+    from waveformml_tpu.ops.sparse import SparseBatch, pad_sparse
+
+    n_events, C, Cout, K = 6, 5, 4, 3
+    rows = []
+    for e in range(n_events):
+        for s in rng.choice(NX * NY, size=int(rng.integers(2, 6)), replace=False):
+            rows.append([s % NX, s // NX, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], C)).astype(np.float32)
+    c, f, m = pad_sparse(coords, feats, 64)
+    b = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), n_events)
+    plan = build_neighbor_plan(b, K)
+    kernel = jnp.asarray(rng.normal(size=(K * K, C, Cout)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(Cout,)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(b.n_rows, Cout)).astype(np.float32))
+
+    def plain(feats, kernel, bias):
+        out = _gather_gemm(feats, plan, kernel) + bias
+        return jnp.where(b.mask[:, None], out, 0)
+
+    def custom(feats, kernel, bias):
+        return subm_conv_rows(feats, plan, kernel, bias, b.mask)
+
+    np.testing.assert_allclose(np.asarray(custom(b.feats, kernel, bias)),
+                               np.asarray(plain(b.feats, kernel, bias)),
+                               rtol=1e-6)
+    loss_p = lambda *a: jnp.sum(plain(*a) * cot)
+    loss_c = lambda *a: jnp.sum(custom(*a) * cot)
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(b.feats, kernel, bias)
+    gc = jax.grad(loss_c, argnums=(0, 1, 2))(b.feats, kernel, bias)
+    for a, bb, name in zip(gp, gc, ("feats", "kernel", "bias")):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+    # no-bias path
+    g1 = jax.grad(lambda f: jnp.sum(subm_conv_rows(f, plan, kernel, None,
+                                                   b.mask) * cot))(b.feats)
+    g2 = jax.grad(lambda f: jnp.sum(jnp.where(
+        b.mask[:, None], _gather_gemm(f, plan, kernel), 0) * cot))(b.feats)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-5)

@@ -104,6 +104,42 @@ class LinearBlock(nn.Module):
         return x
 
 
+class FoldedSiteLinear(nn.Module):
+    """First linear layer over a flattened dense grid, computed in ROW space.
+
+    ``Linear(flatten([B, C, NX, NY]))`` with zeros at inactive sites equals a
+    per-row contraction against the weight columns of each row's site plus a
+    segment-sum over events — a small gather + einsum + scatter-add instead of
+    materializing the [B, C·NX·NY] dense tensor (the scatter there is the
+    single most expensive op of the flagship step on TPU). Weight layout
+    matches torch (C, H, W) flatten order: column index = c·(NX·NY) + x·NY + y,
+    so the parameters are interchangeable with an ``nn.Dense(features)`` over
+    the flattened dense grid.
+    """
+
+    cin: int
+    features: int
+
+    @nn.compact
+    def __call__(self, rows, batch) -> jax.Array:
+        from waveformml_tpu.detector import NX, NY
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.cin * NX * NY, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        k = kernel.astype(rows.dtype).reshape(self.cin, NX * NY, self.features)
+        site = (batch.x * NY + batch.y).astype(jnp.int32)
+        kg = k[:, site, :]                                   # [C, N, F] gather
+        rowlog = jnp.einsum("nc,cnf->nf",
+                            jnp.where(batch.mask[:, None], rows, 0), kg)
+        ev = jnp.where(batch.mask, batch.event, batch.n_events)
+        out = jnp.zeros((batch.n_events + 1, self.features), rows.dtype)
+        out = out.at[ev].add(rowlog, mode="drop")[: batch.n_events]
+        return out + bias.astype(rows.dtype)
+
+
 class PointwiseReducer(nn.Module):
     """1×1-conv plane reduction with ReLU (ref: ConvBlocks.py:65-77)."""
 

@@ -347,18 +347,32 @@ class SubMPSDNet(nn.Module):
     config: Any
 
     def setup(self):
+        from math import pow as fpow
+
+        from waveformml_tpu.models.blocks import FoldedSiteLinear
+
         sc = self.config.system_config
         hp = self.config.net_config.hparams
         n_in = sc.n_samples * 2
         out_planes = getattr(hp, "out_planes", 8)
+        self._out_planes = out_planes
         params = to_dict(getattr(hp, "conv_params", None) or {})
         params.setdefault("version", 2)
         self.stack = SparseConv2DForEZ(n_in, out_planes=out_planes, **params)
         flat = out_planes * NX * NY
         self.n_linear = flat
-        self.linear = LinearBlock(flat, sc.n_type, getattr(hp, "n_lin", 2))
+        n_lin = getattr(hp, "n_lin", 2)
+        # the first linear layer over flatten([B, C, NX, NY]) is folded into
+        # row space (no dense scatter); plane schedule mirrors LinearBlock
+        factor = fpow(float(sc.n_type) / flat, 1.0 / n_lin)
+        planes = [int(round(flat * fpow(factor, i + 1))) for i in range(n_lin)]
+        self.head0 = FoldedSiteLinear(out_planes, planes[0])
+        self.linear = (LinearBlock(planes[0], sc.n_type, n_lin - 1)
+                       if n_lin > 1 else None)
 
     def __call__(self, batch: SparseBatch, train: bool = False):
-        x = self.stack(batch, train=train)          # [B, C, NX, NY]
-        x = x.reshape(batch.n_events, -1)
-        return self.linear(x, train=train)
+        rows = self.stack(batch, train=train, return_rows=True)   # [N, C]
+        x = self.head0(rows, batch)                                # [B, h1]
+        if self.linear is not None:
+            x = self.linear(x, train=train)
+        return x

@@ -92,22 +92,35 @@ class _SpecNet(nn.Module):
         raise NotImplementedError
 
     @nn.compact
-    def __call__(self, g, train: bool = False):
-        from waveformml_tpu.ops.sparse import SparseBatch
+    def __call__(self, g, train: bool = False, return_rows: bool = False):
+        """return_rows=True yields the active-site feature rows [N, C] instead
+        of the dense [B, C, NX, NY] tail — callers that fold the first linear
+        layer over sites (SubMPSDNet) skip the dense scatter entirely."""
+        from waveformml_tpu.ops.sparse import SparseBatch, gather_from_dense
 
         specs = self.specs()
         if isinstance(g, SparseBatch):
             if _row_compatible(specs):
-                return self._row_forward(g, specs, train)
+                return self._row_forward(g, specs, train,
+                                         return_rows=return_rows)
             from waveformml_tpu.models.nets import batch_to_grid
 
+            if return_rows:
+                batch = g
+                out = batch_to_grid(g)
+                for layer in _build(specs):
+                    out = layer(out, train=train)
+                dense = out if not isinstance(out, SparseGrid) else \
+                    jnp.transpose(out.masked(), (0, 3, 1, 2))
+                return gather_from_dense(jnp.transpose(dense, (0, 2, 3, 1)),
+                                         batch)
             g = batch_to_grid(g)
         out = g
         for layer in _build(specs):
             out = layer(out, train=train)
         return out
 
-    def _row_forward(self, batch, specs, train: bool):
+    def _row_forward(self, batch, specs, train: bool, return_rows: bool = False):
         from waveformml_tpu.models.blocks import MaskedArrayBatchNorm
         from waveformml_tpu.ops.row_conv import (
             build_neighbor_plan, build_site_lookup, rows_to_dense)
@@ -131,6 +144,8 @@ class _SpecNet(nn.Module):
                 x = jax.nn.relu(x)
             elif spec[0] == "todense":
                 to_dense = True
+        if return_rows:
+            return jnp.where(mask[:, None], x, 0)
         if to_dense:
             return rows_to_dense(x, batch)
         from waveformml_tpu.ops.sparse import occupancy_mask, scatter_to_dense

@@ -57,25 +57,64 @@ def build_neighbor_plan(batch: SparseBatch, kernel_size: int,
     return jnp.stack(rows, axis=1)               # [N, K²], -1 where absent
 
 
+def _gather_gemm(feats: jax.Array, plan: jax.Array, kernel: jax.Array) -> jax.Array:
+    n, c = feats.shape
+    kk, _, cout = kernel.shape
+    safe = jnp.maximum(plan, 0)
+    gathered = feats[safe]                               # [N, K², C]
+    gathered = jnp.where((plan >= 0)[..., None], gathered, 0)
+    return jax.lax.dot_general(
+        gathered.reshape(n, kk * c), kernel.reshape(kk * c, cout),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(feats.dtype)
+
+
+@jax.custom_vjp
 def subm_conv_rows(feats: jax.Array, plan: jax.Array, kernel: jax.Array,
                    bias: Optional[jax.Array], mask: jax.Array) -> jax.Array:
     """Row-space SubM conv: out[r] = Σ_k feats[plan[r, k]] @ kernel[k] + bias.
 
     feats [N, C]; plan [N, K²] (-1 absent); kernel [K², C, Cout] (flax HWIO
     kernel reshaped); returns [N, Cout], zero at padding rows.
+
+    Custom VJP: the centered full-window offset set is symmetric
+    (site_s = site_r + o_k ⟺ site_r = site_s + o_{K²-1-k}), so the
+    input-gradient is itself a row conv with the k-reversed plan and
+    transposed kernel — a GATHER-GEMM instead of the scatter-add XLA would
+    otherwise emit (TPU scatters are the most expensive op in the step).
     """
-    n, c = feats.shape
-    kk, _, cout = kernel.shape
-    safe = jnp.maximum(plan, 0)
-    gathered = feats[safe]                               # [N, K², C]
-    gathered = jnp.where((plan >= 0)[..., None], gathered, 0)
-    out = jax.lax.dot_general(
-        gathered.reshape(n, kk * c), kernel.reshape(kk * c, cout),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(feats.dtype)
+    out = _gather_gemm(feats, plan, kernel)
     if bias is not None:
         out = out + bias
     return jnp.where(mask[:, None], out, 0)
+
+
+def _subm_fwd(feats, plan, kernel, bias, mask):
+    return subm_conv_rows(feats, plan, kernel, bias, mask), \
+        (feats, plan, kernel, bias is not None, mask)
+
+
+def _subm_bwd(res, g):
+    feats, plan, kernel, has_bias, mask = res
+    g = jnp.where(mask[:, None], g, 0).astype(feats.dtype)
+    # d feats: reverse the window (k → K²-1-k), transpose Cin/Cout
+    kernel_t = jnp.flip(kernel, axis=0).transpose(0, 2, 1)   # [K², Cout, C]
+    d_feats = _gather_gemm(g, plan, kernel_t)
+    d_feats = jnp.where(mask[:, None], d_feats, 0)
+    # d kernel: same forward gather contracted against g
+    n, c = feats.shape
+    kk = plan.shape[1]
+    safe = jnp.maximum(plan, 0)
+    gathered = jnp.where((plan >= 0)[..., None], feats[safe], 0)  # [N, K², C]
+    d_kernel = jax.lax.dot_general(
+        gathered.reshape(n, kk * c), g,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(kk, c, -1).astype(kernel.dtype)
+    d_bias = jnp.sum(g, axis=0).astype(kernel.dtype) if has_bias else None
+    return d_feats, None, d_kernel, d_bias, None
+
+
+subm_conv_rows.defvjp(_subm_fwd, _subm_bwd)
 
 
 def rows_to_dense(rows: jax.Array, batch: SparseBatch) -> jax.Array:
