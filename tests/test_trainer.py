@@ -180,3 +180,21 @@ def test_borrowed_event_bucket_binds_correctly(tmp_path):
         assert task.event_bucket(block) >= 3
         db = task.prepare_block(block, 8, task.event_bucket(block))
         assert db["coords"].shape[0] == 8
+
+
+def test_steps_per_dispatch_matches_single(psd_setup):
+    """K-step multi-dispatch training is numerically identical to single-step
+    dispatch given the same data order (the sub-step RNG folding differs only
+    in dropout keys — these models have none)."""
+    from waveformml_tpu.datasets.data_module import PSDDataModule
+    from waveformml_tpu.engineering.trainer import Trainer
+
+    _, cfg = psd_setup
+    results = {}
+    for k in (1, 3):
+        task = LitPSD(cfg)
+        trainer = Trainer(cfg, task, seed=0, max_epochs=2, steps_per_dispatch=k)
+        metrics = trainer.fit(PSDDataModule(cfg))
+        results[k] = metrics["val_loss"]
+    # k=3 exercises both the multi-dispatch path and the ragged-tail flush
+    assert np.isclose(results[1], results[3], rtol=1e-5), results

@@ -68,6 +68,7 @@ class Trainer:
                  terminate_on_nan: bool = True,
                  profiler: bool = False,
                  early_stopping_patience: int = 5,
+                 steps_per_dispatch: int = 1,
                  seed: int = 0):
         self.config = config
         self.task = task
@@ -85,6 +86,8 @@ class Trainer:
         self.overfit_batches = overfit_batches
         self.terminate_on_nan = terminate_on_nan
         self.profiler = profiler
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        self._multi_step_fn = None
         self.rng = jax.random.PRNGKey(seed)
         self.state: Optional[TrainState] = None
         self.scheduler = wopt.build_scheduler(
@@ -173,6 +176,27 @@ class Trainer:
 
         self._train_step_fn = jax.jit(smap_train, donate_argnums=(0, 1, 2))
         self._eval_step_fn = jax.jit(smap_eval)
+
+        K = self.steps_per_dispatch
+        if K > 1:
+            # K chained steps per dispatch: amortizes the fixed host→device
+            # dispatch latency (~2 ms through the TPU tunnel) across K steps.
+            # Python unroll, not lax.scan — scan of the step is pathologically
+            # slow to execute through the remote-compile path here.
+            def multi_step(params, batch_stats, opt_state, rng, dbs):
+                losses, metrics_list = [], []
+                for i in range(K):
+                    db = jax.tree.map(lambda x: x[i], dbs)
+                    params, batch_stats, opt_state, loss, metrics = smap_train(
+                        params, batch_stats, opt_state,
+                        jax.random.fold_in(rng, i), db)
+                    losses.append(loss)
+                    metrics_list.append(metrics)
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *metrics_list)
+                return (params, batch_stats, opt_state, jnp.stack(losses),
+                        stacked)
+
+            self._multi_step_fn = jax.jit(multi_step, donate_argnums=(0, 1, 2))
 
     # -- batch preparation ------------------------------------------------------------
 
@@ -359,18 +383,11 @@ class Trainer:
         agg: Dict[str, Any] = {}
         prof = self.simple_profiler
         it = iter(loader)
-        for i in range(n_batches):
-            if prof:
-                prof.start("get_train_batch")
-            try:
-                block = next(it)
-            except StopIteration:
-                break
-            finally:
-                if prof:
-                    prof.stop("get_train_batch")
-            db = self._device_batch(block)
-            db = {k: jnp.asarray(v) for k, v in db.items()}
+        pending: List[Dict[str, np.ndarray]] = []  # host batches awaiting dispatch
+
+        def run_single(db_host):
+            nonlocal total_loss, count
+            db = {k: jnp.asarray(v) for k, v in db_host.items()}
             self.rng, step_rng = jax.random.split(self.rng)
             t0 = time.time()
             if prof:
@@ -387,6 +404,61 @@ class Trainer:
             count += 1
             self.state.step += 1
             _accumulate(agg, metrics)
+
+        def run_multi(dbs_host):
+            nonlocal total_loss, count
+            K = len(dbs_host)
+            stacked = {k: jnp.asarray(np.stack([d[k] for d in dbs_host]))
+                       for k in dbs_host[0]}
+            self.rng, step_rng = jax.random.split(self.rng)
+            t0 = time.time()
+            if prof:
+                prof.start("run_training_step")
+            (self.state.params, self.state.batch_stats, self.state.opt_state,
+             losses, metrics) = self._multi_step_fn(
+                self.state.params, self.state.batch_stats, self.state.opt_state,
+                step_rng, stacked)
+            losses = np.asarray(losses)
+            if prof:
+                prof.stop("run_training_step")
+            self._step_times.append((time.time() - t0) / K)
+            total_loss += float(losses.sum())
+            count += K
+            self.state.step += K
+            for i in range(K):
+                _accumulate(agg, jax.tree.map(lambda m: m[i], metrics))
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == self.steps_per_dispatch:
+                run_multi(list(pending))
+            else:  # ragged tail or shape change: single-step dispatches
+                for d in pending:
+                    run_single(d)
+            pending.clear()
+
+        for i in range(n_batches):
+            if prof:
+                prof.start("get_train_batch")
+            try:
+                block = next(it)
+            except StopIteration:
+                break
+            finally:
+                if prof:
+                    prof.stop("get_train_batch")
+            db_host = self._device_batch(block)
+            if self.steps_per_dispatch <= 1 or self._multi_step_fn is None:
+                run_single(db_host)
+                continue
+            if pending and any(pending[0][k].shape != v.shape
+                               for k, v in db_host.items()):
+                flush()  # bucket change: don't mix shapes in one dispatch
+            pending.append(db_host)
+            if len(pending) == self.steps_per_dispatch:
+                flush()
+        flush()
         out = {"train_loss": total_loss / max(count, 1)}
         out.update(_finalize(agg, prefix="train_"))
         return out
