@@ -58,9 +58,11 @@ def main(argv=None) -> int:
     first = next(iter(data_module.test_dataloader()))
     trainer.load_checkpoint(args.checkpoint, sample_block=first)
     if args.script:
-        export_dir = os.path.join(log_dir, "exported_model")
-        trainer.save_checkpoint(export_dir)
-        log.info("exported model checkpoint to %s", export_dir)
+        # StableHLO serialization — the TorchScript-export equivalent
+        # (ref: LitBase.py:103-109, Evaluate.py:23)
+        export_path = os.path.join(log_dir, "model.stablehlo")
+        trainer.export_model(export_path, first)
+        log.info("exported StableHLO model to %s", export_path)
     metrics = trainer.test(data_module)
     print("test:", {k: round(v, 5) for k, v in metrics.items()
                     if isinstance(v, (int, float))})

@@ -198,3 +198,34 @@ def test_steps_per_dispatch_matches_single(psd_setup):
         results[k] = metrics["val_loss"]
     # k=3 exercises both the multi-dispatch path and the ragged-tail flush
     assert np.isclose(results[1], results[3], rtol=1e-5), results
+
+
+def test_stablehlo_export_round_trip(psd_setup, tmp_path):
+    """export_model serializes the eval forward; deserialized artifact
+    reproduces the live model's outputs."""
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from waveformml_tpu.datasets.data_module import PSDDataModule
+    from waveformml_tpu.engineering.trainer import Trainer
+
+    _, cfg = psd_setup
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, seed=0, max_epochs=1)
+    dm = PSDDataModule(cfg)
+    dm.gen_train_dataset()
+    block = next(iter(dm.train_dataloader()))
+    trainer._ensure_state(block)
+    path = str(tmp_path / "model.stablehlo")
+    trainer.export_model(path, block)
+    assert os.path.getsize(path) > 0
+
+    restored = jexport.deserialize(open(path, "rb").read())
+    one = {k: jnp.asarray(v[0]) for k, v in trainer._device_batch(block).items()}
+    got = restored.call(one)
+    variables = {"params": trainer.state.params}
+    if trainer.state.batch_stats is not None:
+        variables["batch_stats"] = trainer.state.batch_stats
+    want, _ = task.apply_model(variables, one, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-6)

@@ -193,6 +193,14 @@ class PSDDataModule:
                         file_excludes=self.train_excludes,
                         **self._dataset_params())
                     self.log.info("Validation dataset generated.")
+            if self.test_dataset is None and not hasattr(dc, "n_test") \
+                    and not hasattr(dc, "test_config"):
+                # the reference hard-requires n_test (PSDDataModule.py:102-127
+                # reads it unconditionally); fall back to the validation set
+                # so Evaluate/test on a train-only config still works
+                self.log.warning("dataset_config has no n_test; using the "
+                                 "validation dataset for testing")
+                self.test_dataset = self.val_dataset
             if self.test_dataset is None and hasattr(dc, "n_test"):
                 if hasattr(dc, "test_config"):
                     self.test_dataset = self.dataset_class.retrieve_config(

@@ -230,6 +230,30 @@ class Trainer:
         log.info("initialized model with %d parameters on %d device(s)",
                  n_params, self.n_devices)
 
+    def export_model(self, path: str, sample_block: FileBlock) -> str:
+        """Serialize the eval-mode forward to a portable StableHLO artifact —
+        the TPU-native equivalent of the reference's TorchScript export
+        (ref: LitBase.py:103-109 write_model on the first test batch).
+        Reload with jax.export.deserialize(...).call(**batch)."""
+        from jax import export as jexport
+
+        db = self._device_batch(sample_block)
+        one = {k: jnp.asarray(v[0]) for k, v in db.items()}
+        task = self.task
+        variables = {"params": self.state.params}
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = self.state.batch_stats
+
+        def fwd(db):
+            return task.apply_model(variables, db, train=False)[0]
+
+        exported = jexport.export(jax.jit(fwd))(one)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+        log.info("exported StableHLO model to %s", path)
+        return path
+
     def save_checkpoint(self, path: str, extra: Optional[Dict[str, Any]] = None) -> None:
         import orbax.checkpoint as ocp
 

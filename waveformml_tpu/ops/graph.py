@@ -37,8 +37,12 @@ def _build_library() -> Optional[str]:
     if os.path.exists(so_path) and \
             os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
         return so_path
-    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           _SRC, "-o", so_path]
+    # WFML_NATIVE_DEBUG=1 → debug build (the reference's custom_functions
+    # toggles -g -O0 -pedantic -Wall the same way, __init__.py:14-19)
+    opt = (["-g", "-O0", "-pedantic", "-Wall"]
+           if os.environ.get("WFML_NATIVE_DEBUG") == "1"
+           else ["-O3", "-march=native"])
+    cmd = ["g++", *opt, "-fopenmp", "-shared", "-fPIC", _SRC, "-o", so_path]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return so_path
