@@ -14,7 +14,10 @@ from waveformml_tpu.ops.sparse import SparseBatch, pad_sparse
 from waveformml_tpu.registry import retrieve_class
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-EXAMPLES = sorted(glob.glob(os.path.join(REPO, "config", "examples", "*.json")))
+EXAMPLES = [p for p in
+            sorted(glob.glob(os.path.join(REPO, "config", "examples", "*.json")))
+            # WFParams.json is a GenWFParamConfig sweep input, not a train config
+            if os.path.basename(p) != "WFParams.json"]
 
 
 def _sparse_batch(rng, cfg, n_events=3):
