@@ -77,7 +77,9 @@ def test_scatter_jit_stable(rng):
 def test_bucket_size():
     assert bucket_size(100) == 256
     assert bucket_size(256) == 256
-    assert bucket_size(257) == 512
+    assert bucket_size(257) == 384
+    assert bucket_size(385) == 512
+    assert bucket_size(12289) == 16384
     assert bucket_size(100000) == 131072
 
 

@@ -87,8 +87,15 @@ class SparseBatch:
         return jnp.where(self.mask, idx, self.n_events * NX * NY * n_t)
 
 
-def bucket_size(n: int, buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)) -> int:
-    """Smallest bucket ≥ n; limits the number of distinct compiled shapes."""
+def bucket_size(n: int, buckets: Tuple[int, ...] = (
+        256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288,
+        16384, 24576, 32768, 49152, 65536)) -> int:
+    """Smallest bucket ≥ n; limits the number of distinct compiled shapes.
+
+    The table interleaves 3·2^k sizes between powers of two: worst-case
+    padding waste drops from 50% to 25% at the cost of 2× as many potential
+    compiled shapes (padding rows are pure wasted FLOPs/HBM on the conv path).
+    """
     for b in buckets:
         if n <= b:
             return b
