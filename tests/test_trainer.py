@@ -200,6 +200,23 @@ def test_steps_per_dispatch_matches_single(psd_setup):
     assert np.isclose(results[1], results[3], rtol=1e-5), results
 
 
+def test_lr_find_then_fit(psd_setup):
+    """lr_find must deep-copy state before probing: the train step donates
+    buffers, so restoring saved references used to crash the subsequent fit
+    with 'Buffer has been deleted or donated'."""
+    from waveformml_tpu.datasets.data_module import PSDDataModule
+    from waveformml_tpu.engineering.trainer import Trainer
+
+    _, cfg = psd_setup
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, seed=0, max_epochs=1)
+    dm = PSDDataModule(cfg)
+    lr = trainer.lr_find(dm, num_steps=8)
+    assert lr > 0
+    metrics = trainer.fit(dm)  # must not raise on restored state
+    assert np.isfinite(metrics["train_loss"])
+
+
 def test_stablehlo_export_round_trip(psd_setup, tmp_path):
     """export_model serializes the eval forward; deserialized artifact
     reproduces the live model's outputs."""

@@ -574,10 +574,14 @@ class Trainer:
         loader = data_module.train_dataloader()
         first = next(iter(loader))
         self._ensure_state(first)
-        import copy as _copy
-
-        saved = (jax.tree.map(lambda x: x, self.state.params),
-                 self.state.batch_stats, self.state.opt_state)
+        # DEEP copies: the train step donates params/stats/opt buffers, so
+        # identity tree_map would save references to deleted buffers and the
+        # post-restore fit would fail with "Buffer has been deleted or donated"
+        copy_tree = lambda t: jax.tree.map(
+            lambda x: jnp.array(x) if hasattr(x, "dtype") else x, t)
+        saved = (copy_tree(self.state.params),
+                 copy_tree(self.state.batch_stats),
+                 copy_tree(self.state.opt_state))
         lrs = np.logspace(math.log10(min_lr), math.log10(max_lr), num_steps)
         losses = []
         it = iter(loader)
