@@ -46,6 +46,10 @@ def main(argv=None) -> int:
     has_events = any("tfevents" in f for f in os.listdir(ckpt_dir)) \
         if os.path.isdir(ckpt_dir) else False
     log_dir = ckpt_dir if has_events else os.path.join(ckpt_dir, "evaluate")
+    if args.occlude is not None:
+        # per-index subdir so EvalOcclusionStudy can collect results
+        # (ref: Evaluate.py:56-57 TB sub_dir="occlude_<n>")
+        log_dir = os.path.join(log_dir, f"occlude_{args.occlude}")
     logger = TBLogger(log_dir)
     log.info("logging evaluation to %s", log_dir)
 

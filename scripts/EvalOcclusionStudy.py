@@ -43,6 +43,10 @@ def main(argv=None) -> int:
         results[idx] = best
         print(f"{args.metric} for ind {idx} is {best}")
     valid = np.isfinite(results)
+    if not valid.any():
+        print(f"error: no occlude_<n> results with metric '{args.metric}' "
+              f"found under {args.dir}", file=sys.stderr)
+        return 1
     xs = np.arange(args.n)
 
     def _save(sel, suffix):

@@ -19,14 +19,13 @@ def main(argv=None) -> int:
     parser.add_argument("n_features", type=int, help="number of features to occlude")
     parser.add_argument("--calgroup", "-c", type=str)
     parser.add_argument("--verbosity", "-v", type=int, default=2)
-    parser.add_argument("extra", nargs="*", help="extra args forwarded to Evaluate.py")
-    args = parser.parse_args(argv)
+    args, extra = parser.parse_known_args(argv)
     for n in range(args.n_features):
         argl = [sys.executable, join(REPO, "Evaluate.py"), args.config,
                 args.checkpoint, "-oc", str(n), "-v", str(args.verbosity)]
         if args.calgroup:
             argl += ["-c", args.calgroup]
-        argl += list(args.extra)
+        argl += list(extra)
         print(" ".join(argl))
         subprocess.call(argl)
     return 0
