@@ -18,12 +18,10 @@ def main(argv=None) -> int:
     parser.add_argument("config")
     parser.add_argument("checkpoint")
     parser.add_argument("--pattern", default="*.h5")
-    parser.add_argument("extra", nargs="*",
-                        help="extra args forwarded to WritePredictions.py")
-    args = parser.parse_args(argv)
+    args, extra = parser.parse_known_args(argv)
     for f in sorted(Path(args.input_dir).glob(args.pattern)):
         argl = [sys.executable, join(REPO, "WritePredictions.py"),
-                str(f.resolve()), args.config, args.checkpoint] + list(args.extra)
+                str(f.resolve()), args.config, args.checkpoint] + list(extra)
         print(" ".join(argl))
         subprocess.call(argl)
     return 0

@@ -507,7 +507,7 @@ class PulseDatasetWFPair(PulseDataset):
     def __init__(self, config, dataset_type, n_per_dir, file_excludes=None,
                  label_file_pattern=None, data_cache_size=3, model_dir=None,
                  data_dir=None, dataset_dir=None, use_half=False, label_index=None,
-                 label_name=None, additional_fields=None):
+                 label_name=None, additional_fields=None, label_map=None):
         super().__init__(config, dataset_type, n_per_dir,
                          "*WFPairSim.h5", "WaveformPairCal", "coord", "waveform",
                          file_excludes=file_excludes,
@@ -515,7 +515,8 @@ class PulseDatasetWFPair(PulseDataset):
                          data_cache_size=data_cache_size, model_dir=model_dir,
                          data_dir=data_dir, dataset_dir=dataset_dir,
                          use_half=use_half, label_name=label_name,
-                         additional_fields=additional_fields)
+                         additional_fields=additional_fields,
+                         label_map=label_map)
         self.label_index = label_index
 
     __getitem__ = _label_index_getitem
