@@ -24,8 +24,7 @@ def main(argv=None) -> int:
     parser.add_argument("--n_trials", "-n", type=int, default=3,
                         help="number of top trials to evaluate")
     parser.add_argument("--calgroup", "-c", type=str)
-    parser.add_argument("extra", nargs="*", help="forwarded to Evaluate.py")
-    args = parser.parse_args(argv)
+    args, extra = parser.parse_known_args(argv)
     config = load_config(args.config)
     model_folder = get_model_folder(config)
     study_dir = join(model_folder, "studies", config.run_config.exp_name)
@@ -43,7 +42,7 @@ def main(argv=None) -> int:
         argl = [sys.executable, join(REPO, "Evaluate.py"), trial_config, ckpt]
         if args.calgroup:
             argl += ["-c", args.calgroup]
-        argl += list(args.extra)
+        argl += list(extra)
         print(" ".join(argl))
         subprocess.call(argl)
     return 0
