@@ -1,0 +1,110 @@
+"""Prediction parity vs a torch reference stack (BASELINE.md hard gate).
+
+Builds the same network in torch (CPU) and in this framework with IDENTICAL
+weights, runs the same sparse events through both, and asserts per-event
+outputs agree within fp32 tolerance. This pins the semantics our sparse-conv
+paths claim: SubM conv == dense conv masked to input sites, torch (C, H, W)
+flatten order, BatchNorm eval statistics.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from waveformml_tpu.detector import NX, NY
+from waveformml_tpu.ops.sparse import SparseBatch, pad_sparse
+from waveformml_tpu.ops.sparse_conv import SparseGrid, SubMConv2d
+
+C_IN, C_MID, C_OUT = 10, 6, 3
+K = 3
+
+
+def _events(rng, n_events=6):
+    rows = []
+    for e in range(n_events):
+        for s in rng.choice(NX * NY, size=int(rng.integers(1, 5)), replace=False):
+            rows.append([s % NX, s // NX, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], C_IN)).astype(np.float32)
+    return coords, feats
+
+
+def _torch_forward(coords, feats, w1, b1, w2, b2, wl, bl, n_events):
+    """Reference semantics: dense scatter → Conv2d → mask to input sites →
+    ReLU → Conv2d → mask → flatten (C, H, W) → Linear."""
+    dense = np.zeros((n_events, NX, NY, C_IN), np.float32)
+    occ = np.zeros((n_events, NX, NY), bool)
+    dense[coords[:, 2], coords[:, 0], coords[:, 1]] = feats
+    occ[coords[:, 2], coords[:, 0], coords[:, 1]] = True
+    x = torch.from_numpy(dense).permute(0, 3, 1, 2)
+    m = torch.from_numpy(occ)[:, None].float()
+    conv1 = tnn.Conv2d(C_IN, C_MID, K, 1, K // 2)
+    conv2 = tnn.Conv2d(C_MID, C_OUT, K, 1, K // 2)
+    lin = tnn.Linear(C_OUT * NX * NY, 2)
+    with torch.no_grad():
+        conv1.weight.copy_(torch.from_numpy(w1))
+        conv1.bias.copy_(torch.from_numpy(b1))
+        conv2.weight.copy_(torch.from_numpy(w2))
+        conv2.bias.copy_(torch.from_numpy(b2))
+        lin.weight.copy_(torch.from_numpy(wl))
+        lin.bias.copy_(torch.from_numpy(bl))
+        h = torch.relu(conv1(x) * m)       # SubM: outputs only at input sites
+        h = conv2(h) * m
+        out = lin(h.flatten(1))
+    return out.numpy()
+
+
+@pytest.mark.parametrize("path", ["dense", "rows"])
+def test_torch_prediction_parity(rng, path):
+    n_events = 6
+    coords, feats = _events(rng, n_events)
+
+    # shared weights: torch OIHW → flax HWIO
+    w1 = rng.normal(size=(C_MID, C_IN, K, K)).astype(np.float32) * 0.2
+    b1 = rng.normal(size=(C_MID,)).astype(np.float32)
+    w2 = rng.normal(size=(C_OUT, C_MID, K, K)).astype(np.float32) * 0.2
+    b2 = rng.normal(size=(C_OUT,)).astype(np.float32)
+    wl = rng.normal(size=(2, C_OUT * NX * NY)).astype(np.float32) * 0.1
+    bl = rng.normal(size=(2,)).astype(np.float32)
+
+    want = _torch_forward(coords, feats, w1, b1, w2, b2, wl, bl, n_events)
+
+    c, f, m = pad_sparse(coords, feats, 64)
+    batch = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), n_events)
+
+    hwio1 = jnp.asarray(w1.transpose(2, 3, 1, 0))
+    hwio2 = jnp.asarray(w2.transpose(2, 3, 1, 0))
+
+    if path == "dense":
+        from waveformml_tpu.models.nets import batch_to_grid
+
+        g = batch_to_grid(batch)
+        l1 = SubMConv2d(C_IN, C_MID, K)
+        l2 = SubMConv2d(C_MID, C_OUT, K)
+        v1 = {"params": {"conv": {"kernel": hwio1, "bias": jnp.asarray(b1)}}}
+        v2 = {"params": {"conv": {"kernel": hwio2, "bias": jnp.asarray(b2)}}}
+        h = l1.apply(v1, g)
+        h = h.with_features(jax.nn.relu(h.features))
+        h = l2.apply(v2, h)
+        dense = jnp.transpose(h.masked(), (0, 3, 1, 2)).reshape(n_events, -1)
+        got = dense @ jnp.asarray(wl.T) + jnp.asarray(bl)
+    else:
+        from waveformml_tpu.ops.row_conv import (build_neighbor_plan,
+                                                 subm_conv_rows)
+        from waveformml_tpu.models.blocks import FoldedSiteLinear
+
+        plan = build_neighbor_plan(batch, K)
+        h = subm_conv_rows(batch.feats, plan,
+                           hwio1.reshape(K * K, C_IN, C_MID),
+                           jnp.asarray(b1), batch.mask)
+        h = jnp.where(batch.mask[:, None], jax.nn.relu(h), 0)
+        h = subm_conv_rows(h, plan, hwio2.reshape(K * K, C_MID, C_OUT),
+                           jnp.asarray(b2), batch.mask)
+        layer = FoldedSiteLinear(C_OUT, 2)
+        v = {"params": {"kernel": jnp.asarray(wl.T), "bias": jnp.asarray(bl)}}
+        got = layer.apply(v, h, batch)
+
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
