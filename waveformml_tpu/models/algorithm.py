@@ -16,7 +16,7 @@ TPU sparse-conv layers.
 """
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -131,3 +131,40 @@ def build_sparse_instances(spec: Sequence[Any]) -> List[Any]:
     if current is not None:
         instances.append(current())
     return instances
+
+
+def dsl_to_row_specs(spec: Sequence[Any]) -> Optional[List[Tuple]]:
+    """Translate a sparse-section ``algorithm`` DSL list into _SpecNet row
+    spec tuples when the stack is pure-SubM (stride 1, dilation 1) — the
+    row-space gather-GEMM fast path then applies (2D and 3D). Returns None
+    for stacks with regular/strided/inverse convs or unknown layers."""
+    specs: List[Tuple] = []
+    i = 0
+    items = list(spec)
+    while i < len(items):
+        name = items[i]
+        if not isinstance(name, str):
+            return None
+        args = items[i + 1] if i + 1 < len(items) and \
+            not isinstance(items[i + 1], str) else None
+        i += 2 if args is not None else 1
+        short = name.rsplit(".", 1)[-1]
+        if short in ("SubMConv2d", "SubMConv3d"):
+            if not args or len(args) < 3:
+                return None
+            cin, cout, k = int(args[0]), int(args[1]), int(args[2])
+            stride = int(args[3]) if len(args) > 3 else 1
+            dilation = int(args[5]) if len(args) > 5 else 1
+            if stride != 1 or dilation != 1:
+                return None
+            specs.append(("subm", cin, cout, k, (k - 1) // 2, f"subm{k}"))
+        elif short in ("BatchNorm1d",):
+            c = int(args[0]) if args else None
+            specs.append(("bn", c))
+        elif short in ("ReLU",):
+            specs.append(("relu",))
+        elif short in ("ToDense", "SparseToDense"):
+            specs.append(("todense",))
+        else:
+            return None
+    return specs

@@ -191,7 +191,20 @@ class SCNet(nn.Module):
         if wf:
             self.waveform_layers = build_sparse_instances(wf)
             self.waveform_out_len = sparse[1][1] if len(sparse) > 1 else None
-        self.sparse_model = SparseSequential(build_sparse_instances(sparse))
+        # pure-SubM 2D DSL stacks run the row-space gather-GEMM fast path.
+        # 3D stays on the dense grid: measured on v5e, K³=27 gathers over the
+        # small early channel counts (8-64 B/row) are vector-lane-starved and
+        # ~4× slower than XLA's dense conv even at 0.6% occupancy (the 3D row
+        # machinery remains available via sparse_blocks.DSLSpecNet(n_t=...)).
+        from waveformml_tpu.models.algorithm import dsl_to_row_specs
+        from waveformml_tpu.models.sparse_blocks import DSLSpecNet
+
+        row_specs = dsl_to_row_specs(sparse) if self._ndim == 2 else None
+        if row_specs is not None:
+            self.sparse_model = DSLSpecNet(tuple(row_specs))
+        else:
+            self.sparse_model = SparseSequential(build_sparse_instances(sparse))
+        self._row_path = row_specs is not None
         self.linear_layers = registry.create_class_instances(list(linear))
         self.n_linear = linear[1][0]
 
@@ -200,7 +213,10 @@ class SCNet(nn.Module):
         if self._has_wf:
             feats = _apply_waveform_layer(self.waveform_layers, feats,
                                           self.nsamples, train)
-        if self._ndim == 3:
+        if self._row_path:
+            g = batch if feats is batch.feats else \
+                SparseBatch(batch.coords, feats, batch.mask, batch.n_events)
+        elif self._ndim == 3:
             # grid [B, 14, 11, T, C] with T = n_samples (ref SCNet.py:58-60)
             g = batch_to_grid_3d(batch, self.nsamples, feats)
         else:

@@ -56,18 +56,21 @@ def _build(specs: Sequence[Tuple], name_prefix: str = "") -> List[Any]:
 
 class RowSubMConv2d(nn.Module):
     """Row-space SubM conv (gather-GEMM fast path; see ops.row_conv).
-    Same kernel/bias shapes as the dense SubMConv2d's inner nn.Conv."""
+    Same kernel/bias shapes as the dense SubMConv2d's inner nn.Conv.
+    ``ndim=3`` gives the K³-window 3D variant (plan from
+    build_neighbor_plan_3d)."""
 
     in_channels: int
     out_channels: int
     kernel_size: int = 3
     use_bias: bool = True
+    ndim: int = 2
 
     @nn.compact
     def __call__(self, feats, plan, mask):
         k = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (k * k, self.in_channels, self.out_channels))
+                            (k ** self.ndim, self.in_channels, self.out_channels))
         bias = self.param("bias", nn.initializers.zeros,
                           (self.out_channels,)) if self.use_bias else None
         from waveformml_tpu.ops.row_conv import subm_conv_rows
@@ -123,9 +126,16 @@ class _SpecNet(nn.Module):
     def _row_forward(self, batch, specs, train: bool, return_rows: bool = False):
         from waveformml_tpu.models.blocks import MaskedArrayBatchNorm
         from waveformml_tpu.ops.row_conv import (
-            build_neighbor_plan, build_site_lookup, rows_to_dense)
+            build_neighbor_plan, build_neighbor_plan_3d, build_site_lookup,
+            build_site_lookup_3d, rows_to_dense, rows_to_dense_3d)
 
-        lut = build_site_lookup(batch)
+        n_t = getattr(self, "n_t", None)
+        is3d = batch.coords.shape[1] == 4
+        if is3d:
+            assert n_t, "3D row forward needs the time-grid size (n_t)"
+            lut = build_site_lookup_3d(batch, n_t)
+        else:
+            lut = build_site_lookup(batch)
         plans = {}
         x = batch.feats
         mask = batch.mask
@@ -135,8 +145,10 @@ class _SpecNet(nn.Module):
             if spec[0] == "subm":
                 _, cin, cout, k, p, key = spec
                 if k not in plans:
-                    plans[k] = build_neighbor_plan(batch, k, lut)
-                x = RowSubMConv2d(cin, cout, k, name=nm)(x, plans[k], mask)
+                    plans[k] = (build_neighbor_plan_3d(batch, k, n_t, lut)
+                                if is3d else build_neighbor_plan(batch, k, lut))
+                x = RowSubMConv2d(cin, cout, k, ndim=3 if is3d else 2,
+                                  name=nm)(x, plans[k], mask)
             elif spec[0] == "bn":
                 x = MaskedArrayBatchNorm(spec[1], name=nm)(x, mask=mask, train=train)
                 x = jnp.where(mask[:, None], x, 0)
@@ -147,10 +159,16 @@ class _SpecNet(nn.Module):
         if return_rows:
             return jnp.where(mask[:, None], x, 0)
         if to_dense:
-            return rows_to_dense(x, batch)
-        from waveformml_tpu.ops.sparse import occupancy_mask, scatter_to_dense
+            return (rows_to_dense_3d(x, batch, n_t) if is3d
+                    else rows_to_dense(x, batch))
+        from waveformml_tpu.ops.sparse import (occupancy_mask,
+                                               occupancy_mask_3d)
 
         # site-preserving stacks return a SparseGrid equivalent
+        if is3d:
+            return SparseGrid(
+                jnp.transpose(rows_to_dense_3d(x, batch, n_t), (0, 2, 3, 4, 1)),
+                occupancy_mask_3d(batch, n_t))
         return SparseGrid(
             jnp.transpose(rows_to_dense(x, batch), (0, 2, 3, 1)),
             occupancy_mask(batch))
@@ -659,3 +677,15 @@ class SparseConv2DPreserve(_SpecNet):
                              self.pointwise_factor, self.dropout,
                              self.expansion_factor, self.n_expansion, self.version,
                              self.n_contraction, self.filter_multiplier)
+
+
+class DSLSpecNet(_SpecNet):
+    """_SpecNet over spec tuples translated from the config ``algorithm`` DSL
+    (see models.algorithm.dsl_to_row_specs) — lets pure-SubM SCNet stacks run
+    the row-space fast path in both 2D and 3D."""
+
+    spec_list: Tuple[Tuple, ...]
+    n_t: Optional[int] = None
+
+    def specs(self) -> List[Tuple]:
+        return list(self.spec_list)

@@ -57,6 +57,38 @@ def build_neighbor_plan(batch: SparseBatch, kernel_size: int,
     return jnp.stack(rows, axis=1)               # [N, K²], -1 where absent
 
 
+def build_site_lookup_3d(batch: SparseBatch, n_t: int) -> jax.Array:
+    """(x, y, t) site→row map [B·NX·NY·T] int32 for 4-column batches."""
+    n = batch.n_rows
+    size = batch.n_events * NX * NY * n_t
+    lut = jnp.full((size,), -1, jnp.int32)
+    return lut.at[batch.flat_site_3d(n_t)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+
+def build_neighbor_plan_3d(batch: SparseBatch, kernel_size: int, n_t: int,
+                           lut: Optional[jax.Array] = None) -> jax.Array:
+    """Neighbor row indices [N, K³] for a centered K×K×K window over
+    (x, y, t); -1 where the neighbor site is inactive or out of bounds."""
+    k = kernel_size
+    if lut is None:
+        lut = build_site_lookup_3d(batch, n_t)
+    half = (k - 1) // 2
+    offs = [(dx, dy, dt) for dx in range(-half, k - half)
+            for dy in range(-half, k - half) for dt in range(-half, k - half)]
+    x, y, t, ev = batch.x, batch.y, batch.t, batch.event
+    size = batch.n_events * NX * NY * n_t
+    rows = []
+    for dx, dy, dt in offs:
+        nx_, ny_, nt_ = x + dx, y + dy, t + dt
+        valid = ((nx_ >= 0) & (nx_ < NX) & (ny_ >= 0) & (ny_ < NY)
+                 & (nt_ >= 0) & (nt_ < n_t) & batch.mask)
+        site = ev * (NX * NY * n_t) + nx_ * (NY * n_t) + ny_ * n_t + nt_
+        site = jnp.clip(site, 0, size - 1)
+        rows.append(jnp.where(valid, lut[site], -1))
+    return jnp.stack(rows, axis=1)               # [N, K³], -1 where absent
+
+
 def _gather_gemm(feats: jax.Array, plan: jax.Array, kernel: jax.Array) -> jax.Array:
     n, c = feats.shape
     kk, _, cout = kernel.shape
@@ -126,3 +158,13 @@ def rows_to_dense(rows: jax.Array, batch: SparseBatch) -> jax.Array:
     flat = flat.at[batch.flat_site()].add(
         jnp.where(batch.mask[:, None], rows, 0), mode="drop")
     return jnp.transpose(flat.reshape(B, NX, NY, c), (0, 3, 1, 2))
+
+
+def rows_to_dense_3d(rows: jax.Array, batch: SparseBatch, n_t: int) -> jax.Array:
+    """Scatter row outputs [N, C] to torch-layout dense [B, C, NX, NY, T]."""
+    B = batch.n_events
+    c = rows.shape[-1]
+    flat = jnp.zeros((B * NX * NY * n_t, c), rows.dtype)
+    flat = flat.at[batch.flat_site_3d(n_t)].add(
+        jnp.where(batch.mask[:, None], rows, 0), mode="drop")
+    return jnp.transpose(flat.reshape(B, NX, NY, n_t, c), (0, 4, 1, 2, 3))
