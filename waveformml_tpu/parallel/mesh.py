@@ -28,6 +28,24 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) ->
     return Mesh(devs, (axis_name,))
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> Mesh:
+    """Multi-host data parallelism: initialize jax.distributed (args default
+    to the cluster env — TPU pods auto-discover), then build the global 1-D
+    data mesh over all processes' devices. Batches stay event-sharded per
+    local device; gradient psum rides ICI within a slice and DCN across
+    hosts. The train step is unchanged (shard_map over the same axis)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    mesh = make_mesh(jax.devices())  # global: all processes' devices
+    set_mesh(mesh)
+    return mesh
+
+
 def get_mesh() -> Mesh:
     """Process-wide default 1-D data mesh over all visible devices."""
     global _MESH
