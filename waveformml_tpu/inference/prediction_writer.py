@@ -82,7 +82,11 @@ class PredictionWriter(P2XTableWriter):
         self.copy_p2x_attrs(self.input, self.data_type.name, self.input_type.name,
                             self.data_type.names)
         n_current_buffer = 0
-        for data in self.input.iter_chunks(self.n_rows_per_read):
+        from waveformml_tpu.utils.util import prefetch_iter
+
+        # read-ahead: HDF5 chunk decode overlaps the device predict of the
+        # previous chunk (the reference streams serially, PredictionWriter.py:73-104)
+        for data in prefetch_iter(self.input.iter_chunks(self.n_rows_per_read)):
             if self.swap:
                 self.swap_values(data)
             else:

@@ -223,3 +223,32 @@ def safe_divide(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     out = np.zeros(np.broadcast(a, b).shape, dtype=np.float64)
     np.divide(a, b, out=out, where=(b != 0))
     return out
+
+
+def prefetch_iter(iterable, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue — overlaps
+    host IO (HDF5 chunk decode) with downstream compute. Exceptions re-raise
+    in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
