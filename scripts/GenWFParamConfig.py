@@ -58,6 +58,12 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     with open(args.ranges) as f:
         ranges = json.load(f)
+    if "param_ranges" in ranges:
+        # reference WFParams.json layout: {"param_ranges": {...}, "num_points": n}
+        # (ref: GenWFParamConfig.py:49-54 set_ranges)
+        if "num_points" in ranges:
+            args.num_points = int(ranges["num_points"])
+        ranges = ranges["param_ranges"]
     if not os.path.exists(args.db):
         conn = sqlite3.connect(args.db)
         with open(SCHEMA) as f:
