@@ -111,3 +111,39 @@ def test_z_basic_prediction_dense_diagonal():
     z_pred[0, 4, 4] = 0.8   # known diagonal neighbor
     z_basic_prediction_dense(coo, z_pred)
     assert z_pred[0, 3, 3] == pytest.approx(0.8)
+
+
+def test_calc_calib_z_E_fuzz_bounds(cal, rng):
+    """Property fuzz: on random pulse mixtures the classical chain never
+    produces NaN/inf, z stays in [0, 1] (normalized), and E is nonnegative
+    wherever a pulse was reconstructed."""
+    n_samples = 65
+    for trial in range(20):
+        n_pulses = int(rng.integers(1, 6))
+        coords, wfs = [], []
+        for p in range(n_pulses):
+            x = int(rng.integers(0, NX))
+            y = int(rng.integers(0, NY))
+            kind = trial % 4
+            if kind == 0:
+                wf = _pulse_pair(n_samples, rng.uniform(50, 4000),
+                                 rng.uniform(50, 4000), t0=rng.uniform(5, 50))
+            elif kind == 1:  # two pulses per waveform (peak matching path)
+                wf = (_pulse_pair(n_samples, 500, 700, t0=10)
+                      + _pulse_pair(n_samples, 300, 200, t0=40))
+            elif kind == 2:  # one-sided pulse (dead-PMT path)
+                wf = _pulse_pair(n_samples, rng.uniform(100, 1000), 0.0)
+            else:            # noise only
+                wf = np.abs(rng.normal(0, 2.0, 2 * n_samples))
+            coords.append([x, y, 0])
+            wfs.append(wf)
+        coords = np.asarray(coords, np.int64)
+        wfs = np.asarray(wfs)
+        z = np.zeros((1, NX, NY))
+        E = np.zeros((1, NX, NY))
+        calc_calib_z_E(coords, wfs, z, E, cal, Z_SCALE, n_samples)
+        assert np.isfinite(z).all() and np.isfinite(E).all(), trial
+        filled = E != 0
+        assert (z[filled] >= -0.5).all() and (z[filled] <= 1.5).all(), \
+            (trial, z[filled])
+        assert (E[filled] > -1e-9).all(), trial
