@@ -35,6 +35,8 @@ def main(argv=None) -> int:
     from waveformml_tpu.utils.util import setup_logger
 
     log = setup_logger(args.verbosity)
+    from waveformml_tpu.utils.util import enable_compilation_cache
+    enable_compilation_cache()
     config = load_config(args.config)
     if args.calgroup:
         config.dataset_config["calgroup"] = args.calgroup

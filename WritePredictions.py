@@ -44,6 +44,9 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from waveformml_tpu.utils.util import enable_compilation_cache
+    enable_compilation_cache()
+
     from waveformml_tpu.inference.prediction_writer import (
         IRNIMPredictionWriter, IRNPredictionWriter, ZPredictionWriter)
 

@@ -74,6 +74,8 @@ def main(argv=None) -> int:
 
     config = load_config(args.config)
     log = setup_logger(args.verbosity, args.logfile)
+    from waveformml_tpu.utils.util import enable_compilation_cache
+    enable_compilation_cache()
 
     model_folder = get_model_folder(config)
     if args.validate:

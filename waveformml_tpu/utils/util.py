@@ -252,3 +252,18 @@ def prefetch_iter(iterable, depth: int = 2):
         if isinstance(item, BaseException):
             raise item
         yield item
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persist XLA compilations across processes (first TPU compiles go
+    through a slow remote-compile path here; repeat CLI runs then start in
+    seconds). Honors JAX_COMPILATION_CACHE_DIR; call before first jit."""
+    import jax
+
+    cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                       "/tmp/waveformml_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs — run uncached
+        pass
