@@ -246,3 +246,53 @@ def test_stablehlo_export_round_trip(psd_setup, tmp_path):
     want, _ = task.apply_model(variables, one, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_checkpoint_restores_across_topologies(psd_setup, tmp_path):
+    """Checkpoints save topology-free host arrays: an 8-device-mesh save
+    must restore in a 1-device process (train on a pod, serve on one chip).
+    Regression: device-bound sharding metadata used to make restore fail with
+    'available devices are different from the devices used to save'."""
+    import subprocess
+    import sys
+
+    _, cfg = psd_setup
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, seed=0, max_epochs=1)  # 8-device conftest mesh
+    assert trainer.n_devices == 8
+    dm = PSDDataModule(cfg)
+    trainer.fit(dm)
+    ckpt = str(tmp_path / "xtopo.ckpt")
+    trainer.save_checkpoint(ckpt)
+    parent_test = trainer.test(dm)
+
+    import json as _json
+    cfg_path = str(tmp_path / "cfg.json")
+    from waveformml_tpu.config import save_config
+    save_config(cfg, cfg_path)
+    script = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 1, jax.device_count()
+from waveformml_tpu.config import load_config
+from waveformml_tpu.datasets.data_module import PSDDataModule
+from waveformml_tpu.engineering.tasks import LitPSD
+from waveformml_tpu.engineering.trainer import Trainer
+from waveformml_tpu.parallel.mesh import make_mesh
+cfg = load_config({cfg_path!r})
+task = LitPSD(cfg)
+trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0)
+dm = PSDDataModule(cfg)
+dm.gen_train_dataset()
+first = next(iter(dm.train_dataloader()))
+trainer.load_checkpoint({ckpt!r}, sample_block=first)
+m = trainer.test(dm)
+print("VAL", m["test_loss"])
+"""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)  # single device in the child
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    child_loss = float(r.stdout.strip().split("VAL")[-1])
+    assert np.isclose(child_loss, parent_test["test_loss"], rtol=1e-4), \
+        (child_loss, parent_test["test_loss"])

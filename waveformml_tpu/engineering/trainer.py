@@ -261,9 +261,15 @@ class Trainer:
         if os.path.exists(path):
             shutil.rmtree(path)
         ckptr = ocp.PyTreeCheckpointer()
-        payload = {"params": self.state.params,
-                   "batch_stats": self.state.batch_stats,
-                   "opt_state": self.state.opt_state}
+        # save topology-free host arrays: params/stats are replicated, and
+        # device-bound sharding metadata would make the checkpoint
+        # unrestorable on a different device count (train on a pod, serve on
+        # one chip — the prediction-writer path)
+        to_host = lambda t: jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "dtype") else x, t)
+        payload = {"params": to_host(self.state.params),
+                   "batch_stats": to_host(self.state.batch_stats),
+                   "opt_state": to_host(self.state.opt_state)}
         ckptr.save(path, payload)
         meta = {"epoch": self.current_epoch, "step": self.state.step,
                 "best_val_loss": self.best_val_loss,
