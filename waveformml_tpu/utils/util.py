@@ -263,6 +263,14 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
     cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                        "/tmp/waveformml_jax_cache")
     try:
+        if jax.default_backend() == "cpu" and path is None and \
+                "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+            # CPU AOT entries embed compile-machine feature sets; loading
+            # them in a process with different detected features risks SIGILL
+            # (XLA warns about exactly this), and CPU compiles are fast —
+            # only persist when explicitly requested.
+            return
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # older jax without the knobs — run uncached
