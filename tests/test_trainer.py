@@ -296,3 +296,37 @@ print("VAL", m["test_loss"])
     child_loss = float(r.stdout.strip().split("VAL")[-1])
     assert np.isclose(child_loss, parent_test["test_loss"], rtol=1e-4), \
         (child_loss, parent_test["test_loss"])
+
+
+def test_litz_use_fft_features(tmp_path, rng):
+    """UseFFT preprocesses features with rFFT split into (real ‖ imag)
+    channels (ref LitZ.py:96-97)."""
+    import jax.numpy as jnp
+
+    from waveformml_tpu.engineering.tasks import LitZ
+
+    cfg = Config({
+        "run_config": {"exp_name": "z", "run_class": "LitZ", "imports": []},
+        "system_config": {"model_name": "z", "n_samples": 8, "n_type": 1,
+                          "type_names": ["a"], "model_base_path": str(tmp_path),
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_type": "2DConvolution",
+                       "algorithm": "conv", "UseFFT": True,
+                       "hparams": {"conv": {"kernel_size": 3, "n_layers": 1},
+                                   "point": {"pointwise_layers": 1}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPair",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    task = LitZ(cfg)
+    feats = rng.normal(size=(6, 16)).astype(np.float32)
+    db = {"feats": jnp.asarray(feats)}
+    out = np.asarray(task._features(db))
+    z = np.fft.rfft(feats, axis=-1)
+    want = np.concatenate([z.real, z.imag], axis=-1).astype(np.float32)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+    assert out.shape == (6, 2 * (16 // 2 + 1))
