@@ -334,9 +334,14 @@ class LitEZ(TaskBase):
         return f
 
     def loss_and_metrics(self, outputs, db):
+        # channel/label order follows the on-disk EZ layout (E, z) — the
+        # reference's PredictionWriter writes z into EZ[:, 1]
+        # (PredictionWriter.py:161-177) while its LitEZ training code reads
+        # the components swapped (LitEZ.py:66-67); we keep the disk layout
+        # so metric names match what the field actually holds.
         t = db["labels_rows"]
-        z_sum, z_w, _, _ = self.segment_loss(outputs[:, 0:1], db, t[:, 0])
-        e_sum, e_w, _, _ = self.segment_loss(outputs[:, 1:2], db, t[:, 1])
+        e_sum, e_w, _, _ = self.segment_loss(outputs[:, 0:1], db, t[:, 0])
+        z_sum, z_w, _, _ = self.segment_loss(outputs[:, 1:2], db, t[:, 1])
         loss_sum = z_sum + e_sum
         # both losses share the site count; report each normalized
         return loss_sum, z_w, {"MAE_z_sum": z_sum, "MAE_z_count": z_w,
@@ -344,10 +349,10 @@ class LitEZ(TaskBase):
 
     def test_outputs(self, outputs, db):
         t = db["labels_rows"]
-        _, _, tz, pz = self.segment_loss(outputs[:, 0:1], db, t[:, 0])
-        _, _, te, pe = self.segment_loss(outputs[:, 1:2], db, t[:, 1])
-        return {"predictions": jnp.concatenate([pz, pe], axis=1),
-                "target": jnp.concatenate([tz, te], axis=1)}
+        _, _, te, pe = self.segment_loss(outputs[:, 0:1], db, t[:, 0])
+        _, _, tz, pz = self.segment_loss(outputs[:, 1:2], db, t[:, 1])
+        return {"predictions": jnp.concatenate([pe, pz], axis=1),
+                "target": jnp.concatenate([te, tz], axis=1)}
 
 
 @registry.register("LitSegClassifier",

@@ -26,11 +26,11 @@ class EZEvaluatorBase:
 
     def add(self, predictions: np.ndarray, target: np.ndarray, c: np.ndarray,
             f: Optional[np.ndarray] = None) -> None:
-        """predictions/target dense [B, 2, NX, NY]: channel 0 = z, 1 = E
-        (LitEZ channel convention)."""
-        self.z_eval.add(predictions[:, 0:1], target[:, 0:1], c, f)
-        self.e_eval.add(predictions[:, 1:2], target[:, 1:2], c, f,
-                        z_pred=predictions[:, 0])
+        """predictions/target dense [B, 2, NX, NY]: channel 0 = E, 1 = z
+        (the on-disk EZ field layout — see LitEZ.loss_and_metrics)."""
+        self.e_eval.add(predictions[:, 0:1], target[:, 0:1], c, f,
+                        z_pred=predictions[:, 1])
+        self.z_eval.add(predictions[:, 1:2], target[:, 1:2], c, f)
 
     def add_batch(self, block, db, test_out) -> None:
         for d in range(test_out["predictions"].shape[0]):
