@@ -242,3 +242,33 @@ class P2XTableWriter(H5Output):
             shapes.append((1,))
             types.append(np.float64)
         self.copy_attrs(table, h5input, input_table, names, types, shapes)
+
+
+def _bench_chunk_read(path: str, rows_per_read: int = 2048) -> float:
+    """Chunk-read throughput micro-benchmark (the reference's unrecorded
+    HDF5IO.test1/test2 timeit at 2048 vs 8192 rows/read — ref :234-278).
+    Returns seconds to stream the whole file."""
+    import time
+
+    from waveformml_tpu.io.compound_types import extension_type_map
+
+    t = extension_type_map(path)
+    inp = H5Input(path)
+    inp.setup_table(t.name, t.type, t.event_index_name,
+                    event_index_coord=t.event_index_coord)
+    t0 = time.perf_counter()
+    n = 0
+    for chunk in inp.iter_chunks(rows_per_read):
+        n += chunk.shape[0]
+    dt = time.perf_counter() - t0
+    inp.close()
+    print(f"{path}: {n} rows at {rows_per_read} rows/read in {dt:.3f}s "
+          f"({n / max(dt, 1e-9):,.0f} rows/s)")
+    return dt
+
+
+if __name__ == "__main__":
+    import sys
+
+    for r in (2048, 8192):
+        _bench_chunk_read(sys.argv[1], r)

@@ -208,3 +208,24 @@ def cartesian_edge_attr(pos: np.ndarray, edges: np.ndarray,
         mv = max_value if max_value is not None else np.abs(rel).max(initial=1e-9)
         return rel / (2 * mv) + 0.5
     return rel
+
+
+def _bench_window_edges(n: int = 100_000) -> float:
+    """Edge-kernel micro-benchmark (the reference's GraphUtils.test on 100k
+    coordinates — ref :58-70). Returns seconds for one call."""
+    import time
+
+    rng = np.random.default_rng(0)
+    batch = np.sort(rng.integers(0, n // 4, n)).astype(np.int64)
+    coo = rng.integers(0, 14, (n, 2)).astype(np.int64)
+    order = np.lexsort((coo[:, 1], coo[:, 0], batch))
+    coo, batch = coo[order], batch[order]
+    t0 = time.perf_counter()
+    edges = window_edges(coo, batch, max_dist=1, self_loops=True)
+    dt = time.perf_counter() - t0
+    print(f"window_edges: {n} coords -> {edges.shape[1]} edges in {dt:.3f}s")
+    return dt
+
+
+if __name__ == "__main__":
+    _bench_window_edges()
