@@ -376,3 +376,56 @@ def test_litz_learns_z_on_synthetic(tmp_path):
     trainer = Trainer(cfg, task, seed=0, early_stopping_patience=100)
     metrics = trainer.fit(PSDDataModule(cfg))
     assert metrics["train_loss"] < 0.15, metrics
+
+
+def test_seg_classifier_learns_pid_on_synthetic(tmp_path):
+    """Per-segment PID classification learns from waveform shape: synthetic
+    WaveformPairCal pulses carry kind-dependent tail fractions, and
+    SPConvPreserveNet + label_map reaches >85% site accuracy."""
+    from waveformml_tpu.config import Config, validate_config
+    from waveformml_tpu.datasets.data_module import PSDDataModule
+    from waveformml_tpu.datasets.synthetic import write_wfpair_cal
+    from waveformml_tpu.engineering.tasks import LitSegClassifier
+    from waveformml_tpu.engineering.trainer import Trainer
+
+    d = tmp_path / "data" / "a"
+    os.makedirs(d)
+    for i in range(5):
+        write_wfpair_cal(str(d / f"f{i}_WFPairSim.h5"), 40, seed=i)
+    cfg = Config({
+        "run_config": {"exp_name": "segc", "run_class": "LitSegClassifier",
+                       "imports": []},
+        "system_config": {"model_name": "segc", "n_samples": 65, "n_type": 3,
+                          "type_names": ["io", "rc", "el"],
+                          "model_base_path": str(tmp_path / "model"),
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss",
+                       "criterion_params": [], "imports": [],
+                       "net_type": "2DConvolution", "net_class": "SPConvPreserveNet",
+                       "hparams": {"n_conv": 2,
+                                   "conv_params": {"pointwise_factor": 0,
+                                                   "pad_factor": 1.0,
+                                                   "size_factor": 3,
+                                                   "stride_factor": 1.2,
+                                                   "n_expansion": 1,
+                                                   "expansion_factor": 1.2,
+                                                   "version": 1,
+                                                   "n_contraction": 1}}},
+        "optimize_config": {"total_epoch": 40, "lr": 0.01, "validation_freq": 40,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9}},
+        "dataset_config": {"mode": "path", "imports": [],
+                           "base_path": str(tmp_path / "data"), "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPair",
+                           "dataset_params": {"label_name": "PID",
+                                              "label_map": {"1": 0, "4": 1,
+                                                            "6": 2}},
+                           "n_train": 120, "n_validate": 40,
+                           "dataloader_params": {"batch_size": 1,
+                                                 "num_workers": 0}},
+    })
+    validate_config(cfg)
+    task = LitSegClassifier(cfg)
+    trainer = Trainer(cfg, task, seed=0, early_stopping_patience=100)
+    metrics = trainer.fit(PSDDataModule(cfg))
+    assert metrics["val_accuracy"] > 0.85, metrics

@@ -172,7 +172,25 @@ def write_wfpair_cal(path: str, n_events: int, seed: int = 0,
 
     rng = np.random.default_rng(seed)
     t = WaveformPairCal()
-    ev = make_events(rng, n_events, 65, kind=0)
+    # per-pulse particle kind drives the tail fraction (the PSD handle), so
+    # PID labels are physically learnable from the waveform shape
+    coords, wfs, es, zs, kinds = [], [], [], [], []
+    pid_of_kind = np.array([1, 4, 6])
+    for e in range(n_events):
+        mult = int(rng.integers(1, 5))
+        sites = rng.choice(NX * NY, size=mult, replace=False)
+        for s in sites:
+            x, y = int(s % NX), int(s // NX)
+            kind = int(rng.integers(0, 3))
+            energy = float(rng.uniform(0.5, 10.0))
+            z = float(rng.uniform(-Z_SCALE / 2, Z_SCALE / 2))
+            coords.append([x, y, e])
+            wfs.append(synth_waveform_pair(rng, 65, energy, z, kind))
+            es.append(energy)
+            zs.append(z)
+            kinds.append(kind)
+    ev = {"coords": np.asarray(coords, np.int32), "waveforms": np.stack(wfs),
+          "E": np.asarray(es, np.float32), "z": np.asarray(zs, np.float32)}
     n = ev["coords"].shape[0]
     rec = np.zeros(n, dtype=t.type)
     rec["coord"] = ev["coords"]
@@ -183,8 +201,9 @@ def write_wfpair_cal(path: str, n_events: int, seed: int = 0,
     rec["EZ"][:, 0] = ev["E"]
     rec["EZ"][:, 1] = ev["z"]
     rec["PE"] = rng.uniform(10, 1000, (n, 2)).astype(np.float32)
-    rec["PSD"] = rng.uniform(0.1, 0.4, n).astype(np.float32)
-    rec["PID"] = rng.choice([1, 4, 6], n).astype(np.int32)
+    rec["PSD"] = (0.12 + 0.25 * np.asarray(kinds) / 2
+                  + rng.normal(0, 0.01, n)).astype(np.float32)
+    rec["PID"] = pid_of_kind[np.asarray(kinds)].astype(np.int32)
     with h5py.File(path, "w") as h5:
         h5.create_dataset("WaveformPairCal", data=rec)
         h5["WaveformPairCal"].attrs.create("nevents", np.array([float(n_events)]))
