@@ -207,3 +207,97 @@ def write_wfpair_cal(path: str, n_events: int, seed: int = 0,
     with h5py.File(path, "w") as h5:
         h5.create_dataset("WaveformPairCal", data=rec)
         h5["WaveformPairCal"].attrs.create("nevents", np.array([float(n_events)]))
+
+
+def _phys_vector(E, z, psd, rng, n):
+    """AD1 phys 7-vector (E, dt, PE0, PE1, z, PSD, t0) — AD1Evaluator schema."""
+    phys = np.zeros((n, 7), np.float32)
+    phys[:, 0] = E
+    phys[:, 1] = rng.normal(0, 1.0, n)          # dt
+    phys[:, 2] = E * 120 * np.exp(-z / 600)     # PE0
+    phys[:, 3] = E * 120 * np.exp(+z / 600)     # PE1
+    phys[:, 4] = z
+    phys[:, 5] = psd
+    phys[:, 6] = rng.uniform(0, 50, n)          # t0
+    return phys
+
+
+def write_wfnorm(path: str, n_events: int, seed: int = 0) -> None:
+    """Write a *WFNorm.h5 WaveformPairNorm table (normalized pulse pairs +
+    phys labels) for PulseDatasetWFPairNorm."""
+    from waveformml_tpu.io.compound_types import WaveformPairNorm
+
+    rng = np.random.default_rng(seed)
+    t = WaveformPairNorm()
+    ev = make_events(rng, n_events, 65, kind=0)
+    n = ev["coords"].shape[0]
+    rec = np.zeros(n, dtype=t.type)
+    rec["t"] = np.arange(n, dtype=np.float64)
+    rec["coord"] = ev["coords"]
+    rec["pulse"] = (ev["waveforms"] / MAX_RANGE).astype(np.float32)
+    psd = rng.uniform(0.1, 0.4, n).astype(np.float32)
+    rec["phys"] = _phys_vector(ev["E"], ev["z"], psd, rng, n)
+    rec["EZ"][:, 0] = ev["E"]
+    rec["EZ"][:, 1] = ev["z"]
+    rec["PID"] = rng.choice([1, 4, 6], n).astype(np.int32)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as h5:
+        h5.create_dataset(t.NAME, data=rec)
+        h5[t.NAME].attrs.create("nevents", np.array([float(n_events)]))
+
+
+def write_pulse_norm(path: str, n_pulses: int, seed: int = 0,
+                     n_samples: int = 65) -> None:
+    """Write a *PulseNorm.h5 WaveformNorm table (single normalized waveforms
+    with scalar det ids) for PulseDatasetWaveformNorm. The PSD phys entry is
+    the true tail fraction, so regressors can learn it from the shape."""
+    from waveformml_tpu.io.compound_types import WaveformNorm
+
+    rng = np.random.default_rng(seed)
+    t = WaveformNorm()
+    rec = np.zeros(n_pulses, dtype=t.type)
+    samples = np.arange(n_samples, dtype=np.float64)
+    for i in range(n_pulses):
+        tail = float(rng.uniform(0.05, 0.45))
+        t0 = 6.0 + rng.uniform(-1, 1)
+        dt = np.clip(samples - t0, 0, None)
+        shape = (1 - np.exp(-np.clip((samples - t0) / 1.5, 0, None))) \
+            * ((1 - tail) * np.exp(-dt / 3.0) + tail * np.exp(-dt / 25.0))
+        amp = rng.uniform(0.05, 0.9)
+        wf = np.zeros(130, np.float32)
+        wf[:n_samples] = (amp * shape).astype(np.float32)
+        rec["pulse"][i] = wf
+        rec["phys"][i] = _phys_vector(np.float32(amp * 10),
+                                      np.float32(rng.uniform(-500, 500)),
+                                      np.float32(tail), rng, 1)[0]
+    rec["t"] = np.arange(n_pulses, dtype=np.float64)
+    rec["evt"] = np.arange(n_pulses, dtype=np.int64)
+    rec["det"] = rng.integers(0, 308, n_pulses).astype(np.int32)
+    rec["EZ"][:, 0] = rec["phys"][:, 0]
+    rec["EZ"][:, 1] = rec["phys"][:, 4]
+    rec["PID"] = rng.choice([1, 4, 6], n_pulses).astype(np.int32)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as h5:
+        h5.create_dataset(t.NAME, data=rec)
+        h5[t.NAME].attrs.create("nevents", np.array([float(n_pulses)]))
+
+
+def write_wf_features(path: str, n_events: int, n_features: int = 8,
+                      seed: int = 0) -> None:
+    """Write a *WFFeatures.h5 NormFeatures table (extracted per-segment
+    feature vectors) for PulseDatasetNormFeatures."""
+    rng = np.random.default_rng(seed)
+    ev = make_events(rng, n_events, 8, kind=0)
+    n = ev["coords"].shape[0]
+    dt = np.dtype([("coord", np.int32, (3,)), ("features", np.float32, (n_features,)),
+                   ("EZ", np.float32, (2,)), ("PID", np.int32)])
+    rec = np.zeros(n, dtype=dt)
+    rec["coord"] = ev["coords"]
+    rec["features"] = rng.normal(size=(n, n_features)).astype(np.float32)
+    rec["EZ"][:, 0] = ev["E"]
+    rec["EZ"][:, 1] = ev["z"]
+    rec["PID"] = rng.choice([1, 4, 6], n).astype(np.int32)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as h5:
+        h5.create_dataset("NormFeatures", data=rec)
+        h5["NormFeatures"].attrs.create("nevents", np.array([float(n_events)]))

@@ -36,6 +36,16 @@ class TemporalWaveformNet(nn.Module):
         planes += [int(round(contract_factor * (hp.n_contract - i - 1)))
                    for i in range(hp.n_contract)]
         planes[-1] = hp.out_planes
+        if min(planes) < 1:
+            # the reference's formula (WaveformModels.py:19-25) can yield
+            # 0-channel levels for small expansion factors; torch would error
+            # at Conv1d construction, flax would silently build a dead trunk —
+            # clamp to 1 channel instead
+            import logging
+            logging.getLogger(__name__).warning(
+                "TCN plane schedule %s contains empty levels; clamping to 1",
+                planes)
+            planes = [max(1, p) for p in planes]
         self.model = TemporalConvNet(1, planes, **to_dict(hp.conv_params))
         self.n_lin = hp.n_lin
         if hp.n_lin > 0:
