@@ -63,6 +63,8 @@ def test_psd_end_to_end_training(psd_setup):
     assert math.isfinite(metrics["train_loss"])
     assert "val_loss" in metrics
     assert "val_accuracy" in metrics
+    # throughput accounting: real rows / wall time over all train steps
+    assert trainer.waveforms_per_second and trainer.waveforms_per_second > 0
     # the synthetic classes are separable: accuracy should beat chance
     assert metrics["val_accuracy"] >= 0.6, metrics
     assert metrics["train_accuracy"] > 0.8, metrics
@@ -363,7 +365,8 @@ def test_litz_learns_z_on_synthetic(tmp_path):
                                    "point": {"pointwise_layers": 1}}},
         "optimize_config": {"total_epoch": 40, "lr": 0.003, "validation_freq": 40,
                             "imports": [], "optimizer_class": "optim.SGD",
-                            "optimizer_params": {"momentum": 0.9}},
+                            "optimizer_params": {"momentum": 0.9,
+                                                 "nesterov": True}},
         "dataset_config": {"mode": "path", "imports": [],
                            "base_path": str(tmp_path / "data"), "paths": ["a"],
                            "dataset_class": "PulseDatasetRealWFPair",
@@ -413,7 +416,8 @@ def test_seg_classifier_learns_pid_on_synthetic(tmp_path):
                                                    "n_contraction": 1}}},
         "optimize_config": {"total_epoch": 40, "lr": 0.01, "validation_freq": 40,
                             "imports": [], "optimizer_class": "optim.SGD",
-                            "optimizer_params": {"momentum": 0.9}},
+                            "optimizer_params": {"momentum": 0.9,
+                                                 "nesterov": True}},
         "dataset_config": {"mode": "path", "imports": [],
                            "base_path": str(tmp_path / "data"), "paths": ["a"],
                            "dataset_class": "PulseDatasetWFPair",

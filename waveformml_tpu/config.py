@@ -41,7 +41,12 @@ class Config:
         return getattr(self, key)
 
     def __setitem__(self, key: str, value: Any) -> None:
-        setattr(self, key, _wrap(value))
+        setattr(self, key, value)
+
+    def __setattr__(self, key: str, value: Any) -> None:
+        # wrap on every assignment path so cfg.sec.key = {...} and
+        # cfg.sec["key"] = {...} behave identically
+        object.__setattr__(self, key, _wrap(value))
 
     def __contains__(self, key: str) -> bool:
         return hasattr(self, key)
@@ -219,13 +224,23 @@ def validate_config(config: Config, requirements: Optional[Dict[str, Any]] = Non
             if key.startswith("_"):
                 continue
             here = f"{path}/{key}" if path else key
-            if isinstance(default, dict):
+            if isinstance(default, dict) and not path:
+                # top-level config sections recurse per-property
                 if not hasattr(node, key):
                     setattr(node, key, Config({}))
                 sub = getattr(node, key)
                 if not isinstance(sub, Config):
                     raise ValueError(f"config key {here} must be a section (dict)")
                 _apply(sub, default, here)
+            elif isinstance(default, dict):
+                # dict-valued property defaults are ATOMIC (ref util.py:332-338):
+                # filled wholesale when the key is absent, never merged per-key
+                # into a present value (e.g. optimizer_params={} with Adam must
+                # NOT inherit the SGD momentum default)
+                if not hasattr(node, key):
+                    setattr(node, key, _wrap(copy.deepcopy(default)))
+                elif not isinstance(getattr(node, key), Config):
+                    raise ValueError(f"config key {here} must be a dict")
             else:
                 if not hasattr(node, key):
                     if _has_default(default):

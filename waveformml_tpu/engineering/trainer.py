@@ -108,6 +108,7 @@ class Trainer:
         self._train_step_fn = None
         self._eval_step_fn = None
         self._step_times: List[float] = []
+        self._step_rows: List[float] = []
 
     # -- step functions ---------------------------------------------------------------
 
@@ -430,6 +431,7 @@ class Trainer:
             if prof:
                 prof.stop("run_training_step")
             self._step_times.append(time.time() - t0)
+            self._step_rows.append(_count_rows(db_host))
             total_loss += loss
             count += 1
             self.state.step += 1
@@ -452,6 +454,7 @@ class Trainer:
             if prof:
                 prof.stop("run_training_step")
             self._step_times.append((time.time() - t0) / K)
+            self._step_rows.append(sum(_count_rows(d) for d in dbs_host) / K)
             total_loss += float(losses.sum())
             count += K
             self.state.step += K
@@ -622,9 +625,20 @@ class Trainer:
 
     @property
     def waveforms_per_second(self) -> Optional[float]:
-        if not self._step_times:
+        """Mean training throughput in real (unpadded) waveform rows per
+        second, over all dispatched train steps this run."""
+        total_t = sum(self._step_times)
+        if not total_t:
             return None
-        return None
+        return sum(self._step_rows) / total_t
+
+
+def _count_rows(db_host: Dict[str, np.ndarray]) -> float:
+    """Real (mask-valid) waveform rows in a prepared host batch."""
+    if "mask" in db_host:
+        return float(np.asarray(db_host["mask"]).sum())
+    first = next(iter(db_host.values()))
+    return float(np.asarray(first).shape[0])
 
 
 def _accumulate(agg: Dict[str, Any], metrics: Dict[str, Any]) -> None:

@@ -31,12 +31,26 @@ _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native")
 
 
+def _src_digest() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read())
+    h.update(b"debug" if os.environ.get("WFML_NATIVE_DEBUG") == "1" else b"opt")
+    return h.hexdigest()
+
+
 def _build_library() -> Optional[str]:
     os.makedirs(_CACHE_DIR, exist_ok=True)
     so_path = os.path.join(_CACHE_DIR, "libwindow_edges.so")
-    if os.path.exists(so_path) and \
-            os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
-        return so_path
+    stamp = so_path + ".src_hash"
+    digest = _src_digest()
+    # content-hash staleness check: mtimes are unreliable after a fresh
+    # checkout, and a foreign -march=native binary must never be loaded
+    if os.path.exists(so_path) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == digest:
+                return so_path
     # WFML_NATIVE_DEBUG=1 → debug build (the reference's custom_functions
     # toggles -g -O0 -pedantic -Wall the same way, __init__.py:14-19)
     opt = (["-g", "-O0", "-pedantic", "-Wall"]
@@ -45,6 +59,8 @@ def _build_library() -> Optional[str]:
     cmd = ["g++", *opt, "-fopenmp", "-shared", "-fPIC", _SRC, "-o", so_path]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        with open(stamp, "w") as f:
+            f.write(digest)
         return so_path
     except Exception as e:
         log.warning("native edge-kernel build failed (%s); using numpy fallback", e)

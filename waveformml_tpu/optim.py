@@ -27,17 +27,43 @@ def _sgd(lr: float, momentum: float = 0.0, weight_decay: float = 0.0,
     """torch.optim.SGD semantics: v = μv + (1-dampening)·g; update uses
     nesterov lookahead when set; weight_decay is L2 (added to grad)."""
 
+    if nesterov and dampening:
+        raise ValueError("nesterov momentum requires zero dampening "
+                         "(torch.optim.SGD contract)")
+
     def build(learning_rate):
         chain = []
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
-        if momentum:
+        if momentum and dampening:
+            chain.append(_trace_with_dampening(momentum, dampening))
+        elif momentum:
             chain.append(optax.trace(decay=momentum, nesterov=nesterov,
                                      accumulator_dtype=None))
         chain.append(optax.scale_by_learning_rate(learning_rate))
         return optax.chain(*chain)
 
     return optax.inject_hyperparams(build)(learning_rate=lr)
+
+
+def _trace_with_dampening(momentum: float, dampening: float) -> optax.GradientTransformation:
+    """torch momentum buffer with dampening: buf_0 = g_0 (no dampening on the
+    very first step), buf_t = momentum*buf + (1-dampening)*g thereafter."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return {"trace": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "count": jnp.zeros([], jnp.int32)}
+
+    def update(updates, state, params=None):
+        first = state["count"] == 0
+        scale = jnp.where(first, 1.0, 1.0 - dampening)
+        new_trace = jax.tree_util.tree_map(
+            lambda t, g: momentum * t + scale * g, state["trace"], updates)
+        return new_trace, {"trace": new_trace, "count": state["count"] + 1}
+
+    return optax.GradientTransformation(init, update)
 
 
 def _adam(lr: float, betas=(0.9, 0.999), eps: float = 1e-8,
