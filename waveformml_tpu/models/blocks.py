@@ -62,8 +62,11 @@ class MaskedArrayBatchNorm(nn.Module):
             var = vsum / count
             if not self.is_initializing():
                 mom = self.momentum
+                # torch updates running_var with the UNBIASED batch variance
+                # (Bessel), while normalizing with the biased one
+                var_unbiased = vsum / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (1 - mom) * ra_mean.value + mom * mean.astype(jnp.float32)
-                ra_var.value = (1 - mom) * ra_var.value + mom * var.astype(jnp.float32)
+                ra_var.value = (1 - mom) * ra_var.value + mom * var_unbiased.astype(jnp.float32)
         else:
             mean = ra_mean.value.astype(x.dtype)
             var = ra_var.value.astype(x.dtype)

@@ -57,6 +57,12 @@ class SparseGrid:
     features: jax.Array
     occupancy: jax.Array
     indice_occ: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
+    # static per-indice_key record of the paired forward conv's geometry
+    # ((key, (kernel, stride, padding, dilation)), ...) — spconv infers the
+    # inverse conv's upsampling geometry from the indice_key pairing, so the
+    # grid must carry it (hashable tuple: it is jit-static metadata)
+    indice_geom: Tuple[Tuple[str, Tuple[Tuple[int, ...], ...]], ...] = \
+        dataclasses.field(default=(), metadata=dict(static=True))
 
     @property
     def batch_size(self) -> int:
@@ -75,12 +81,24 @@ class SparseGrid:
         return self.features.shape[-1]
 
     def with_features(self, f: jax.Array, occ: Optional[jax.Array] = None,
-                      save_key: Optional[str] = None) -> "SparseGrid":
+                      save_key: Optional[str] = None,
+                      save_geom: Optional[Tuple[Tuple[int, ...], ...]] = None,
+                      ) -> "SparseGrid":
         new_occ = self.occupancy if occ is None else occ
         keys = dict(self.indice_occ)
+        geoms = self.indice_geom
         if save_key is not None:
             keys[save_key] = self.occupancy
-        return SparseGrid(f, new_occ, keys)
+            if save_geom is not None:
+                geoms = tuple(t for t in geoms if t[0] != save_key) \
+                    + ((save_key, save_geom),)
+        return SparseGrid(f, new_occ, keys, geoms)
+
+    def geom_for(self, key: str) -> Optional[Tuple[Tuple[int, ...], ...]]:
+        for k, rec in self.indice_geom:
+            if k == key:
+                return rec
+        return None
 
     def masked(self) -> jax.Array:
         """Features with the mask enforced (zeros at inactive sites)."""
@@ -133,7 +151,8 @@ class SubMConv2d(nn.Module):
                     use_bias=self.use_bias, dtype=g.features.dtype,
                     name="conv")(g.masked())
         y = y * g.occupancy[..., None].astype(y.dtype)
-        return g.with_features(y, save_key=self.indice_key)
+        return g.with_features(y, save_key=self.indice_key,
+                               save_geom=(k, (1,) * nd, p, d))
 
 
 class SparseConv2d(nn.Module):
@@ -160,22 +179,33 @@ class SparseConv2d(nn.Module):
         new_occ = dilate_occupancy(g.occupancy, k, s, p, d)
         y = y * new_occ[..., None].astype(y.dtype)
         keys = dict(g.indice_occ)
+        geoms = g.indice_geom
         if self.indice_key is not None:
             keys[self.indice_key] = g.occupancy
-        return SparseGrid(y, new_occ, keys)
+            geoms = tuple(t for t in geoms if t[0] != self.indice_key) \
+                + ((self.indice_key, (k, s, p, d)),)
+        return SparseGrid(y, new_occ, keys, geoms)
 
 
 class SparseInverseConv2d(nn.Module):
-    """Inverse sparse conv: transposed conv that restores the occupancy saved
-    under ``indice_key`` by the paired forward conv."""
+    """Inverse sparse conv: the exact transposed convolution of the paired
+    forward conv, restoring the occupancy (and spatial shape) saved under
+    ``indice_key``.
+
+    spconv infers the inverse geometry (stride/padding/dilation) from the
+    indice_key pairing (ref: SPConvBlocks.py:806-811 passes only the kernel
+    size and the key); the grid carries that geometry in ``indice_geom``.
+    out[i] = Σ_{j, t : i = j·s + t·d − p} w[t] x[j] — i.e. a fractionally
+    strided conv (lhs_dilation=s) with the spatially flipped kernel; the
+    floor-cut tail of a strided pairing (torch's output_padding) falls out of
+    the end-padding computed against the saved occupancy's shape.
+    """
 
     in_channels: int
     out_channels: int
     kernel_size: Union[int, Sequence[int]] = 3
     indice_key: str = ""
     use_bias: bool = True
-    stride: Union[int, Sequence[int]] = 1
-    padding: Union[int, Sequence[int]] = 0
 
     @nn.compact
     def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
@@ -184,20 +214,39 @@ class SparseInverseConv2d(nn.Module):
                              f"have {list(g.indice_occ)}")
         prev_occ = g.indice_occ[self.indice_key]
         nd = g.ndim_spatial
-        k, s, p = (_ntuple(self.kernel_size, nd), _ntuple(self.stride, nd),
-                   _ntuple(self.padding, nd))
-        y = nn.ConvTranspose(self.out_channels, k, strides=s,
-                             padding=[(pi, pi) for pi in p],
-                             use_bias=self.use_bias, dtype=g.features.dtype,
-                             name="conv")(g.masked())
-        # crop/pad to the saved occupancy's spatial shape
-        target = prev_occ.shape[1:]
-        y = y[(slice(None),) + tuple(slice(0, t) for t in target)]
-        if any(y.shape[1 + i] < target[i] for i in range(nd)):
-            pads = [(0, 0)] + [(0, target[i] - y.shape[1 + i]) for i in range(nd)] + [(0, 0)]
-            y = jnp.pad(y, pads)
+        k = _ntuple(self.kernel_size, nd)
+        geom = g.geom_for(self.indice_key)
+        if geom is None:
+            # no recorded pair (e.g. key saved by with_features directly):
+            # assume a stride-1 "same" pairing like SubM
+            s_f, p_f, d_f = (1,) * nd, tuple((ki - 1) // 2 for ki in k), (1,) * nd
+        else:
+            k_f, s_f, p_f, d_f = geom
+            if tuple(k_f) != k:
+                raise ValueError(
+                    f"kernel_size {k} != paired conv kernel {tuple(k_f)} for "
+                    f"indice_key '{self.indice_key}' (spconv requires them equal)")
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            k + (self.in_channels, self.out_channels), jnp.float32)
+        w = jnp.flip(kernel.astype(g.features.dtype), axis=tuple(range(nd)))
+        x = g.masked()
+        o, target = x.shape[1:-1], prev_occ.shape[1:]
+        pads = []
+        for i in range(nd):
+            lo = d_f[i] * (k[i] - 1) - p_f[i]
+            min_out = (o[i] - 1) * s_f[i] + d_f[i] * (k[i] - 1) - 2 * p_f[i] + 1
+            pads.append((lo, lo + (target[i] - min_out)))
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,) * nd, padding=pads,
+            lhs_dilation=s_f, rhs_dilation=d_f,
+            dimension_numbers=_conv_dims(nd))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.out_channels,), jnp.float32)
+            y = y + bias.astype(y.dtype)
         y = y * prev_occ[..., None].astype(y.dtype)
-        return SparseGrid(y, prev_occ, dict(g.indice_occ))
+        return SparseGrid(y, prev_occ, dict(g.indice_occ), g.indice_geom)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -238,8 +287,11 @@ class MaskedBatchNorm(nn.Module):
             var = vsum / count
             if not self.is_initializing():
                 m = self.momentum
+                # torch updates running_var with the UNBIASED batch variance
+                # (Bessel), while normalizing with the biased one
+                var_unbiased = vsum / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean.astype(jnp.float32)
-                ra_var.value = (1 - m) * ra_var.value + m * var.astype(jnp.float32)
+                ra_var.value = (1 - m) * ra_var.value + m * var_unbiased.astype(jnp.float32)
         else:
             mean, var = ra_mean.value.astype(x.dtype), ra_var.value.astype(x.dtype)
         y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias

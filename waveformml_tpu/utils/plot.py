@@ -155,6 +155,80 @@ def plot_waveforms(waveforms: Sequence[np.ndarray], labels: Sequence[str],
     return fig
 
 
+def plot_contour(X, Y, Z, xlabel: str = "", ylabel: str = "", title: str = "",
+                 filled: bool = True, cmap: str = "viridis"):
+    """Single contour plot of Z[x, y] on the (X, Y) grid
+    (ref: PlotUtils.py:165-177 plot_contour; Z transposed so axis 0 is x)."""
+    fig, ax = plt.subplots()
+    Zt = np.asarray(Z, dtype=np.float64).T
+    if filled:
+        cs = ax.contourf(X, Y, Zt, cmap=cmap)
+        fig.colorbar(cs, ax=ax)
+    else:
+        cs = ax.contour(X, Y, Zt, cmap=cmap)
+        ax.clabel(cs, inline=True)
+    ax.set(xlabel=xlabel, ylabel=ylabel, title=title)
+    fig.tight_layout()
+    return fig
+
+
+def plot_n_contour(X, Y, Zs: Sequence[np.ndarray], xlabel: str = "",
+                   ylabel: str = "", titles: Sequence[str] = (),
+                   suptitle: Optional[str] = None, cmap: str = "viridis"):
+    """Grid of filled contour panels, ≤3 per row, outer labels only
+    (ref: PlotUtils.py:120-162 plot_n_contour)."""
+    n = len(Zs)
+    ncols = min(3, n)
+    nrows = -(-n // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4.0 * 3.9, 4.0 * nrows),
+                             squeeze=False)
+    if suptitle:
+        fig.suptitle(suptitle)
+    for k, (z, t) in enumerate(zip(Zs, titles)):
+        ax = axes[k // ncols][k % ncols]
+        cs = ax.contourf(X, Y, np.asarray(z, dtype=np.float64).T, cmap=cmap)
+        fig.colorbar(cs, ax=ax)
+        ax.set_title(t)
+        if k % ncols == 0:
+            ax.set_ylabel(ylabel)
+        if k // ncols == (n - 1) // ncols:
+            ax.set_xlabel(xlabel)
+        ax.label_outer()
+    for k in range(n, nrows * ncols):
+        axes[k // ncols][k % ncols].axis("off")
+    return fig
+
+
+def gen_animation(frames: Sequence, outfile: str, interval: int = 50):
+    """Save an animated GIF/MP4 from a sequence of 2D arrays (rendered as
+    imshow frames) or pre-built artists (ref: PlotUtils.py:668-676)."""
+    from matplotlib import animation
+
+    fig = plt.figure()
+    artists = []
+    for fr in frames:
+        if hasattr(fr, "get_figure"):          # already a matplotlib artist
+            artists.append([fr])
+        else:
+            im = plt.imshow(np.asarray(fr, dtype=np.float64).T, origin="lower",
+                            cmap="viridis", animated=True)
+            artists.append([im])
+    ani = animation.ArtistAnimation(fig, artists, interval=interval, blit=True,
+                                    repeat_delay=1000)
+    ani.save(outfile)
+    plt.close(fig)
+    return outfile
+
+
+def plot_bar(x, y, xlabel: str = "", ylabel: str = "", title: str = ""):
+    """Simple bar plot (ref: PlotUtils.py:180-185 plot_bar)."""
+    fig, ax = plt.subplots()
+    ax.bar(x, y, color=MAIN_COLOR)
+    ax.set(xlabel=xlabel, ylabel=ylabel, title=title)
+    fig.tight_layout()
+    return fig
+
+
 def plot_scatter(x: np.ndarray, y: np.ndarray, xlabel: str = "", ylabel: str = "",
                  title: str = ""):
     fig, ax = plt.subplots()
