@@ -250,3 +250,171 @@ def test_trainer_test_pass_runs_evaluator(tmp_path, rng):
     assert task.evaluator is not None
     assert task.evaluator.confusion.sum() > 0
     assert any("confusion" in k for k in logger.figures)
+
+
+def test_z_deviation_accumulator_matches_reference_semantics(rng):
+    """Vectorized ZDeviationAccumulator == a scalar oracle implementing the
+    reference kernel semantics (SparseUtils.py:1156-1175, 1260-1419, 1422-1456):
+    mult column mult-1 clipped to an overflow column, under/overflow z/E bins,
+    single = seg_status > 0, signed error hists at the sample segments."""
+    from waveformml_tpu.evaluation.z_eval import (
+        NMULT_REF, SAMPLE_SEGS, ZDeviationAccumulator)
+
+    N = 400
+    x = rng.integers(0, NX, N)
+    y = rng.integers(0, NY, N)
+    # make sure the sample segments are hit
+    x[:30], y[:30] = SAMPLE_SEGS[0]
+    mult = rng.integers(1, 9, N)
+    pred = rng.uniform(-0.3, 1.3, N)
+    targ = rng.uniform(-0.3, 1.3, N)
+    E = rng.uniform(-1.0, 12.0, N)
+    seg_status = np.zeros((NX, NY))
+    seg_status[rng.random((NX, NY)) < 0.3] = 0.5
+    is_single = seg_status[x, y] > 0
+
+    acc = ZDeviationAccumulator()
+    acc.add(pred, targ, x, y, mult, is_single, E=E)
+
+    # scalar oracle
+    nb, nm = acc.n_bins, NMULT_REF
+    seg = np.zeros((NX, NY, nm + 1))
+    segn = np.zeros((NX, NY, nm + 1))
+    zm = {w: [np.zeros((nb + 2, nm + 1)), np.zeros((nb + 2, nm + 1))]
+          for w in ("single", "dual")}
+    em = {w: [np.zeros((nb + 2, nm + 1)), np.zeros((nb + 2, nm + 1))]
+          for w in ("single", "dual")}
+    serr = np.zeros((len(SAMPLE_SEGS), nm + 1, acc.n_err_bins + 2))
+
+    def bin_of(v, low, high, n):
+        if v < low:
+            return 0
+        if v >= high:
+            return n + 1
+        bw = (high - low) / n
+        for k in range(1, n + 1):
+            if k * bw + low > v:
+                return k
+        return n
+
+    for i in range(N):
+        m = mult[i] - 1 if 1 <= mult[i] <= nm else nm
+        err = abs(pred[i] - targ[i])
+        zb = bin_of((targ[i] - 0.5) * 1200.0, -600.0, 600.0, nb)
+        eb = bin_of(E[i], 0.0, 10.0, nb)
+        seg[x[i], y[i], m] += err
+        segn[x[i], y[i], m] += 1
+        w = "single" if seg_status[x[i], y[i]] > 0 else "dual"
+        zm[w][0][zb, m] += err
+        zm[w][1][zb, m] += 1
+        em[w][0][eb, m] += err
+        em[w][1][eb, m] += 1
+        for si, (sx, sy) in enumerate(SAMPLE_SEGS):
+            if x[i] == sx and y[i] == sy:
+                ebn = bin_of((pred[i] - targ[i]) * 1200.0, -1000.0, 1000.0,
+                             acc.n_err_bins)
+                serr[si, m, ebn] += 1
+
+    np.testing.assert_allclose(acc.seg_mult[0], seg, atol=1e-10)
+    np.testing.assert_array_equal(acc.seg_mult[1], segn)
+    for w in ("single", "dual"):
+        np.testing.assert_allclose(acc.z_mult[w][0], zm[w][0], atol=1e-10)
+        np.testing.assert_array_equal(acc.z_mult[w][1], zm[w][1])
+        np.testing.assert_allclose(acc.E_mult[w][0], em[w][0], atol=1e-10)
+        np.testing.assert_array_equal(acc.E_mult[w][1], em[w][1])
+    np.testing.assert_array_equal(acc.seg_sample_error, serr)
+
+
+def test_z_evaluator_full_depth_dump(rng):
+    """The full reference figure set: per-mult segment matrices, sample-segment
+    error hists, (z|E)×mult total+MAE maps, summary scalars + line figures."""
+    from waveformml_tpu.evaluation.z_eval import SAMPLE_SEGS, ZEvaluatorWF
+    from waveformml_tpu.ops.sparse import consecutive_event_index
+
+    logger = FakeLogger()
+    ev = ZEvaluatorWF(logger)
+    B, N = 20, 60
+    coords = np.stack([rng.integers(0, NX, N), rng.integers(0, NY, N),
+                       np.sort(rng.integers(0, B, N))], axis=1).astype(np.int32)
+    coords[:10, 0], coords[:10, 1] = SAMPLE_SEGS[0]     # hit a sample segment
+    target = np.zeros((B, 1, NX, NY))
+    pred = np.zeros((B, 1, NX, NY))
+    b = consecutive_event_index(coords[:, 2])
+    tvals = rng.uniform(0.2, 0.8, N)
+    target[b, 0, coords[:, 0], coords[:, 1]] = tvals
+    pred[b, 0, coords[:, 0], coords[:, 1]] = tvals + rng.normal(0, 0.1, N)
+    E = rng.uniform(0.5, 8.0, N)
+    ev.add(pred, target, coords, E=E)
+    ev.dump()
+    assert "evaluation/single_mae" in logger.scalars
+    assert "evaluation/dual_mae" in logger.scalars
+    figs = logger.figures
+    assert any(k.startswith("evaluation/z_seg_6_5_mult_") for k in figs), figs
+    assert any(k.startswith("evaluation/z_seg_mult_") for k in figs)
+    assert "evaluation/z_mult_single" in figs or "evaluation/z_mult_dual" in figs
+    assert "evaluation/z_mult_mae_dual" in figs or "evaluation/z_mult_mae_single" in figs
+    assert "evaluation/E_mult_mae_dual" in figs or "evaluation/E_mult_mae_single" in figs
+    assert "evaluation/error_summary_mult" in figs
+
+
+def test_plot_contour_n_contour_bar_animation(tmp_path):
+    from waveformml_tpu.utils.plot import (gen_animation, plot_bar,
+                                           plot_contour, plot_n_contour)
+
+    X = np.linspace(0, 1, 8)
+    Y = np.linspace(0, 2, 6)
+    Z = np.outer(np.sin(X * 3), np.cos(Y))          # [x, y] layout
+    fig = plot_contour(X, Y, Z, "x", "y", "t")
+    assert fig is not None
+    fig2 = plot_contour(X, Y, Z, "x", "y", "t", filled=False)
+    assert fig2 is not None
+    figs = plot_n_contour(X, Y, [Z, Z * 2, Z * 3, -Z], titles=list("abcd"),
+                          xlabel="x", ylabel="y", suptitle="panels")
+    assert len(figs.get_axes()) >= 4
+    fig3 = plot_bar([1, 2, 3], [4.0, 5.0, 6.0], "x", "y")
+    assert fig3 is not None
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+    out = str(tmp_path / "anim.gif")
+    frames = [np.outer(np.sin(X * 3 + k), np.cos(Y)) for k in range(4)]
+    gen_animation(frames, out)
+    assert os.path.getsize(out) > 0
+
+
+def test_waveform_evaluator_z_binned_sample_metrics(rng):
+    """analyze_wf_z accumulates |z - z_pred| vs the first-sample amplitudes of
+    both PMTs, per z bin + all-z, and dump emits z{i}_/allz_ figures
+    (ref WaveformEvaluator.py:32-135)."""
+    from waveformml_tpu.evaluation.waveform_eval import (N_FIRST, N_Z_BINS,
+                                                         WaveformEvaluator)
+
+    logger = FakeLogger()
+    ev = WaveformEvaluator(logger, wf_analysis=True)
+    assert ev.analyze_waveforms
+    N, S = 50, 16
+    wf = np.zeros((N, 2 * S), np.float32)
+    # sharp pulse with exponential tail on both sides
+    t = np.arange(S)
+    for i in range(N):
+        start = rng.integers(2, 6)
+        shape = np.where(t >= start, np.exp(-(t - start) / 3.0), 0.0)
+        wf[i, :S] = shape * rng.uniform(0.002, 0.01)
+        wf[i, S:] = shape * rng.uniform(0.002, 0.01)
+    c = np.stack([rng.integers(0, NX, N), rng.integers(0, NY, N),
+                  np.arange(N)], axis=1).astype(np.int32)
+    z = rng.uniform(-590, 590, N)
+    z_pred = z + rng.normal(0, 30, N)
+    ev.analyze_wf_z(wf, c, z, z_pred)
+    # all-z aggregator saw every row twice (both PMT sides)
+    allz = ev.z_binned_metric_pairs[-1].aggregators[0]
+    assert allz.count[0].sum() == 2 * N
+    aligned = ev._align_first_samples(wf)
+    assert aligned.shape == (N, 2, N_FIRST)
+    # aligned: first sample is the arrival sample (peak region, nonzero)
+    assert (aligned[:, :, 0] > 0).mean() > 0.9
+    ev.dump_wf_z()
+    assert any(k.startswith("allz_") for k in logger.figures)
+    assert any(k.startswith("z1_") or k.startswith("z5_") for k in logger.figures)
+    # fft of aligned pulses has the right shape
+    assert ev.fft_pulses(wf).shape == (N, 2, N_FIRST // 2 + 1)

@@ -21,6 +21,20 @@ N_Z_BINS = 10
 N_FIRST = 5
 
 
+class _NamespacedLogger:
+    """Prefixes figure tags — the reference passes a namespace to
+    MetricPairAggregator.plot (ref WaveformEvaluator.py:131-135)."""
+
+    def __init__(self, logger, prefix: str):
+        self._logger, self._prefix = logger, prefix
+
+    def log_figure(self, tag, fig, *a, **k):
+        self._logger.log_figure(self._prefix + tag, fig, *a, **k)
+
+    def __getattr__(self, item):
+        return getattr(self._logger, item)
+
+
 class WaveformEvaluator(SingleEndedEvaluator):
     def __init__(self, logger=None, calgroup=None, align_target: int = 10, **kwargs):
         super().__init__(logger, calgroup=calgroup, **kwargs)
@@ -30,6 +44,38 @@ class WaveformEvaluator(SingleEndedEvaluator):
         self._wf_n = np.zeros(N_Z_BINS)
         self.first_sum = np.zeros((N_Z_BINS, N_FIRST))
         self.first_n = np.zeros(N_Z_BINS)
+        # z-binned first-sample z-MAE metric pairs (ref :22-67): built only
+        # when waveform analysis is requested, as in the reference
+        self.analyze_waveforms = "wf_analysis" in kwargs
+        self.has_PID = False
+        names = kwargs.get("additional_field_names") or []
+        self.additional_field_names = list(names)
+        if "PID" in self.additional_field_names:
+            self.PID_index = self.additional_field_names.index("PID")
+            self.has_PID = True
+        if self.analyze_waveforms:
+            self._init_sample_metrics()
+
+    def _init_sample_metrics(self) -> None:
+        """One MetricPairAggregator of the first-N sample amplitudes per z bin
+        (under, N_Z_BINS interior, over) plus an all-z aggregate
+        (ref WaveformEvaluator.py:32-67 init_sample_metrics)."""
+        from waveformml_tpu.evaluation.metric_agg import (MetricAggregator,
+                                                          MetricPairAggregator)
+
+        if self.has_PID:
+            from waveformml_tpu.evaluation.pid_eval import PID_MAPPED_NAMES
+
+            class_names = list(PID_MAPPED_NAMES.values())
+        else:
+            class_names = ["any"]
+        self.z_binned_metric_pairs = []
+        for _ in range(N_Z_BINS + 3):            # +2 under/over, +1 all-z
+            metrics = [MetricAggregator(
+                f"sample {i}", 1.0e-6, 0.01 * (i + 1), 100, class_names,
+                metric_name="z", metric_unit="mae",
+                parameter_unit="normalized ADC") for i in range(N_FIRST)]
+            self.z_binned_metric_pairs.append(MetricPairAggregator(metrics))
 
     def add(self, wfs: np.ndarray, z_mm: np.ndarray) -> None:
         """wfs: [N, 2S] normalized pairs; z_mm: true z [mm] per row."""
@@ -48,6 +94,72 @@ class WaveformEvaluator(SingleEndedEvaluator):
             frac = np.where(tot > 0, first / np.maximum(tot, 1e-12), 0.0)
         np.add.at(self.first_sum, zi, frac)
         np.add.at(self.first_n, zi, 1)
+
+    def _align_first_samples(self, f: np.ndarray) -> np.ndarray:
+        """Both PMT waveforms of each pair aligned to arrival, first N_FIRST
+        samples: [N, 2, N_FIRST] (ref :78-83 _align_wfs)."""
+        n_samples = f.shape[1] // 2
+        pair = np.asarray(f, dtype=np.float64).reshape(f.shape[0], 2, n_samples)
+        out = np.zeros((f.shape[0], 2, N_FIRST))
+        for side in range(2):
+            wf = pair[:, side]
+            aligned = align_wfs(wf, calc_arrival_batch(wf), 0)
+            out[:, side] = aligned[:, :N_FIRST]
+        return out
+
+    def analyze_wf_z(self, wf: np.ndarray, c: np.ndarray, z: np.ndarray,
+                     z_pred: np.ndarray, additional_fields=None) -> None:
+        """Accumulate |z − z_pred| against the first-sample amplitudes of both
+        PMT waveforms, per z bin and over all z, optionally split by PID class
+        (ref WaveformEvaluator.py:85-127 analyze_wf_z)."""
+        if not self.analyze_waveforms:
+            return
+        if self.has_PID and additional_fields is not None:
+            from waveformml_tpu.evaluation.pid_eval import (PID_MAPPED_NAMES,
+                                                            map_pid)
+
+            raw = np.asarray(additional_fields[self.PID_index])
+            class_indices = raw if 3 in raw else map_pid(raw)
+            cat_of = dict(PID_MAPPED_NAMES)
+        else:
+            class_indices = np.zeros(c.shape[0], dtype=np.int64)
+            cat_of = {0: "any"}
+        wfs = np.transpose(self._align_first_samples(wf), (2, 1, 0))  # [S, 2, N]
+        results = np.abs(np.asarray(z) - np.asarray(z_pred))
+        inc = self.z_scale / N_Z_BINS
+        lo = -self.z_scale / 2
+        for side in range(2):
+            self.z_binned_metric_pairs[-1].add(results, wfs[:, side], "any")
+        for i in range(N_Z_BINS + 2):
+            if i == 0:
+                zsel = z <= lo
+            elif i == N_Z_BINS + 1:
+                zsel = z >= -lo
+            elif i == N_Z_BINS:
+                zsel = (z > lo + (i - 1) * inc) & (z < -lo)
+            else:
+                zsel = (z > lo + (i - 1) * inc) & (z <= lo + i * inc)
+            for j, cat in cat_of.items():
+                sel = zsel & (class_indices == j) if self.has_PID else zsel
+                if not np.any(sel):
+                    continue
+                for side in range(2):
+                    self.z_binned_metric_pairs[i].add(results[sel],
+                                                      wfs[:, side][:, sel], cat)
+
+    def dump_wf_z(self) -> None:
+        """(ref :129-135 dump_wf_z)"""
+        if not self.analyze_waveforms or self.logger is None:
+            return
+        for i in range(N_Z_BINS + 2):
+            self.z_binned_metric_pairs[i].plot(
+                _NamespacedLogger(self.logger, f"z{i}_"))
+        self.z_binned_metric_pairs[-1].plot(
+            _NamespacedLogger(self.logger, "allz_"))
+
+    def fft_pulses(self, f: np.ndarray) -> np.ndarray:
+        """rFFT of the aligned first samples (ref :147-148 fft_pulses)."""
+        return np.fft.rfft(self._align_first_samples(f))
 
     def z_E_from_cal(self, c: np.ndarray, f: np.ndarray):
         """Classical (z, E) maps for a sparse batch (ref :69-76)."""
@@ -74,3 +186,4 @@ class WaveformEvaluator(SingleEndedEvaluator):
                       for i in range(N_Z_BINS) if present[i]]
             self.logger.log_figure(self.namespace + "aligned_waveforms_by_z",
                                    plot_waveforms(wfs, labels))
+        self.dump_wf_z()

@@ -7,7 +7,7 @@ NN predictions when a calgroup is available (ref :126-139, :414-451, :502-526).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -17,8 +17,100 @@ from waveformml_tpu.evaluation.metric_agg import MetricAggregator
 from waveformml_tpu.evaluation.stats import ErrorAggregator
 from waveformml_tpu.ops.calibration import calc_calib_z_E
 from waveformml_tpu.ops.sparse import consecutive_event_index
+from waveformml_tpu.utils.util import get_bin_midpoints, get_bins, safe_divide
 
 N_MULT = 5  # multiplicity categories 1..4 and 5+ (ref: _init_results)
+NMULT_REF = 6          # ref ZEvaluatorBase.nmult (ZEvaluator.py:29)
+SAMPLE_SEGS = np.array([[5, 4], [10, 3], [7, 5]], dtype=np.int64)  # ref :93
+
+
+def _bin_index(v: np.ndarray, low: float, high: float, n: int) -> np.ndarray:
+    """Reference binning: 0 = underflow, n+1 = overflow, interior 1..n with
+    exact-edge values going to the upper bin (ref SparseUtils.py:1275-1284)."""
+    bw = (high - low) / n
+    idx = np.floor((np.asarray(v, np.float64) - low) / bw).astype(np.int64) + 1
+    idx = np.clip(idx, 1, n)
+    idx = np.where(v < low, 0, idx)
+    idx = np.where(v >= high, n + 1, idx)
+    return idx
+
+
+class ZDeviationAccumulator:
+    """Vectorized equivalent of the reference's z_deviation_with_E + z_error
+    numba kernels (ref SparseUtils.py:1260-1419, 1422-1456): per-segment ×
+    multiplicity MAE, (z, mult) and (E, mult) binned MAE split single/dual
+    ended, and per-sample-segment signed error histograms."""
+
+    def __init__(self, nmult: int = NMULT_REF, n_bins: int = 20,
+                 n_err_bins: int = 50, z_scale: float = 1200.0,
+                 E_low: float = 0.0, E_high: float = 10.0,
+                 error_low: float = -1000.0, error_high: float = 1000.0):
+        self.nmult, self.n_bins, self.n_err_bins = nmult, n_bins, n_err_bins
+        self.z_scale = z_scale
+        self.E_low, self.E_high = E_low, E_high
+        self.error_low, self.error_high = error_low, error_high
+        self.seg_mult = (np.zeros((NX, NY, nmult + 1)),
+                         np.zeros((NX, NY, nmult + 1), np.int64))
+        mk = lambda: (np.zeros((n_bins + 2, nmult + 1)),
+                      np.zeros((n_bins + 2, nmult + 1), np.int64))
+        self.z_mult = {"single": mk(), "dual": mk()}
+        self.E_mult = {"single": mk(), "dual": mk()}
+        self.seg_sample_error = np.zeros(
+            (len(SAMPLE_SEGS), nmult + 1, n_err_bins + 2), np.int64)
+
+    @property
+    def z_bin_edges(self):
+        return get_bins(-self.z_scale / 2, self.z_scale / 2, self.n_bins)
+
+    @property
+    def E_bin_edges(self):
+        return get_bins(self.E_low, self.E_high, self.n_bins)
+
+    @property
+    def mult_bin_edges(self):
+        return get_bins(0.5, self.nmult + 0.5, self.nmult)
+
+    @property
+    def z_err_edges(self):
+        return get_bins(self.error_low, self.error_high, self.n_err_bins)
+
+    def add(self, pred: np.ndarray, targ: np.ndarray, x: np.ndarray,
+            y: np.ndarray, mult: np.ndarray, is_single: np.ndarray,
+            E: Optional[np.ndarray] = None) -> None:
+        err = np.abs(pred - targ)
+        mcat = np.where((mult >= 1) & (mult <= self.nmult), mult - 1, self.nmult)
+        true_z = (targ - 0.5) * self.z_scale
+        z_bin = _bin_index(true_z, -self.z_scale / 2, self.z_scale / 2, self.n_bins)
+        np.add.at(self.seg_mult[0], (x, y, mcat), err)
+        np.add.at(self.seg_mult[1], (x, y, mcat), 1)
+        for sel, name in ((is_single, "single"), (~is_single, "dual")):
+            if sel.any():
+                np.add.at(self.z_mult[name][0], (z_bin[sel], mcat[sel]), err[sel])
+                np.add.at(self.z_mult[name][1], (z_bin[sel], mcat[sel]), 1)
+                if E is not None:
+                    e_bin = _bin_index(E[sel], self.E_low, self.E_high, self.n_bins)
+                    np.add.at(self.E_mult[name][0], (e_bin, mcat[sel]), err[sel])
+                    np.add.at(self.E_mult[name][1], (e_bin, mcat[sel]), 1)
+        signed = (pred - targ) * self.z_scale
+        err_bin = _bin_index(signed, self.error_low, self.error_high,
+                             self.n_err_bins)
+        for si, (sx, sy) in enumerate(SAMPLE_SEGS):
+            sel = (x == sx) & (y == sy)
+            if sel.any():
+                np.add.at(self.seg_sample_error, (si, mcat[sel], err_bin[sel]), 1)
+
+    def summary(self, which: str) -> Tuple[float, list]:
+        """(overall MAE [mm], per-mult MAE list [mm]) for 'single'/'dual'."""
+        dev, cnt = self.z_mult[which]
+        total = float(safe_divide(dev.sum(), cnt.sum())) * self.z_scale
+        per_mult = [float(safe_divide(dev[:, m].sum(), cnt[:, m].sum()))
+                    * self.z_scale for m in range(self.nmult)]
+        return total, per_mult
+
+    def mae_vs_E(self, which: str) -> list:
+        dev, cnt = self.E_mult[which]
+        return [float(safe_divide(dev[i, :].sum(), cnt[i, :].sum())) * self.z_scale
+                for i in range(1, self.n_bins + 1)]
 
 
 class ZEvaluatorBase(SingleEndedEvaluator):
@@ -44,11 +136,16 @@ class ZEvaluatorBase(SingleEndedEvaluator):
                                      metric_unit="mm", scale_factor=self.z_scale)
         self.register_segment_metric("seg_mae", "z MAE", "mm",
                                      n_extra=N_MULT, extra_bins=(0.5, N_MULT + 0.5, N_MULT))
+        # full-depth reference accumulators (ZEvaluator.py:93-125): segment ×
+        # mult MAE, (z|E) × mult single/dual MAE, sample-segment error hists —
+        # one for the NN and a parallel one for the calibration baseline
+        self.dev = ZDeviationAccumulator(z_scale=self.z_scale)
         self._has_cal_metrics = False
         if self.hascal:
             self.z_mae_cal = MetricAggregator(
                 "true_z_cal", zb[0], zb[1], 50, cats, metric_name="z MAE (cal)",
                 metric_unit="mm", parameter_unit="mm", scale_factor=self.z_scale)
+            self.dev_cal = ZDeviationAccumulator(z_scale=self.z_scale)
             self._has_cal_metrics = True
 
     # -- core accumulation ---------------------------------------------------------
@@ -76,15 +173,22 @@ class ZEvaluatorBase(SingleEndedEvaluator):
                 self.E_mae.add(err[sel], E[sel], cat)
             self.error.add_norm(pred[sel], targ[sel], cat)
         self.accumulate("seg_mae", err, (x, y, mult_cat))
+        # ref increments single for any seg_status > 0 (SE or dead)
+        is_single = self.seg_status[x, y] > 0
+        self.dev.add(pred, targ, x, y, mult, is_single, E=E)
         if self._has_cal_metrics and f is not None:
             cal = self.z_from_cal(c, f, target)
             if cal is not None:
-                cal_pred = cal[b, x, y]
+                cal_z, cal_E = cal if isinstance(cal, tuple) else (cal, None)
+                cal_pred = cal_z[b, x, y]
                 cal_err = np.abs(cal_pred - targ)
                 for se_val, cat in ((True, "single ended"), (False, "double ended")):
                     sel = is_se == se_val
                     if sel.any():
                         self.z_mae_cal.add(cal_err[sel], z_true[sel], cat)
+                E_rows = E if E is not None else (
+                    cal_E[b, x, y] if cal_E is not None else None)
+                self.dev_cal.add(cal_pred, targ, x, y, mult, is_single, E=E_rows)
 
     def z_from_cal(self, c, f, targ, E=None):
         return None
@@ -110,6 +214,93 @@ class ZEvaluatorBase(SingleEndedEvaluator):
         self.log_segment_metric("seg_mae", "z_mae_segment", "z MAE by segment")
         if self._has_cal_metrics:
             self.z_mae_cal.plot(self.logger)
+        self._retrieve_error_metrics()
+        self._dump_deviation(self.dev, prefix="")
+        if self._has_cal_metrics:
+            self._dump_deviation(self.dev_cal, prefix="cal_")
+
+    def _retrieve_error_metrics(self) -> None:
+        """Summary scalars + NN-vs-cal MultiLine figures
+        (ref: ZEvaluator.py:140-230 retrieve_error_metrics)."""
+        from waveformml_tpu.utils.plot import plot_lines
+
+        single, single_mult = self.dev.summary("single")
+        dual, dual_mult = self.dev.summary("dual")
+        self.logger.log_scalar(self.namespace + "single_mae", single, 0)
+        self.logger.log_scalar(self.namespace + "dual_mae", dual, 0)
+        mults = list(range(1, self.dev.nmult + 1))
+        if self._has_cal_metrics:
+            single_cal, single_mult_cal = self.dev_cal.summary("single")
+            dual_cal, dual_mult_cal = self.dev_cal.summary("dual")
+            self.logger.log_scalar(self.namespace + "single_mae_cal", single_cal, 0)
+            self.logger.log_scalar(self.namespace + "dual_mae_cal", dual_cal, 0)
+            self.logger.log_figure(
+                self.namespace + "z_error_summary_mult",
+                plot_lines(mults, [single_mult, dual_mult, single_mult_cal,
+                                   dual_mult_cal],
+                           ["single NN", "dual NN", "single cal", "dual cal"],
+                           "multiplicity", "MAE [mm]"))
+            centers = get_bin_midpoints(self.dev.E_low, self.dev.E_high,
+                                        self.dev.n_bins)
+            for which, title in (("single", "Single Ended"), ("dual", "Dual Ended")):
+                self.logger.log_figure(
+                    self.namespace + f"z_error_summary_E_{which}",
+                    plot_lines(centers,
+                               [self.dev.mae_vs_E(which),
+                                self.dev_cal.mae_vs_E(which)],
+                               ["NN", "calibration"],
+                               "Visible Energy [MeV]", "MAE [mm]",
+                               title=title))
+        else:
+            self.logger.log_figure(
+                self.namespace + "error_summary_mult",
+                plot_lines(mults, [single_mult, dual_mult],
+                           ["single NN", "dual NN"], "multiplicity", "MAE [mm]"))
+
+    def _dump_deviation(self, dev: ZDeviationAccumulator, prefix: str) -> None:
+        """Per-mult segment matrices, sample-segment error hists, and the
+        (z|E) × mult total/MAE 2D maps (ref: ZEvaluator.py:232-415 dump)."""
+        from waveformml_tpu.utils.plot import (plot_hist1d, plot_hist2d,
+                                               plot_segment_matrix)
+
+        for m in range(dev.nmult):
+            for j, (sx, sy) in enumerate(SAMPLE_SEGS):
+                counts = dev.seg_sample_error[j, m, 1:dev.n_err_bins + 1]
+                if counts.sum() == 0:
+                    continue
+                self.logger.log_figure(
+                    self.namespace + f"{prefix}z_seg_{sx + 1}_{sy + 1}_mult_{m + 1}_error",
+                    plot_hist1d(dev.z_err_edges, counts,
+                                xlabel="z error [mm]", ylabel="total / bin",
+                                title=f"segment {sx + 1},{sy + 1} mult {m + 1}"))
+            if dev.seg_mult[1][:, :, m].sum() > 0:
+                self.logger.log_figure(
+                    self.namespace + f"{prefix}z_seg_mult_{m + 1}_mae",
+                    plot_segment_matrix(
+                        dev.z_scale * safe_divide(dev.seg_mult[0][:, :, m],
+                                                  dev.seg_mult[1][:, :, m]),
+                        title=f"mult = {m + 1}", label="z MAE [mm]"))
+        for table, edges, xlab in ((dev.z_mult, dev.z_bin_edges, "Z [mm]"),
+                                   (dev.E_mult, dev.E_bin_edges,
+                                    "Visible Energy [MeV]")):
+            kind = "z" if xlab.startswith("Z") else "E"
+            for which in ("single", "dual"):
+                devsum, cnt = table[which]
+                if cnt.sum() == 0:
+                    continue
+                interior = (slice(1, dev.n_bins + 1), slice(0, dev.nmult))
+                self.logger.log_figure(
+                    self.namespace + f"{prefix}{kind}_mult_{which}",
+                    plot_hist2d(edges, dev.mult_bin_edges, cnt[interior],
+                                xlabel=xlab, ylabel="multiplicity",
+                                title=f"Total - {which} ended"))
+                self.logger.log_figure(
+                    self.namespace + f"{prefix}{kind}_mult_mae_{which}",
+                    plot_hist2d(edges, dev.mult_bin_edges,
+                                safe_divide(devsum[interior],
+                                            cnt[interior]) * dev.z_scale,
+                                xlabel=xlab, ylabel="multiplicity",
+                                title=f"MAE - {which} ended"))
 
     def metrics(self) -> Dict[str, float]:
         """Summary numbers (MAE in mm per SE/DE)."""
@@ -142,7 +333,7 @@ class ZEvaluatorWF(ZEvaluatorBase):
         coords = np.stack([c[:, 0], c[:, 1], b], axis=1).astype(np.int64)
         calc_calib_z_E(coords, np.asarray(f, dtype=np.float64), z_out, E_out,
                        self.calibrator.tables(), self.z_scale, n_samples)
-        return z_out
+        return z_out, E_out
 
 
 class ZEvaluatorPhys(ZEvaluatorBase):
