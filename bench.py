@@ -1,25 +1,37 @@
 #!/usr/bin/env python
-"""Benchmark: sparse detector-grid PSD training throughput, TPU vs CPU torch.
+"""Benchmark suite: the 5 BASELINE.md configs + a compute-heavy bf16 config,
+TPU (JAX) vs the reference stack's CPU-torch compute pattern.
 
-Measures the flagship SPConvNet-style sparse PSD classifier's full training
-step (forward + backward + update) in waveforms/sec on the available JAX
-device, against the reference-stack-equivalent PyTorch model running the same
-workload on CPU (the reference's implemented reality is single-device
-CPU/GPU torch — SURVEY §2.11; BASELINE.md north star: ≥10× waveforms/sec/chip
-over the CPU torch baseline).
+Configs (BASELINE.json `configs` 1-5):
+  1. dense Conv1d PSD classifier        -> bench_dense_conv1d
+  2. WFParams waveform-parameter regr.  -> bench_wfparams
+  3. SparseConv2d detector-grid PSD     -> bench_sparse_psd (headline, printed LAST)
+  4. Z WritePredictions streaming       -> bench_stream (end-to-end incl. HDF5 IO)
+  5. HPO sweep (TPE + MedianPruner)     -> bench_hpo
+  +  compute-heavy bf16 sparse PSD      -> bench_heavy (step time + MFU estimate)
 
-Methodology: K jit train steps are dispatched back-to-back (each step's
-output state feeds the next, so the work is fully chained) and timed with a
-single host fetch of the final loss — async dispatch pipelines the tunnel
-latency away while the fetch forces completion of all K steps.
+Each prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...};
+the flagship sparse PSD line is printed last (the driver parses the final
+line).  All lines are also written to bench_results.json.
+
+Methodology (train configs): K jit train steps are dispatched back-to-back
+(each step's output state feeds the next, so the work is fully chained) and
+timed with a single host fetch of the final loss — async dispatch pipelines
+the tunnel latency away while the fetch forces completion of all K steps.
 ``jax.block_until_ready`` alone does NOT synchronize through this
 environment's TPU tunnel; only a host materialization does.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+torch-CPU baseline batch sizing: per-waveform throughput of the torch models
+is batch-size-stable — measured on the sparse config: 1817 wf/s at 512 events
+vs 1823 wf/s at 4096 events (<0.4% difference), so the smaller torch batch is
+used to bound baseline wall-clock without biasing the ratio.
+
+Select a subset with BENCH_ONLY=name1,name2 (names above without `bench_`).
 """
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -33,6 +45,16 @@ AVG_MULT = 3            # pulses per event
 N_TYPE = 2
 SCAN_STEPS = 50
 TORCH_STEPS = 8
+
+RESULTS = []
+
+
+def _emit(metric, value, unit, vs_baseline, **extra):
+    entry = {"metric": metric, "value": round(float(value), 2), "unit": unit,
+             "vs_baseline": round(float(vs_baseline), 2), **extra}
+    RESULTS.append(entry)
+    print(json.dumps(entry), flush=True)
+    return entry
 
 
 def _synthetic_batch(rng, n_events, n_feat):
@@ -48,25 +70,17 @@ def _synthetic_batch(rng, n_events, n_feat):
     return coords, feats, labels
 
 
-def bench_jax() -> float:
-    """Waveforms/sec for the jit SPMD train step, K chained dispatches."""
+def _chained_train_wps(cfg, task, block, n_warmup=3, n_steps=SCAN_STEPS,
+                       count_rows=None):
+    """Waveforms/sec of the jit train step, K chained dispatches; returns
+    (wps, step_seconds, trainer)."""
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship
-    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
-    from waveformml_tpu.engineering.tasks import LitPSD
     from waveformml_tpu.engineering.trainer import Trainer
     from waveformml_tpu.parallel.mesh import make_mesh
 
-    cfg = _flagship(n_samples=N_SAMPLES)
-    task = LitPSD(cfg)
-    mesh = make_mesh(jax.devices()[:1])
-    trainer = Trainer(cfg, task, mesh=mesh, seed=0)
-
-    rng = np.random.default_rng(0)
-    coords, feats, labels = _synthetic_batch(rng, N_EVENTS, 2 * N_SAMPLES)
-    block = FileBlock(coords, feats, labels, {})
+    trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0)
     trainer._ensure_state(block)
     db = {k: jnp.asarray(v) for k, v in trainer._device_batch(block).items()}
     step_rng = jax.random.PRNGKey(0)
@@ -79,35 +93,84 @@ def bench_jax() -> float:
          trainer.state.opt_state) = out[0], out[1], out[2]
         return out[3]
 
-    for _ in range(3):
+    for _ in range(n_warmup):
         loss = one_step()
     float(loss)  # warmup + compile, synced
     t0 = time.perf_counter()
-    for _ in range(SCAN_STEPS):
+    for _ in range(n_steps):
         loss = one_step()
     float(loss)  # host fetch forces completion of the whole chain
-    dt = (time.perf_counter() - t0) / SCAN_STEPS
-    return coords.shape[0] / dt
+    dt = (time.perf_counter() - t0) / n_steps
+    rows = count_rows if count_rows is not None else block.coords.shape[0]
+    return rows / dt, dt, trainer
 
 
-def bench_torch_cpu() -> float:
-    """Equivalent-capacity torch CPU training step (the reference stack's
-    compute pattern: scatter to dense + Conv2d stack + linear, CE loss,
-    SGD+momentum), waveforms/sec."""
+def _torch_train_wps(model_fn, x, y, crit, n_rows, steps=TORCH_STEPS, lr=0.01):
+    """Waveforms/sec for a torch CPU training loop over a fixed batch."""
     import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    model = model_fn()
+    opt = torch.optim.SGD(model.parameters(), lr=lr, momentum=0.9)
+
+    def one_step():
+        opt.zero_grad()
+        loss = crit(model(x), y)
+        loss.backward()
+        opt.step()
+
+    one_step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = (time.perf_counter() - t0) / steps
+    return n_rows / dt
+
+
+# ---------------------------------------------------------------------------------
+# config 3 (headline): sparse detector-grid PSD
+# ---------------------------------------------------------------------------------
+
+def _sparse_cfg(out_planes=8, n_conv=2, half_precision=0):
+    from __graft_entry__ import _flagship
+
+    cfg = _flagship(n_samples=N_SAMPLES)
+    hp = cfg.net_config.hparams
+    hp.out_planes = out_planes
+    hp.conv_params.n_conv = n_conv
+    cfg.system_config.half_precision = half_precision
+    return cfg
+
+
+def _sparse_block(n_events=N_EVENTS):
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+
+    rng = np.random.default_rng(0)
+    coords, feats, labels = _synthetic_batch(rng, n_events, 2 * N_SAMPLES)
+    return FileBlock(coords, feats, labels, {})
+
+
+def bench_sparse_jax() -> float:
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    cfg = _sparse_cfg()
+    block = _sparse_block()
+    wps, _, _ = _chained_train_wps(cfg, LitPSD(cfg), block)
+    return wps
+
+
+def _torch_sparse_model(n_feat, out_planes=8, n_conv=2):
+    """Reference compute pattern: scatter to dense + Conv2d stack + linear
+    (SubM on the dense grid == padded Conv2d), from the SAME schedule."""
     import torch.nn as nn
 
     from waveformml_tpu.detector import NX, NY
-    torch.set_num_threads(os.cpu_count() or 8)
-    n_feat = 2 * N_SAMPLES
-    # mirror the flagship SubM stack (SubM on the dense grid == padded Conv2d)
     from waveformml_tpu.models.sparse_blocks import SparseConv2DForEZ
 
-    specs = SparseConv2DForEZ.schedule(n_feat, out_planes=8, kernel_size=3,
-                                       n_conv=2, n_point=1, conv_position=1,
-                                       version=2)
-    convs = []
-    cfinal = n_feat
+    specs = SparseConv2DForEZ.schedule(n_feat, out_planes=out_planes,
+                                       kernel_size=3, n_conv=n_conv, n_point=1,
+                                       conv_position=1, version=2)
+    convs, cfinal = [], n_feat
     for spec in specs:
         if spec[0] == "subm":
             _, cin, cout, k, pd, _key = spec
@@ -118,52 +181,455 @@ def bench_torch_cpu() -> float:
         elif spec[0] == "relu":
             convs.append(nn.ReLU())
     flat = NX * NY * cfinal
-    model = nn.Sequential(*convs)
-    head = nn.Sequential(nn.Flatten(), nn.Linear(flat, 18), nn.Linear(18, N_TYPE))
-    params = list(model.parameters()) + list(head.parameters())
-    opt = torch.optim.SGD(params, lr=0.01, momentum=0.9, nesterov=True)
-    crit = nn.CrossEntropyLoss()
+    return nn.Sequential(*convs, nn.Flatten(), nn.Linear(flat, 18),
+                         nn.Linear(18, N_TYPE)), cfinal
 
+
+def bench_sparse_torch(out_planes=8, n_conv=2, steps=TORCH_STEPS) -> float:
+    import torch
+    import torch.nn as nn
+
+    from waveformml_tpu.detector import NX, NY
+
+    n_feat = 2 * N_SAMPLES
     rng = np.random.default_rng(0)
-    # same per-waveform workload as the JAX side, smaller batch (CPU throughput
-    # is batch-size-stable here; per-waveform rate is what we compare)
     coords, feats, labels = _synthetic_batch(rng, TORCH_EVENTS, n_feat)
     dense = np.zeros((TORCH_EVENTS, NX, NY, n_feat), dtype=np.float32)
     dense[coords[:, 2], coords[:, 0], coords[:, 1]] = feats
     x = torch.from_numpy(dense).permute(0, 3, 1, 2).contiguous()
     y = torch.from_numpy(labels)
+    return _torch_train_wps(
+        lambda: _torch_sparse_model(n_feat, out_planes, n_conv)[0],
+        x, y, nn.CrossEntropyLoss(), coords.shape[0], steps=steps)
 
-    def one_step():
-        opt.zero_grad()
-        loss = crit(head(model(x)), y)
-        loss.backward()
-        opt.step()
 
-    one_step()
+def bench_sparse_psd(backend):
+    jax_wps = bench_sparse_jax()
+    torch_wps = _safe(bench_sparse_torch)
+    _emit(f"sparse PSD train throughput ({backend})", jax_wps,
+          "waveforms/sec/chip", jax_wps / torch_wps if torch_wps else 0.0)
+
+
+# ---------------------------------------------------------------------------------
+# config 1: dense Conv1d PSD classifier
+# ---------------------------------------------------------------------------------
+
+CNN_PARAMS = {"num_channels": 1, "out_size": 8, "num_expand": 2,
+              "num_contract": 2, "expand_factor": 4, "size_factor": 7,
+              "stride_factor": 2}
+
+
+def _dense_cfg():
+    from waveformml_tpu.config import Config
+
+    n_samples = 2 * N_SAMPLES
+    return Config({
+        "run_config": {"exp_name": "bench", "run_class": "LitWaveform", "imports": []},
+        "system_config": {"model_name": "bench", "n_samples": n_samples,
+                          "n_type": N_TYPE, "type_names": ["a", "b"],
+                          "model_base_path": "/tmp/bench_model",
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "WaveformModels.ConvWaveformNet",
+                       "net_type": "CNN",
+                       "hparams": {"cnn_params": dict(CNN_PARAMS),
+                                   "n_lin": 2, "out_size": N_TYPE}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWaveformNorm",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+
+
+def _waveform_block(n_rows, n_feat, labels):
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+
+    rng = np.random.default_rng(1)
+    coords = rng.integers(0, 308, (n_rows, 1)).astype(np.int32)
+    feats = rng.random((n_rows, n_feat), dtype=np.float32)
+    return FileBlock(coords, feats, labels, {})
+
+
+def bench_dense_conv1d(backend):
+    import torch
+    import torch.nn as nn
+
+    from waveformml_tpu.engineering.tasks import LitWaveform
+    from waveformml_tpu.models.blocks import Conv1DNet
+
+    n_feat = 2 * N_SAMPLES
+    rng = np.random.default_rng(2)
+    n_rows = AVG_MULT * N_EVENTS  # same waveform count per step as sparse
+    labels = rng.integers(0, N_TYPE, n_rows).astype(np.int64)
+    cfg = _dense_cfg()
+    block = _waveform_block(n_rows, n_feat, labels)
+    jax_wps, _, _ = _chained_train_wps(cfg, LitWaveform(cfg), block)
+
+    # torch mirror from the SAME Conv1DNet schedule + ConvWaveformNet head
+    layers, out_len = Conv1DNet.schedule(n_feat, **CNN_PARAMS)
+
+    def make_model():
+        mods = []
+        for cin, cout, fs, st, pd in layers:
+            mods += [nn.Conv1d(cin, cout, fs, st, pd), nn.ReLU()]
+        out = out_len * layers[-1][1]
+        n_lin = 2
+        planes = [int(math.floor(out - i * ((out - N_TYPE) / n_lin)))
+                  for i in range(n_lin + 1)]
+        lin = []
+        for i in range(n_lin):
+            lin += [nn.Linear(planes[i], planes[i + 1]), nn.ReLU()]
+        return nn.Sequential(*mods, nn.Flatten(), *lin[:-1])
+
+    n_torch = AVG_MULT * TORCH_EVENTS
+    x = torch.from_numpy(
+        np.random.default_rng(3).random((n_torch, n_feat)).astype(np.float32)
+    )[:, None, :]
+    y = torch.from_numpy(labels[:n_torch])
+    torch_wps = _safe(lambda: _torch_train_wps(
+        make_model, x, y, nn.CrossEntropyLoss(), n_torch))
+    _emit(f"dense Conv1d PSD train throughput ({backend})", jax_wps,
+          "waveforms/sec/chip", jax_wps / torch_wps if torch_wps else 0.0)
+
+
+# ---------------------------------------------------------------------------------
+# config 2: WFParams waveform-parameter regression
+# ---------------------------------------------------------------------------------
+
+N_WFPARAMS = 5  # t0, rise, peak amplitude, tail fraction, width
+
+
+def bench_wfparams(backend):
+    import torch
+    import torch.nn as nn
+
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.engineering.tasks import LitWaveform
+
+    n_feat = 2 * N_SAMPLES
+    hp = {"n_expand": 1, "expansion_factor": 2, "n_contract": 2,
+          "out_size": N_WFPARAMS}
+    cfg = Config({
+        "run_config": {"exp_name": "bench", "run_class": "LitWaveform", "imports": []},
+        "system_config": {"model_name": "bench", "n_samples": n_feat,
+                          "n_type": N_TYPE, "type_names": ["a"],
+                          "model_base_path": "/tmp/bench_model",
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_class": "WaveformModels.LinearWaveformNet",
+                       "net_type": "MLP", "hparams": dict(hp)},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPairNorm",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    rng = np.random.default_rng(4)
+    n_rows = AVG_MULT * N_EVENTS
+    labels = rng.random((n_rows, N_WFPARAMS), dtype=np.float32)
+    block = _waveform_block(n_rows, n_feat, labels)
+    jax_wps, _, _ = _chained_train_wps(cfg, LitWaveform(cfg), block)
+
+    # torch mirror with the same LinearWaveformNet plane formula
+    planes = [n_feat]
+    expand = float((planes[0] * hp["expansion_factor"] - planes[0]) / hp["n_expand"])
+    planes += [int(round(planes[0] + expand * (i + 1))) for i in range(hp["n_expand"])]
+    contract = float((planes[-1] - N_WFPARAMS) / hp["n_contract"])
+    start_n = planes[-1]
+    planes += [int(round(start_n - contract * (i + 1)))
+               for i in range(hp["n_contract"])]
+    planes[-1] = N_WFPARAMS
+
+    def make_model():
+        mods = []
+        for i in range(len(planes) - 1):
+            mods.append(nn.Linear(planes[i], planes[i + 1]))
+            if i < len(planes) - 2:
+                mods.append(nn.ReLU())
+        return nn.Sequential(*mods)
+
+    n_torch = AVG_MULT * TORCH_EVENTS
+    x = torch.from_numpy(
+        np.random.default_rng(5).random((n_torch, n_feat)).astype(np.float32))
+    y = torch.from_numpy(labels[:n_torch])
+    torch_wps = _safe(lambda: _torch_train_wps(
+        make_model, x, y, nn.L1Loss(), n_torch))
+    _emit(f"WFParams regression train throughput ({backend})", jax_wps,
+          "waveforms/sec/chip", jax_wps / torch_wps if torch_wps else 0.0)
+
+
+# ---------------------------------------------------------------------------------
+# config 4: Z WritePredictions streaming pipeline (end-to-end incl. HDF5 IO)
+# ---------------------------------------------------------------------------------
+
+STREAM_EVENTS = 12000
+STREAM_READ = 2048   # reference default n_rows_per_read (PredictionWriter.py:39)
+
+
+def _z_setup(tmp):
+    """Trained-enough LitZ checkpoint + config + synthetic input file."""
+    import jax
+
+    from waveformml_tpu.config import Config, save_config
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.datasets.synthetic import write_wfpair_cal
+    from waveformml_tpu.engineering.tasks import LitZ
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    cfg = Config({
+        "run_config": {"exp_name": "z", "run_class": "LitZ", "imports": []},
+        "system_config": {"model_name": "z", "n_samples": N_SAMPLES, "n_type": 2,
+                          "type_names": ["a"], "model_base_path": os.path.join(tmp, "model"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_type": "2DConvolution",
+                       "algorithm": "conv",
+                       "hparams": {"conv": {"kernel_size": 3, "n_layers": 2},
+                                   "point": {"pointwise_layers": 1}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPair",
+                           "dataset_params": {}, "n_train": 8, "n_validate": 4},
+    })
+    config_path = os.path.join(tmp, "config.json")
+    save_config(cfg, config_path)
+    task = LitZ(cfg)
+    trainer = Trainer(cfg, task, mesh=make_mesh(__import__("jax").devices()[:1]),
+                      seed=0)
+    rng = np.random.default_rng(0)
+    coords = np.array([[1, 1, 0], [2, 2, 1]], dtype=np.int32)
+    feats = rng.random((2, 2 * N_SAMPLES)).astype(np.float32)
+    block = FileBlock(coords, feats, rng.random(2).astype(np.float32), {})
+    trainer._ensure_state(block)
+    ckpt = os.path.join(tmp, "model.ckpt")
+    trainer.save_checkpoint(ckpt)
+    input_path = os.path.join(tmp, "input_WFCalFilteredSE.h5")
+    write_wfpair_cal(input_path, n_events=STREAM_EVENTS, seed=4)
+    return config_path, ckpt, input_path
+
+
+def bench_stream(backend):
+    import tempfile
+
+    from waveformml_tpu.inference.prediction_writer import ZPredictionWriter
+
+    with tempfile.TemporaryDirectory() as tmp:
+        config_path, ckpt, input_path = _z_setup(tmp)
+        out_path = os.path.join(tmp, "out_ModelOut.h5")
+        pw = ZPredictionWriter(out_path, input_path, config_path, ckpt,
+                               n_rows_per_read=STREAM_READ,
+                               datatype="WaveformPairCal")
+        # warmup pass (compile) on a copy, then the timed pass
+        pw.write_predictions()
+        os.remove(out_path)
+        pw2 = ZPredictionWriter(out_path, input_path, config_path, ckpt,
+                                n_rows_per_read=STREAM_READ,
+                                datatype="WaveformPairCal")
+        t0 = time.perf_counter()
+        pw2.write_predictions()
+        jax_wps = STREAM_EVENTS / (time.perf_counter() - t0)
+
+        torch_wps = _safe(lambda: _torch_stream(input_path, tmp))
+    _emit(f"Z WritePredictions streaming throughput ({backend})", jax_wps,
+          "waveforms/sec end-to-end", jax_wps / torch_wps if torch_wps else 0.0)
+
+
+def _torch_stream(input_path, tmp):
+    """Reference hot loop (PredictionWriter.py:73-104): chunked HDF5 read →
+    scatter to dense grid → torch conv model → swap predictions → write."""
+    import h5py
+    import torch
+    import torch.nn as nn
+
+    from waveformml_tpu.detector import NX, NY
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    n_feat = 2 * N_SAMPLES
+    model = nn.Sequential(
+        nn.Conv2d(n_feat, 16, 3, 1, 1), nn.ReLU(),
+        nn.Conv2d(16, 16, 3, 1, 1), nn.ReLU(), nn.Conv2d(16, 1, 1))
+    model.eval()
+    out_path = os.path.join(tmp, "torch_ModelOut.h5")
     t0 = time.perf_counter()
-    for _ in range(TORCH_STEPS):
-        one_step()
-    dt = (time.perf_counter() - t0) / TORCH_STEPS
-    return coords.shape[0] / dt
+    n_done = 0
+    with h5py.File(input_path) as h5in, h5py.File(out_path, "w") as h5out:
+        din = h5in["WaveformPairCal"]
+        dout = h5out.create_dataset("WaveformPairCal", shape=din.shape,
+                                    dtype=din.dtype)
+        n = din.shape[0]
+        with torch.no_grad():
+            for lo in range(0, n, STREAM_READ):
+                rec = din[lo:lo + STREAM_READ]
+                wf = rec["waveform"].astype(np.float32)
+                seg = rec["det"] // 2
+                b = wf.shape[0]
+                dense = np.zeros((b, NX, NY, n_feat), dtype=np.float32)
+                dense[np.arange(b), seg % NX, seg // NX] = wf
+                x = torch.from_numpy(dense).permute(0, 3, 1, 2).contiguous()
+                z = model(x).reshape(b, -1).amax(1).numpy()
+                rec["EZ"][:, 1] = z
+                dout[lo:lo + b] = rec
+                n_done += b
+    return n_done / (time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------------
+# config 5: HPO sweep (native TPE + MedianPruner over the sparse PSD model)
+# ---------------------------------------------------------------------------------
+
+HPO_TRIALS = 3
+HPO_STEPS = 300       # steps per trial (JAX runs them; torch is projected)
+HPO_TORCH_PROBE = 6   # torch steps measured to project its sweep wall-clock
+
+
+def bench_hpo(backend):
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.optimization.hpo import create_study
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    block = _sparse_block()
+
+    def objective(trial):
+        lr = trial.suggest_float("lr", 1e-4, 1e-1, log=True)
+        cfg = _sparse_cfg()
+        cfg.optimize_config.lr = lr
+        task = LitPSD(cfg)
+        trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0)
+        trainer._ensure_state(block)
+        db = {k: jnp.asarray(v) for k, v in trainer._device_batch(block).items()}
+        rng = jax.random.PRNGKey(0)
+        loss = None
+        for i in range(HPO_STEPS):
+            out = trainer._train_step_fn(
+                trainer.state.params, trainer.state.batch_stats,
+                trainer.state.opt_state, rng, db)
+            (trainer.state.params, trainer.state.batch_stats,
+             trainer.state.opt_state) = out[0], out[1], out[2]
+            loss = out[3]
+            if i % 100 == 99:
+                trial.report(float(loss), i)
+                if trial.should_prune():
+                    from waveformml_tpu.optimization.hpo import TrialPruned
+                    raise TrialPruned()
+        return float(loss)
+
+    from waveformml_tpu.optimization.hpo import MedianPruner, TPESampler
+
+    study = create_study("bench_sweep", sampler=TPESampler(seed=0),
+                         pruner=MedianPruner(n_warmup_steps=10, interval_steps=3))
+    t0 = time.perf_counter()
+    study.optimize(objective, n_trials=HPO_TRIALS)
+    jax_s = time.perf_counter() - t0
+
+    # torch sweep wall-clock, projected from measured steady-state step time
+    # (full torch sweep = HPO_TRIALS*HPO_STEPS steps at 4096 events would run
+    # ~1.5h; step time is constant, so trials*steps*step_time is exact)
+    def project():
+        wps = bench_sparse_torch(steps=HPO_TORCH_PROBE)
+        step_s = (AVG_MULT * N_EVENTS) / wps  # at the JAX batch size
+        return HPO_TRIALS * HPO_STEPS * step_s
+
+    torch_s = _safe(project)
+    _emit(f"HPO sweep wall-clock, {HPO_TRIALS} trials x {HPO_STEPS} steps ({backend})",
+          jax_s, "seconds (lower is better)",
+          torch_s / jax_s if torch_s else 0.0,
+          torch_projected_s=round(torch_s, 1) if torch_s else None)
+
+
+# ---------------------------------------------------------------------------------
+# compute-heavy bf16 config: step time + MFU estimate
+# ---------------------------------------------------------------------------------
+
+HEAVY_PLANES = 64
+HEAVY_CONV = 4
+PEAK_TFLOPS = float(os.environ.get("WFML_PEAK_TFLOPS", 197.0))  # v5e bf16 peak
+
+
+def _sparse_train_flops(n_rows, n_events, n_feat, out_planes, n_conv):
+    """Analytic FLOPs per train step (fwd+bwd ~ 3x fwd) of the SubM stack."""
+    from waveformml_tpu.detector import NX, NY
+    from waveformml_tpu.models.sparse_blocks import SparseConv2DForEZ
+
+    specs = SparseConv2DForEZ.schedule(n_feat, out_planes=out_planes,
+                                       kernel_size=3, n_conv=n_conv, n_point=1,
+                                       conv_position=1, version=2)
+    fwd, cfinal = 0.0, n_feat
+    for spec in specs:
+        if spec[0] == "subm":
+            _, cin, cout, k, _pd, _key = spec
+            fwd += n_rows * (k * k) * cin * cout * 2
+            cfinal = cout
+    flat = NX * NY * cfinal
+    fwd += n_events * (flat * 18 + 18 * N_TYPE) * 2
+    return 3.0 * fwd
+
+
+def bench_heavy(backend):
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    cfg = _sparse_cfg(out_planes=HEAVY_PLANES, n_conv=HEAVY_CONV,
+                      half_precision=1)
+    block = _sparse_block()
+    wps, step_s, _ = _chained_train_wps(cfg, LitPSD(cfg), block)
+    flops = _sparse_train_flops(block.coords.shape[0], N_EVENTS,
+                                2 * N_SAMPLES, HEAVY_PLANES, HEAVY_CONV)
+    mfu = flops / step_s / (PEAK_TFLOPS * 1e12)
+    torch_wps = _safe(lambda: bench_sparse_torch(out_planes=HEAVY_PLANES,
+                                                 n_conv=HEAVY_CONV, steps=4))
+    _emit(f"compute-heavy bf16 sparse PSD train throughput ({backend})", wps,
+          "waveforms/sec/chip", wps / torch_wps if torch_wps else 0.0,
+          step_ms=round(step_s * 1e3, 3), mfu=round(mfu, 4),
+          tflops=round(flops / step_s / 1e12, 2))
+
+
+# ---------------------------------------------------------------------------------
+
+def _safe(fn):
+    """Baseline failure must not kill the bench."""
+    try:
+        return fn()
+    except Exception as e:
+        print(f"baseline failed: {e}", file=sys.stderr)
+        return None
 
 
 def main() -> int:
     import jax
 
     backend = jax.default_backend()
-    jax_wps = bench_jax()
+    only = os.environ.get("BENCH_ONLY")
+    names = [s.strip() for s in only.split(",")] if only else None
+    benches = [("dense_conv1d", bench_dense_conv1d),
+               ("wfparams", bench_wfparams),
+               ("stream", bench_stream),
+               ("hpo", bench_hpo),
+               ("heavy", bench_heavy),
+               ("sparse_psd", bench_sparse_psd)]  # headline LAST
+    for name, fn in benches:
+        if names is not None and name not in names:
+            continue
+        try:
+            fn(backend)
+        except Exception as e:
+            if name == "sparse_psd":
+                raise
+            print(f"bench {name} failed: {e}", file=sys.stderr)
     try:
-        torch_wps = bench_torch_cpu()
-    except Exception as e:  # baseline failure must not kill the bench
-        print(f"torch baseline failed: {e}", file=sys.stderr)
-        torch_wps = None
-    vs = (jax_wps / torch_wps) if torch_wps else 0.0
-    print(json.dumps({
-        "metric": f"sparse PSD train throughput ({backend})",
-        "value": round(jax_wps, 1),
-        "unit": "waveforms/sec/chip",
-        "vs_baseline": round(vs, 2),
-    }))
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_results.json"), "w") as f:
+            json.dump(RESULTS, f, indent=1)
+    except OSError:
+        pass
     return 0
 
 

@@ -433,3 +433,43 @@ def test_seg_classifier_learns_pid_on_synthetic(tmp_path):
     trainer = Trainer(cfg, task, seed=0, early_stopping_patience=100)
     metrics = trainer.fit(PSDDataModule(cfg))
     assert metrics["val_accuracy"] > 0.85, metrics
+
+
+def test_litwaveform_multi_output_regression_loss():
+    """WFParams-style multi-output regression: [N, K] predictions against an
+    [N] row mask must broadcast (regression: jnp.where shape error) and the
+    loss weight must count rows x K so the mean matches torch L1Loss."""
+    import jax.numpy as jnp
+
+    from waveformml_tpu.engineering.tasks import LitWaveform
+
+    cfg = Config({
+        "run_config": {"exp_name": "wfp", "run_class": "LitWaveform",
+                       "imports": []},
+        "system_config": {"model_name": "wfp", "n_samples": 12, "n_type": 2,
+                          "type_names": ["a"], "model_base_path": "/tmp/wfp",
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_class": "WaveformModels.LinearWaveformNet",
+                       "net_type": "MLP",
+                       "hparams": {"n_lin": 2, "out_size": 3}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPairNorm",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    task = LitWaveform(cfg)
+    rng = np.random.default_rng(0)
+    n, k = 6, 3
+    outputs = jnp.asarray(rng.random((8, k), dtype=np.float32))
+    labels = jnp.asarray(rng.random((8, k), dtype=np.float32))
+    mask = jnp.asarray(np.arange(8) < n)
+    db = {"labels": labels, "mask": mask}
+    loss_sum, weight, _ = task.loss_and_metrics(outputs, db)
+    # torch: nn.L1Loss()(outputs[:n], labels[:n]) == mean over n*k elements
+    expect = np.abs(np.asarray(outputs)[:n] - np.asarray(labels)[:n])
+    assert float(weight) == n * k
+    np.testing.assert_allclose(float(loss_sum) / float(weight),
+                               expect.mean(), rtol=1e-6)

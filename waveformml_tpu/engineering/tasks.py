@@ -29,6 +29,8 @@ from waveformml_tpu.registry import registry
 
 
 def _masked_sum(x, mask):
+    if x.ndim > mask.ndim:  # multi-output rows: mask [N] over elem [N, K]
+        mask = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
     return jnp.sum(jnp.where(mask, x, 0))
 
 
@@ -185,7 +187,13 @@ class LitWaveform(TaskBase):
         mask = db["mask"]
         elem = self.criterion.elementwise(p, labels)
         loss_sum = _masked_sum(elem, mask)
-        weight = jnp.maximum(jnp.sum(mask), 1)
+        # torch criterion 'mean' reduction averages over every element, so for
+        # multi-output regression ([N, K] elem vs [N] row mask) the weight is
+        # rows × K, not rows
+        n_out = 1
+        for d in elem.shape[len(mask.shape):]:
+            n_out *= d
+        weight = jnp.maximum(jnp.sum(mask) * n_out, 1)
         metrics = {}
         if self.use_accuracy and p.ndim == 2:
             pred = jnp.argmax(jax.nn.softmax(p, axis=1), axis=1)
