@@ -22,11 +22,22 @@ log = logging.getLogger(__name__)
 
 
 class InferenceModel:
-    def __init__(self, config, checkpoint_path: str):
+    """preprocess/postprocess run INSIDE the jit on device:
+    ``preprocess(coords, feats, mask) -> feats`` (e.g. int16 ADC → gain-scaled
+    f32, so the host ships half the bytes) and
+    ``postprocess(outputs, coords, mask) -> outputs`` (e.g. dense z grid →
+    per-row gather, so the host fetches [N] instead of [B, NX, NY]). Both are
+    TPU-native replacements for the reference's host-side numpy pre/post
+    (ref: SparseUtils.py:1564-1584, :1459-1475)."""
+
+    def __init__(self, config, checkpoint_path: str, preprocess=None,
+                 postprocess=None):
         self.config = config
         task_cls = retrieve_class(config.run_config.run_class)
         self.task = task_cls(config)
         self.variables = self._restore(checkpoint_path)
+        self.preprocess = preprocess
+        self.postprocess = postprocess
         self._jitted: Dict[Tuple[int, int], any] = {}
 
     def _restore(self, path: str):
@@ -45,41 +56,65 @@ class InferenceModel:
         key = (row_bucket, event_bucket)
         if key not in self._jitted:
             task = self.task
+            pre, post = self.preprocess, self.postprocess
 
             @jax.jit
             def fn(coords, feats, mask, labels, label_mask):
+                if pre is not None:
+                    feats = pre(coords, feats, mask)
                 db = {"coords": coords, "feats": feats, "mask": mask,
                       "labels": labels, "label_mask": label_mask}
                 outputs, _ = task.apply_model(self.variables, db, train=False)
+                if post is not None:
+                    outputs = post(outputs, coords, mask)
                 return outputs
 
             self._jitted[key] = fn
         return self._jitted[key]
 
-    def __call__(self, coords: np.ndarray, vals: np.ndarray) -> np.ndarray:
-        """Ragged chunk → model outputs, un-padded.
+    def dispatch(self, coords: np.ndarray, vals: np.ndarray):
+        """Pad + jit-dispatch WITHOUT a host sync; returns an opaque handle.
 
-        coords [N, 3] with consecutive-from-0 event ids; vals [N, F].
-        Event-level / dense outputs are truncated to the true event count;
-        per-row outputs to the true row count.
-        """
+        JAX dispatch is asynchronous — the returned handle's device work
+        proceeds while the host prepares/writes other chunks. Materialize
+        with :meth:`fetch`. This is what lets the streaming prediction
+        writer hide per-chunk device latency (double buffering), which the
+        reference's serial loop (ref: PredictionWriter.py:73-104) cannot."""
         n = coords.shape[0]
         n_events = int(coords[:, -1].max()) + 1 if n else 0
         row_bucket = bucket_size(max(1, n))
         event_bucket = bucket_size(max(1, n_events),
                                    buckets=(16, 32, 64, 128, 256, 512, 1024,
                                             2048, 4096, 8192, 16384, 32768))
-        c, f, m = pad_sparse(coords.astype(np.int32),
-                             np.asarray(vals, dtype=np.float32), row_bucket)
+        # with an on-device preprocess the raw dtype (e.g. int16 ADC) ships
+        # as-is — half the host->device bytes of f32
+        vals = np.asarray(vals)
+        if self.preprocess is None:
+            vals = vals.astype(np.float32, copy=False)
+        c, f, m = pad_sparse(coords.astype(np.int32), vals, row_bucket)
         labels = np.zeros((event_bucket,), dtype=np.int64)
         lmask = np.zeros((event_bucket,), dtype=bool)
         lmask[:n_events] = True
         out = self._fn(row_bucket, event_bucket)(
             jnp.asarray(c), jnp.asarray(f), jnp.asarray(m),
             jnp.asarray(labels), jnp.asarray(lmask))
+        return (out, n, n_events, row_bucket, event_bucket)
+
+    @staticmethod
+    def fetch(handle) -> np.ndarray:
+        """Materialize a :meth:`dispatch` handle and un-pad: event-level /
+        dense outputs truncate to the true event count, per-row outputs to
+        the true row count."""
+        out, n, n_events, row_bucket, event_bucket = handle
         out = np.asarray(out)
         if out.shape[0] == event_bucket:
             return out[:n_events]
         if out.shape[0] == row_bucket:
             return out[:n]
         return out
+
+    def __call__(self, coords: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        """Ragged chunk → model outputs, un-padded (synchronous).
+
+        coords [N, 3] with consecutive-from-0 event ids; vals [N, F]."""
+        return self.fetch(self.dispatch(coords, vals))

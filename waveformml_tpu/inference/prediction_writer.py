@@ -56,7 +56,9 @@ class PredictionWriter(P2XTableWriter):
         self.swap = True
         for key, val in kwargs.items():
             setattr(self, key, val)
-        self.model = InferenceModel(self.config, checkpoint)
+        pre, post = self._model_transforms()
+        self.model = InferenceModel(self.config, checkpoint,
+                                    preprocess=pre, postprocess=post)
         if "datatype" in kwargs:
             if kwargs["datatype"] == "WaveformPairCal":
                 self.data_type = WaveformPairCal()
@@ -84,18 +86,40 @@ class PredictionWriter(P2XTableWriter):
         n_current_buffer = 0
         from waveformml_tpu.utils.util import prefetch_iter
 
-        # read-ahead: HDF5 chunk decode overlaps the device predict of the
-        # previous chunk (the reference streams serially, PredictionWriter.py:73-104)
-        for data in prefetch_iter(self.input.iter_chunks(self.n_rows_per_read)):
-            if self.swap:
-                self.swap_values(data)
-            else:
-                data = self.convert_values(data)
-            self.add_rows(self.data_type.name, data)
-            n_current_buffer += data.shape[0]
+        # three-stage software pipeline, depth 1 (the reference streams
+        # serially, PredictionWriter.py:73-104):
+        #   A: HDF5 chunk decode on a prefetch thread
+        #   B: host prep + async device dispatch of chunk k
+        #   C: fetch + numpy post-process + write of chunk k-1 while the
+        #      device computes chunk k
+        # Writers that don't implement model_dispatch fall back to the
+        # synchronous swap_values/convert_values path.
+        def _write(rows):
+            nonlocal n_current_buffer
+            self.add_rows(self.data_type.name, rows)
+            n_current_buffer += rows.shape[0]
             if n_current_buffer >= self.n_buffer_rows:
                 n_current_buffer = 0
                 self.flush(self.data_type.name)
+
+        from collections import deque
+
+        depth = max(1, int(getattr(self, "pipeline_depth", 3)))
+        pending = deque()  # FIFO of (data, dispatch handle) chunks in flight
+        for data in prefetch_iter(self.input.iter_chunks(self.n_rows_per_read)):
+            handle = self.model_dispatch(data)
+            if handle is None:  # legacy synchronous path
+                if self.swap:
+                    self.swap_values(data)
+                else:
+                    data = self.convert_values(data)
+                _write(data)
+                continue
+            pending.append((data, handle))
+            if len(pending) > depth:
+                _write(self.apply_outputs(*pending.popleft()))
+        while pending:
+            _write(self.apply_outputs(*pending.popleft()))
         self.flush(self.data_type.name)
         self.input.close()
         self.close()
@@ -122,6 +146,23 @@ class PredictionWriter(P2XTableWriter):
         raise NotImplementedError
 
     def convert_values(self, data: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    # -- pipelined path hooks --------------------------------------------------------
+    def _model_transforms(self):
+        """(preprocess, postprocess) jitted into the model's forward — see
+        InferenceModel. Subclasses override to move host numpy pre/post work
+        onto the device."""
+        return None, None
+
+    def model_dispatch(self, data: np.ndarray):
+        """Async-dispatch this chunk's device work; return an opaque handle
+        (or None to use the synchronous swap/convert path)."""
+        return None
+
+    def apply_outputs(self, data: np.ndarray, handle) -> np.ndarray:
+        """Materialize a model_dispatch handle, post-process, and return the
+        rows to write for this chunk."""
         raise NotImplementedError
 
     # -- provenance -----------------------------------------------------------------
@@ -151,21 +192,66 @@ def _gain_factors(calgroup: str, scale_factor: Optional[float] = None) -> np.nda
 
 
 class ZPredictionWriter(PredictionWriter):
-    """Swap the NN z prediction into EZ[:, 1] (ref :134-176)."""
+    """Swap the NN z prediction into EZ[:, 1] (ref :134-176).
+
+    When the input carries raw ADC waveforms and a calgroup is given, the
+    gain normalization and the dense-grid → per-row z gather run ON DEVICE
+    inside the model's jit: the host ships int16 samples (half the bytes of
+    f32) and fetches an [N] z vector instead of the [B, 1, NX, NY] grid —
+    two orders of magnitude less device→host traffic per chunk."""
 
     def __init__(self, path, input_path, config, checkpoint, **kwargs):
-        super().__init__(path, input_path, config, checkpoint, **kwargs)
         self.z_scale = Z_NORMALIZATION_FACTOR
         self.gains = None
         if kwargs.get("calgroup"):
             self.gains = _gain_factors(kwargs["calgroup"],
                                        kwargs.get("scale_factor"))
+        self._device_norm = (self.gains is not None and
+                             "waveform" in (extension_type_map(input_path).type.names or ()))
+        super().__init__(path, input_path, config, checkpoint, **kwargs)
+
+    def _model_transforms(self):
+        if not self._device_norm:
+            return None, None
+        import jax.numpy as jnp
+
+        gains = jnp.asarray(self.gains)  # [NX, NY, 2]
+
+        def pre(coords, feats, mask):
+            g = gains[coords[:, 0], coords[:, 1]]  # [N, 2]
+            s = feats.shape[1] // 2
+            f = feats.astype(jnp.float32)
+            return jnp.concatenate([f[:, :s] * g[:, :1], f[:, s:] * g[:, 1:]],
+                                   axis=1)
+
+        def post(outputs, coords, mask):
+            # dense [B, 1, NX, NY] -> per-row z [N] (coords renumbered
+            # consecutively on host before dispatch)
+            return outputs[coords[:, -1], 0, coords[:, 0], coords[:, 1]]
+
+        return pre, post
 
     def swap_values(self, data: np.ndarray) -> None:
+        self.apply_outputs(data, self.model_dispatch(data))
+
+    def model_dispatch(self, data: np.ndarray):
+        if self._device_norm:
+            from waveformml_tpu.ops.sparse import consecutive_event_index
+
+            coords = data["coord"].copy()
+            coords[:, -1] = consecutive_event_index(coords[:, -1])
+            return self.model.dispatch(coords, data["waveform"])
         coords, vals = self._coords_vals(data)
-        out = self.model(coords, vals)  # [B, 1, NX, NY]
-        dense = (out[:, 0] - 0.5) * self.z_scale
-        swap_sparse_from_dense(data["EZ"][:, 1], dense, data["coord"])
+        return self.model.dispatch(coords, vals)
+
+    def apply_outputs(self, data: np.ndarray, handle) -> np.ndarray:
+        out = self.model.fetch(handle)
+        if self._device_norm:  # per-row z [N]
+            data["EZ"][:, 1] = (out - 0.5) * self.z_scale
+        else:                  # dense [B, 1, NX, NY]
+            dense = (out[:, 0] - 0.5) * self.z_scale
+            swap_sparse_from_dense(data["EZ"][:, 1], dense, data["coord"])
+        return data
 
     def set_xml(self) -> None:
         super().set_xml()
@@ -180,10 +266,17 @@ class IRNPredictionWriter(PredictionWriter):
         self.phys_index_replaced = 4
 
     def swap_values(self, data: np.ndarray) -> None:
+        self.apply_outputs(data, self.model_dispatch(data))
+
+    def model_dispatch(self, data: np.ndarray):
         coords, vals = self._coords_vals(data)
-        output = self.model(coords, vals)  # per-event [B, F]
+        return self.model.dispatch(coords, vals)
+
+    def apply_outputs(self, data: np.ndarray, handle) -> np.ndarray:
+        output = self.model.fetch(handle)  # per-event [B, F]
         swap_sparse_from_event(data["phys"][:, self.phys_index_replaced:],
                                output, data["coord"])
+        return data
 
     def set_xml(self) -> None:
         super().set_xml()
@@ -208,17 +301,31 @@ class IRNIMPredictionWriter(PredictionWriter):
             self.swap = False
 
     def swap_values(self, data: np.ndarray) -> None:
+        self.apply_outputs(data, self.model_dispatch(data))
+
+    def model_dispatch(self, data: np.ndarray):
         coords, vals = self._coords_vals(data)
-        output = self.model(coords, vals)
-        if self.output_is_sparse:
-            data["phys"][:, self.phys_index_replaced:] = output
-        else:
-            swap_sparse_from_dense(data["phys"][:, self.phys_index_replaced:],
-                                   output, data["coord"])
+        return coords, self.model.dispatch(coords, vals)
+
+    def apply_outputs(self, data: np.ndarray, handle) -> np.ndarray:
+        coords, h = handle
+        output = self.model.fetch(h)
+        if self.swap:
+            if self.output_is_sparse:
+                data["phys"][:, self.phys_index_replaced:] = output
+            else:
+                swap_sparse_from_dense(data["phys"][:, self.phys_index_replaced:],
+                                       output, data["coord"])
+            return data
+        return self._convert(data, coords, output)
 
     def convert_values(self, data: np.ndarray) -> np.ndarray:
-        coords, vals = self._coords_vals(data)
-        output = self.model(coords, vals)  # per-row class scores [N, 5]
+        coords, h = self.model_dispatch(data)
+        return self._convert(data, coords, self.model.fetch(h))
+
+    def _convert(self, data: np.ndarray, coords: np.ndarray,
+                 output: np.ndarray) -> np.ndarray:
+        # per-row class scores [N, 5]
         phys = np.zeros((coords.shape[0],), dtype=self.data_type.type)
         phys["evt"] = data["evt"]
         phys["t"] = data["t"]
@@ -259,31 +366,72 @@ class ZAndClassWriter(PredictionWriter):
         if "scale_factor" in kwargs:
             raise IOError("Must specify scale factor for z or classifier "
                           "(scale_factor_z or scale_factor_class)")
-        super().__init__(path, input_path, zconfig, zcheckpoint, **kwargs)
-        self.swap = False
         self.z_scale = Z_NORMALIZATION_FACTOR
-        self.seg_status, self.blind_detl, self.blind_detr = seg_status_maps(
-            kwargs.get("excludes"))
         self.gains = None
         if kwargs.get("calgroup"):
             self.gains = _gain_factors(kwargs["calgroup"])
+        self._device_norm = self.gains is not None
+        super().__init__(path, input_path, zconfig, zcheckpoint, **kwargs)
+        self.swap = False
+        self.seg_status, self.blind_detl, self.blind_detr = seg_status_maps(
+            kwargs.get("excludes"))
         self.class_config_path = classconfig
         self.class_checkpoint_path = classcheckpoint
         self.class_config = load_config(classconfig)
-        self.class_model = InferenceModel(self.class_config, classcheckpoint)
+        class_pre = (self._norm_pre(self.scale_factor_class)
+                     if self._device_norm else None)
+        self.class_model = InferenceModel(self.class_config, classcheckpoint,
+                                          preprocess=class_pre)
+
+    def _norm_pre(self, scale_factor: float):
+        """Device-side gain normalization of raw int16 ADC pairs (the host
+        ships half the bytes; ref host kernel SparseUtils.py:1564-1584)."""
+        import jax.numpy as jnp
+
+        gains = jnp.asarray(self.gains * scale_factor)  # [NX, NY, 2]
+
+        def pre(coords, feats, mask):
+            g = gains[coords[:, 0], coords[:, 1]]
+            s = feats.shape[1] // 2
+            f = feats.astype(jnp.float32)
+            return jnp.concatenate([f[:, :s] * g[:, :1], f[:, s:] * g[:, 1:]],
+                                   axis=1)
+
+        return pre
+
+    def _model_transforms(self):
+        if not self._device_norm:
+            return None, None
+        import jax.numpy as jnp
+
+        def post(outputs, coords, mask):
+            return outputs[coords[:, -1], 0, coords[:, 0], coords[:, 1]]
+
+        return self._norm_pre(self.scale_factor_z), post
 
     def convert_values(self, data: np.ndarray) -> np.ndarray:
+        return self.apply_outputs(data, self.model_dispatch(data))
+
+    def model_dispatch(self, data: np.ndarray):
+        """Both models dispatched back-to-back — the classifier and z forward
+        overlap on-device with the previous chunk's host post-processing.
+        Raw int16 ADC ships once per model; normalization runs in each jit."""
         if self.gains is None:
             raise IOError("Must pass calgroup argument in order to normalize "
                           "WaveformPairCal data before passing to model")
+        from waveformml_tpu.ops.sparse import consecutive_event_index
+
         coords = data["coord"].copy()
-        vals = normalize_waveforms(coords, data["waveform"],
-                                   self.gains * self.scale_factor_class)
-        class_out = self.class_model(coords, vals)
-        ratio = self.scale_factor_z / self.scale_factor_class
-        z_in = vals * ratio if ratio != 1.0 else vals
-        z_dense = (self.model(coords, z_in)[:, 0] - 0.5) * self.z_scale
-        swap_sparse_from_dense(data["EZ"][:, 1], z_dense, data["coord"])
+        coords[:, -1] = consecutive_event_index(coords[:, -1])
+        class_h = self.class_model.dispatch(coords, data["waveform"])
+        z_h = self.model.dispatch(coords, data["waveform"])
+        return coords, class_h, z_h
+
+    def apply_outputs(self, data: np.ndarray, handle) -> np.ndarray:
+        coords, class_h, z_h = handle
+        class_out = self.class_model.fetch(class_h)
+        # z model post-gathers per-row z on device: [N]
+        data["EZ"][:, 1] = (self.model.fetch(z_h) - 0.5) * self.z_scale
         phys = np.zeros((coords.shape[0],), dtype=self.data_type.type)
         phys["evt"] = data["evt"]
         phys["t"] = data["t"]
