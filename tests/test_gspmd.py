@@ -1,0 +1,135 @@
+"""GSPMD (jit + NamedSharding) engine: data x tensor parallel on the virtual
+8-device CPU mesh — numerics parity with the shard_map DP engine, and an
+end-to-end fit with column-sharded kernels (parallel/gspmd.py)."""
+import math
+import os
+
+import numpy as np
+import pytest
+
+from waveformml_tpu.config import Config
+from waveformml_tpu.datasets.data_module import PSDDataModule
+from waveformml_tpu.datasets.synthetic import write_classification_dirs
+from waveformml_tpu.engineering.tasks import LitPSD
+from waveformml_tpu.engineering.trainer import Trainer
+
+N_SAMPLES = 16
+
+
+@pytest.fixture(scope="module")
+def psd_setup(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("gspmd")
+    write_classification_dirs(
+        str(tmp_path / "data"), ["TypeA", "TypeB"], n_files=4,
+        events_per_file=40, n_samples=N_SAMPLES, seed=5)
+    cfg = Config({
+        "run_config": {"exp_name": "g", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "g", "n_samples": N_SAMPLES, "n_type": 2,
+                          "type_names": ["TypeA", "TypeB"],
+                          "model_base_path": str(tmp_path / "model"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "SubMPSDNet",
+                       "net_type": "2DConvolution",
+                       "hparams": {"out_planes": 16, "n_lin": 2,
+                                   "conv_params": {"kernel_size": 3, "n_conv": 2,
+                                                   "n_point": 1,
+                                                   "conv_position": 1,
+                                                   "version": 2}}},
+        "optimize_config": {"total_epoch": 3, "lr": 0.05, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9, "nesterov": True}},
+        "dataset_config": {"mode": "path", "imports": [],
+                           "base_path": str(tmp_path / "data"),
+                           "paths": ["TypeA", "TypeB"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 100, "n_validate": 60,
+                           "data_prep": "shuffle", "shuffled_size": 40,
+                           "dataloader_params": {"batch_size": 2, "num_workers": 0}},
+    })
+    return tmp_path, cfg
+
+
+def _one_step(trainer, block, srng):
+    import jax
+
+    trainer._ensure_state(block)
+    db = trainer._to_device(trainer._device_batch(block))
+    new_p, _, _, loss, _ = trainer._train_step_fn(
+        trainer.state.params, trainer.state.batch_stats,
+        trainer.state.opt_state, srng, db)
+    return float(loss), jax.tree.map(np.asarray, new_p)
+
+
+def test_gspmd_dp_tp_matches_shard_map(psd_setup):
+    """One train step under gspmd on a (4 data x 2 model) mesh reproduces the
+    shard_map 8-way DP step bit-for-bit-ish: same global batch, same seed —
+    the mesh/sharding choice must not change numerics."""
+    import jax
+
+    tmp_path, cfg = psd_setup
+    assert jax.device_count() == 8
+    dm = PSDDataModule(cfg)
+    dm.setup("fit")
+    block = next(iter(dm.train_dataloader()))
+    srng = jax.random.PRNGKey(7)
+
+    outs = {}
+    for mode, kwargs in (("shard_map", {}), ("gspmd", {"tp": 2})):
+        trainer = Trainer(cfg, LitPSD(cfg), seed=0, **kwargs)
+        outs[mode] = _one_step(trainer, block, srng)
+        if mode == "gspmd":
+            assert trainer.mesh.shape == {"data": 4, "model": 2}
+            # at least one kernel actually column-sharded over the model axis
+            from jax.sharding import PartitionSpec as P
+
+            specs = [x.sharding.spec for x in jax.tree.leaves(trainer.state.params)
+                     if hasattr(x, "sharding")]
+            assert any(len(spec) and spec[-1] == "model" for spec in specs), specs
+
+    assert abs(outs["shard_map"][0] - outs["gspmd"][0]) < 1e-5
+    diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                         outs["shard_map"][1], outs["gspmd"][1])
+    assert max(jax.tree.leaves(diffs)) < 1e-4, diffs
+
+
+def test_gspmd_fit_and_test_end_to_end(psd_setup):
+    """Full fit + test under gspmd dp4 x tp2: finite losses, learning happens,
+    the evaluator collect path ([1, ...] leading axis) works."""
+    tmp_path, cfg = psd_setup
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, tp=2, max_epochs=3, seed=0,
+                      early_stopping_patience=20)
+    dm = PSDDataModule(cfg)
+    metrics = trainer.fit(dm)
+    assert math.isfinite(metrics["train_loss"])
+    assert "val_accuracy" in metrics
+    test_metrics = trainer.test(dm)
+    assert math.isfinite(test_metrics["test_loss"])
+    assert "test_accuracy" in test_metrics
+
+
+def test_gspmd_checkpoint_roundtrip(psd_setup, tmp_path):
+    """gspmd-sharded state saves topology-free and restores onto the mesh."""
+    import jax
+
+    _, cfg = psd_setup
+    dm = PSDDataModule(cfg)
+    dm.setup("fit")
+    block = next(iter(dm.train_dataloader()))
+    trainer = Trainer(cfg, LitPSD(cfg), tp=2, seed=0)
+    trainer._ensure_state(block)
+    ckpt = str(tmp_path / "g.ckpt")
+    trainer.save_checkpoint(ckpt)
+
+    trainer2 = Trainer(cfg, LitPSD(cfg), tp=2, seed=1)
+    trainer2.load_checkpoint(ckpt, sample_block=block)
+    same = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+                        trainer.state.params, trainer2.state.params)
+    assert all(jax.tree.leaves(same))
+    # restored params are re-placed on the 2-D mesh (sharded where the rule says)
+    from jax.sharding import PartitionSpec as P
+
+    specs = [x.sharding.spec for x in jax.tree.leaves(trainer2.state.params)
+             if hasattr(x, "sharding")]
+    assert any(len(spec) and spec[-1] == "model" for spec in specs)

@@ -37,6 +37,7 @@ from waveformml_tpu import optim as wopt
 from waveformml_tpu.config import to_dict
 from waveformml_tpu.datasets.hdf5_dataset import FileBlock
 from waveformml_tpu.engineering.callbacks import EarlyStopping, LoggingCallback
+from waveformml_tpu.parallel.gspmd import MODEL_AXIS
 from waveformml_tpu.parallel.mesh import (
     DATA_AXIS, get_mesh, split_block_for_devices, stack_shards)
 from waveformml_tpu.utils.tb import TBLogger
@@ -69,6 +70,8 @@ class Trainer:
                  profiler: bool = False,
                  early_stopping_patience: int = 5,
                  steps_per_dispatch: int = 1,
+                 parallel: str = "shard_map",
+                 tp: int = 1,
                  seed: int = 0):
         self.config = config
         self.task = task
@@ -79,6 +82,18 @@ class Trainer:
         self.max_epochs = max_epochs if max_epochs is not None else oc.total_epoch
         self.validation_freq = getattr(oc, "validation_freq", 1)
         self.mesh = mesh or get_mesh()
+        # gspmd mode: global program under jit + NamedSharding on a 2-D
+        # (data, model) mesh — tensor parallelism the reference never had
+        # (parallel/gspmd.py); shard_map mode is exact reference-parity DP
+        self.tp = max(1, int(tp))
+        self.parallel = "gspmd" if (parallel == "gspmd" or self.tp > 1) \
+            else "shard_map"
+        if self.parallel == "gspmd" and MODEL_AXIS not in self.mesh.axis_names:
+            from waveformml_tpu.parallel.gspmd import make_mesh_2d
+
+            self.mesh = make_mesh_2d(self.mesh.devices.ravel(), tp=self.tp)
+        if self.parallel == "gspmd":
+            steps_per_dispatch = 1  # multi-step stacking is shard_map-only
         self.n_devices = self.mesh.devices.size
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
@@ -113,6 +128,55 @@ class Trainer:
     # -- step functions ---------------------------------------------------------------
 
     def _build_steps(self):
+        if self.parallel == "gspmd":
+            return self._build_steps_gspmd()
+        return self._build_steps_spmd()
+
+    def _build_steps_gspmd(self):
+        """GLOBAL-program steps: jit over the 2-D (data, model) mesh with
+        NamedSharding-committed inputs; XLA's GSPMD partitioner inserts all
+        collectives (gradient all-reduce over ``data``, activation gathers
+        around ``model``-sharded kernels). BatchNorm statistics are computed
+        over the global batch — no explicit axis sync needed."""
+        from waveformml_tpu.nn.bn import set_bn_axis
+
+        task = self.task
+        optimizer = self.optimizer
+        set_bn_axis(None)
+
+        def loss_fn(params, batch_stats, db, rng, train):
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            outputs, new_stats = task.apply_model(
+                variables, db, train=train, rngs={"dropout": rng})
+            loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
+            return loss_sum / weight, (new_stats, metrics, loss_sum, weight)
+
+        def train_step(params, batch_stats, opt_state, rng, db):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (new_stats, metrics, _ls, _w)), grads = grad_fn(
+                params, batch_stats, db, rng, True)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_stats, new_opt_state, loss, metrics
+
+        def eval_step(params, batch_stats, db):
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            outputs, _ = task.apply_model(variables, db, train=False)
+            loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
+            # leading [1] axis: the whole global batch as one "device" shard,
+            # matching the shard_map path's [D, ...] evaluator contract
+            test_out = jax.tree.map(lambda x: x[None], task.test_outputs(outputs, db))
+            return loss_sum, weight, metrics, test_out
+
+        with self.mesh:
+            self._train_step_fn = jax.jit(train_step, donate_argnums=(0, 1, 2))
+            self._eval_step_fn = jax.jit(eval_step)
+
+    def _build_steps_spmd(self):
         from waveformml_tpu.nn.bn import set_bn_axis
 
         task = self.task
@@ -202,6 +266,13 @@ class Trainer:
     # -- batch preparation ------------------------------------------------------------
 
     def _device_batch(self, block: FileBlock) -> Dict[str, np.ndarray]:
+        if self.parallel == "gspmd":
+            # one GLOBAL batch; buckets rounded to multiples of the data
+            # degree so the leading dim shards evenly
+            dp = int(self.mesh.shape[DATA_AXIS])
+            rb = -(-self.task.row_bucket(block) // dp) * dp
+            eb = -(-self.task.event_bucket(block) // dp) * dp
+            return self.task.prepare_block(block, rb, eb)
         shards = split_block_for_devices(block, self.n_devices)
         row_bucket = max(self.task.row_bucket(s) for s in shards)
         event_bucket = max(self.task.event_bucket(s) for s in shards)
@@ -212,6 +283,13 @@ class Trainer:
             prepared.append(empty)
         return stack_shards(prepared)
 
+    def _to_device(self, db: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        if self.parallel == "gspmd":
+            from waveformml_tpu.parallel.gspmd import shard_batch
+
+            return shard_batch(db, self.mesh)
+        return {k: jnp.asarray(v) for k, v in db.items()}
+
     # -- initialization / checkpointing -----------------------------------------------
 
     def _ensure_state(self, sample_block: FileBlock):
@@ -220,11 +298,19 @@ class Trainer:
         if self._train_step_fn is None:
             self._build_steps()
         db = self._device_batch(sample_block)
-        one = {k: jnp.asarray(v[0]) for k, v in db.items()}
+        if self.parallel == "gspmd":
+            one = {k: jnp.asarray(v) for k, v in db.items()}
+        else:
+            one = {k: jnp.asarray(v[0]) for k, v in db.items()}
         self.rng, init_rng = jax.random.split(self.rng)
         variables = self.task.init_variables(init_rng, one)
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
+        if self.parallel == "gspmd":
+            from waveformml_tpu.parallel.gspmd import replicate, shard_params
+
+            params = shard_params(params, self.mesh, self.tp)
+            batch_stats = replicate(batch_stats, self.mesh)
         opt_state = self.optimizer.init(params)
         self.state = TrainState(params, batch_stats, opt_state)
         n_params = sum(x.size for x in jax.tree.leaves(params))
@@ -239,7 +325,10 @@ class Trainer:
         from jax import export as jexport
 
         db = self._device_batch(sample_block)
-        one = {k: jnp.asarray(v[0]) for k, v in db.items()}
+        if self.parallel == "gspmd":
+            one = {k: jnp.asarray(v) for k, v in db.items()}
+        else:
+            one = {k: jnp.asarray(v[0]) for k, v in db.items()}
         task = self.task
         variables = {"params": self.state.params}
         if self.state.batch_stats is not None:
@@ -296,6 +385,11 @@ class Trainer:
         restored = ckptr.restore(os.path.abspath(path))
         self.state.params = restored["params"]
         self.state.batch_stats = restored["batch_stats"]
+        if self.parallel == "gspmd":
+            from waveformml_tpu.parallel.gspmd import replicate, shard_params
+
+            self.state.params = shard_params(self.state.params, self.mesh, self.tp)
+            self.state.batch_stats = replicate(self.state.batch_stats, self.mesh)
         if restore_training and restored.get("opt_state") is not None:
             try:
                 flat, treedef = jax.tree.flatten(self.state.opt_state)
@@ -418,7 +512,7 @@ class Trainer:
 
         def run_single(db_host):
             nonlocal total_loss, count
-            db = {k: jnp.asarray(v) for k, v in db_host.items()}
+            db = self._to_device(db_host)
             self.rng, step_rng = jax.random.split(self.rng)
             t0 = time.time()
             if prof:
@@ -507,7 +601,7 @@ class Trainer:
             if i >= n_batches:
                 break
             db = self._device_batch(block)
-            dbj = {k: jnp.asarray(v) for k, v in db.items()}
+            dbj = self._to_device(db)
             if self.simple_profiler:
                 self.simple_profiler.start("evaluation_step")
             ls, w, metrics, test_out = self._eval_step_fn(
@@ -519,6 +613,8 @@ class Trainer:
             weight += float(w)
             _accumulate(agg, metrics)
             if collect is not None:
+                if self.parallel == "gspmd":  # evaluator contract: [D, ...]
+                    db = {k: v[None] for k, v in db.items()}
                 collect(block, db, jax.tree.map(np.asarray, test_out))
         out = {f"{prefix}_loss": loss_sum / max(weight, 1.0)}
         out.update(_finalize(agg, prefix=f"{prefix}_"))
@@ -601,7 +697,7 @@ class Trainer:
                 it = iter(loader)
                 block = next(it)
             self.state.opt_state = wopt.set_learning_rate(self.state.opt_state, float(lr))
-            db = {k: jnp.asarray(v) for k, v in self._device_batch(block).items()}
+            db = self._to_device(self._device_batch(block))
             self.rng, step_rng = jax.random.split(self.rng)
             (self.state.params, self.state.batch_stats, self.state.opt_state,
              loss, _) = self._train_step_fn(
