@@ -70,6 +70,9 @@ def main(argv=None) -> int:
         trainer.export_model(export_path, first)
         log.info("exported StableHLO model to %s", export_path)
     metrics = trainer.test(data_module)
+    # flush the event file so downstream collectors (EvalOcclusionStudy)
+    # can read test_loss immediately (PL finalizes its logger; ours must too)
+    logger.close()
     print("test:", {k: round(v, 5) for k, v in metrics.items()
                     if isinstance(v, (int, float))})
     return 0

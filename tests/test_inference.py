@@ -230,3 +230,65 @@ def test_single_ended_ez_with_frozen_z(z_model_setup, rng):
 
     g = jax.grad(loss_fn)(variables["params"])
     assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(g))
+
+
+def test_occlusion_study_end_to_end(tmp_path):
+    """Full occlusion pipeline (BASELINE/VERDICT occlusion sweep): train,
+    Evaluate -oc n per feature -> occlude_<n> tfevents, then
+    EvalOcclusionStudy collects the per-index losses into a plot
+    (ref: scripts/RunOcclusionStudy.py + scripts/EvalOcclusionStudy.py)."""
+    import subprocess
+    import sys
+
+    import Evaluate
+    from waveformml_tpu.config import Config, save_config
+    from waveformml_tpu.datasets.data_module import PSDDataModule
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.engineering.trainer import Trainer
+
+    write_classification_dirs(str(tmp_path / "data"), ["A", "B"], n_files=3,
+                              events_per_file=20, n_samples=8, seed=11)
+    cfg = Config({
+        "run_config": {"exp_name": "t", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "m", "n_samples": 8, "n_type": 2,
+                          "type_names": ["A", "B"],
+                          "model_base_path": str(tmp_path / "model"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "DenseConvNet",
+                       "net_type": "2DConvolution",
+                       "hparams": {"n_conv": 1, "n_lin": 1, "out_planes": 2,
+                                   "conv_params": {"size_factor": 2, "pad_factor": 1.0}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [],
+                           "base_path": str(tmp_path / "data"),
+                           "paths": ["A", "B"], "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "dataloader_params": {"batch_size": 1},
+                           "n_train": 20, "n_validate": 10, "n_test": 10},
+    })
+    config_path = str(tmp_path / "cfg.json")
+    save_config(cfg, config_path)
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, max_epochs=1, seed=0)
+    trainer.fit(PSDDataModule(cfg))
+    ckpt = str(tmp_path / "ckpt" / "epoch=0-val_loss=0.70.ckpt")
+    trainer.save_checkpoint(ckpt)
+
+    for n in (0, 1):  # the per-index Evaluate runs RunOcclusionStudy drives
+        assert Evaluate.main([config_path, ckpt, "-oc", str(n), "-v", "2"]) == 0
+    eval_dir = os.path.join(os.path.dirname(ckpt), "evaluate")
+    assert os.path.isdir(os.path.join(eval_dir, "occlude_0"))
+    assert os.path.isdir(os.path.join(eval_dir, "occlude_1"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "EvalOcclusionStudy.py"),
+         eval_dir, "2"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PYTHONPATH": repo, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "ind 0 is" in r.stdout and "ind 1 is" in r.stdout
+    assert os.path.exists(os.path.join(eval_dir, "occlude_results_test_loss.png"))
