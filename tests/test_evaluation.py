@@ -491,3 +491,46 @@ def test_z_evaluator_reference_figure_accounting(tmp_path, monkeypatch, rng):
     missing = [pat for pat in required
                if not any(re.search(pat, t) for t in figs)]
     assert not missing, (missing, sorted(figs))
+
+
+def test_z_evaluator_target_is_cal_baseline(tmp_path, monkeypatch, rng):
+    """Real-data mode (ZEvaluatorRealWFNorm): with target_is_cal the cal
+    baseline is the neighbor-filled target grid — exact at dual-ended
+    segments, so cal error there is 0 (ref: ZEvaluator.py:513-517 +
+    SparseUtils.py:1079-1121)."""
+    from waveformml_tpu.engineering.se_mask import seg_status_maps
+    from waveformml_tpu.evaluation.z_eval import ZEvaluatorRealWFNorm
+    from waveformml_tpu.io.sql import write_synthetic_caldb
+    from waveformml_tpu.ops.sparse import consecutive_event_index
+
+    caldb = str(tmp_path / "cal.db")
+    write_synthetic_caldb(caldb, "rcal", seed=3)
+    monkeypatch.setenv("PROSPECT_CALDB", caldb)
+    logger = FakeLogger()
+    ev = ZEvaluatorRealWFNorm(logger, calgroup="rcal")
+    seg_status = np.asarray(seg_status_maps()[0])
+    de_sites = np.argwhere(seg_status == 0.0)
+
+    B = 20
+    rows = []
+    for e in range(B):
+        for (x, y) in de_sites[rng.choice(len(de_sites), 2, replace=False)]:
+            rows.append([x, y, e])
+    coords = np.asarray(rows, dtype=np.int32)
+    n = coords.shape[0]
+    b = consecutive_event_index(coords[:, 2])
+    target = np.zeros((B, 1, NX, NY))
+    pred = np.zeros((B, 1, NX, NY))
+    tvals = rng.uniform(0.2, 0.8, n)
+    target[b, 0, coords[:, 0], coords[:, 1]] = tvals
+    pred[b, 0, coords[:, 0], coords[:, 1]] = np.clip(
+        tvals + rng.normal(0, 0.1, n), 0, 1)
+    feats = rng.random((n, 130)).astype(np.float32) * 0.05
+    ev.add(pred, target, coords, feats, E=rng.uniform(1, 5, n))
+    # all rows are dual-ended -> cal baseline == target -> zero cal error
+    dev_sum, cnt = ev.dev_cal.z_mult["dual"]
+    assert cnt.sum() == n
+    assert float(np.abs(dev_sum).sum()) < 1e-9
+    # NN deviation is nonzero on the same rows
+    nn_sum, nn_cnt = ev.dev.z_mult["dual"]
+    assert nn_cnt.sum() == n and float(np.abs(nn_sum).sum()) > 1e-3

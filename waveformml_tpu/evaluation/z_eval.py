@@ -180,6 +180,22 @@ class ZEvaluatorBase(SingleEndedEvaluator):
             cal = self.z_from_cal(c, f, target)
             if cal is not None:
                 cal_z, cal_E = cal if isinstance(cal, tuple) else (cal, None)
+                if target_is_cal:
+                    # real data (ref: ZEvaluator.py:513-517): targets ARE the
+                    # calibration z at dual-ended segments, so the baseline is
+                    # the diagonal-neighbor mean fill of DE targets — exact
+                    # (zero-error) at DE sites, interpolated at SE sites
+                    from waveformml_tpu.ops.calibration import \
+                        z_basic_prediction_dense
+
+                    B = target.shape[0]
+                    densez = np.full((B, NX, NY), 0.5)
+                    de = self.seg_status != 0.5  # DE + dead (ref :514)
+                    densez[:, de] = target[:, 0, de]
+                    coords3 = np.stack([x, y, b], axis=1).astype(np.int64)
+                    z_basic_prediction_dense(coords3, densez, target[:, 0],
+                                             truth_is_cal=True)
+                    cal_z = densez
                 cal_pred = cal_z[b, x, y]
                 cal_err = np.abs(cal_pred - targ)
                 for se_val, cat in ((True, "single ended"), (False, "double ended")):

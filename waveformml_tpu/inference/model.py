@@ -84,7 +84,7 @@ class InferenceModel:
                     feats = pre(coords, feats, mask)
                 elif feats.dtype != jnp.float32:
                     feats = feats.astype(jnp.float32)
-                labels = jnp.zeros((event_bucket,), jnp.int64)
+                labels = jnp.zeros((event_bucket,), jnp.int32)
                 label_mask = jnp.arange(event_bucket) < n_events
                 db = {"coords": coords, "feats": feats, "mask": mask,
                       "labels": labels, "label_mask": label_mask}
