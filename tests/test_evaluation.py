@@ -534,3 +534,20 @@ def test_z_evaluator_target_is_cal_baseline(tmp_path, monkeypatch, rng):
     # NN deviation is nonzero on the same rows
     nn_sum, nn_cnt = ev.dev.z_mult["dual"]
     assert nn_cnt.sum() == n and float(np.abs(nn_sum).sum()) > 1e-3
+
+
+def test_z_evaluator_phys_baseline_fills_single_ended(rng):
+    """ZEvaluatorPhys cal baseline runs z_basic_prediction: 0.5 placeholders
+    at single-ended rows are replaced by the diagonal-neighbor mean of known
+    rows in the same event (ref: ZEvaluator.py:433-435 + SparseUtils.py:1124)."""
+    from waveformml_tpu.evaluation.z_eval import ZEvaluatorPhys
+
+    ev = ZEvaluatorPhys(FakeLogger())
+    # one event: two known z rows diagonal to an unknown (0.5) row
+    c = np.array([[4, 4, 0], [6, 6, 0], [5, 5, 0]], np.int64)
+    f = np.zeros((3, 9), np.float32)
+    f[:, ev.z_index] = [0.2, 0.4, 0.5]  # last row unknown (0.5 placeholder)
+    out = ev.z_from_cal(c, f, None)
+    assert out[0, 4, 4] == pytest.approx(0.2)
+    assert out[0, 6, 6] == pytest.approx(0.4)
+    assert out[0, 5, 5] == pytest.approx(0.3)  # neighbor mean, NOT the 0.5

@@ -357,11 +357,18 @@ class ZEvaluatorPhys(ZEvaluatorBase):
     (ref :426-484)."""
 
     def z_from_cal(self, c, f, targ, E=None):
+        from waveformml_tpu.ops.calibration import z_basic_prediction
+
         b = consecutive_event_index(c[:, 2])
         B = int(b[-1]) + 1 if len(b) else 0
+        # the phys z feature carries 0.5 placeholders at single-ended
+        # segments; the reference fills them from diagonal-neighbor rows
+        # before using it as the baseline (ref :433-435)
+        z = np.asarray(f)[:, self.z_index].astype(np.float64)
+        pred = np.zeros_like(z)
+        z_basic_prediction(c.astype(np.int64), z, pred)
         out = np.zeros((B, NX, NY))
-        out[b, c[:, 0].astype(np.int64), c[:, 1].astype(np.int64)] = \
-            np.asarray(f)[:, self.z_index]
+        out[b, c[:, 0].astype(np.int64), c[:, 1].astype(np.int64)] = pred
         return out
 
     def add_batch(self, block, db, test_out) -> None:
