@@ -537,25 +537,31 @@ def bench_hpo(backend):
 
     block = _sparse_block()
 
+    K = 10  # steps chained per dispatch: per-dispatch RPC latency through the
+            # TPU tunnel varies wildly; 15 dispatches/trial instead of 150
+
     def objective(trial):
         lr = trial.suggest_float("lr", 1e-4, 1e-1, log=True)
         cfg = _sparse_cfg()
         cfg.optimize_config.lr = lr
         task = LitPSD(cfg)
-        trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0)
+        trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0,
+                          steps_per_dispatch=K)
         trainer._ensure_state(block)
-        db = {k: jnp.asarray(v) for k, v in trainer._device_batch(block).items()}
+        db1 = trainer._device_batch(block)
+        dbs = {k: jnp.asarray(np.stack([v] * K)) for k, v in db1.items()}
         rng = jax.random.PRNGKey(0)
         loss = None
-        for i in range(HPO_STEPS):
-            out = trainer._train_step_fn(
+        for i in range(HPO_STEPS // K):
+            out = trainer._multi_step_fn(
                 trainer.state.params, trainer.state.batch_stats,
-                trainer.state.opt_state, rng, db)
+                trainer.state.opt_state, jax.random.fold_in(rng, i), dbs)
             (trainer.state.params, trainer.state.batch_stats,
              trainer.state.opt_state) = out[0], out[1], out[2]
-            loss = out[3]
-            if i % 50 == 49:
-                trial.report(float(loss), i)
+            loss = out[3][-1]
+            step = (i + 1) * K - 1
+            if step % 50 == 49:
+                trial.report(float(loss), step)
                 if trial.should_prune():
                     from waveformml_tpu.optimization.hpo import TrialPruned
                     raise TrialPruned()
