@@ -160,6 +160,65 @@ def bench_sparse_jax() -> float:
     return wps
 
 
+def bench_infer(backend):
+    """Batched inference (the BASELINE north star's second half): eval-mode
+    forward of the flagship sparse PSD model, 50 queued dispatches, one
+    fetch (in-order device execution makes the last fetch a barrier)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.ops.sparse import SparseBatch, pad_sparse
+
+    cfg = _sparse_cfg()
+    task = LitPSD(cfg)
+    rng = np.random.default_rng(0)
+    coords, feats, _labels = _synthetic_batch(rng, N_EVENTS, 2 * N_SAMPLES)
+    row_bucket = 1 << (coords.shape[0] - 1).bit_length()
+    c, f, m = pad_sparse(coords, feats, row_bucket)
+    batch = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), N_EVENTS)
+    variables = task.model.init(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def fwd(feats_dev):
+        b = SparseBatch(batch.coords, feats_dev, batch.mask, N_EVENTS)
+        return task.model.apply(variables, b)
+
+    fdev = jnp.asarray(f)
+    out = fwd(fdev)
+    np.asarray(out)  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(SCAN_STEPS):
+        out = fwd(fdev)
+    np.asarray(out)
+    jax_wps = coords.shape[0] / ((time.perf_counter() - t0) / SCAN_STEPS)
+
+    def torch_side():
+        import torch.nn as nn
+
+        from waveformml_tpu.detector import NX, NY
+
+        n_feat = 2 * N_SAMPLES
+        trng = np.random.default_rng(1)
+        tc, tf, _ = _synthetic_batch(trng, TORCH_EVENTS, n_feat)
+        dense = np.zeros((TORCH_EVENTS, NX, NY, n_feat), dtype=np.float32)
+        dense[tc[:, 2], tc[:, 0], tc[:, 1]] = tf
+        x = torch.from_numpy(dense).permute(0, 3, 1, 2).contiguous()
+        model, _ = _torch_sparse_model(n_feat)
+        model.eval()
+        with torch.no_grad():
+            model(x)
+            t0 = time.perf_counter()
+            for _ in range(TORCH_STEPS):
+                model(x)
+        return tc.shape[0] / ((time.perf_counter() - t0) / TORCH_STEPS)
+
+    torch_wps = _safe(torch_side)
+    _emit(f"sparse PSD batched inference throughput ({backend})", jax_wps,
+          "waveforms/sec/chip", jax_wps / torch_wps if torch_wps else 0.0)
+
+
 def _torch_sparse_model(n_feat, out_planes=8, n_conv=2):
     """Reference compute pattern: scatter to dense + Conv2d stack + linear
     (SubM on the dense grid == padded Conv2d), from the SAME schedule."""
@@ -648,7 +707,8 @@ def _safe(fn):
 
 
 BENCHES = [("dense_conv1d", 420), ("wfparams", 360), ("stream", 480),
-           ("hpo", 480), ("heavy", 480), ("sparse_psd", 480)]  # headline LAST
+           ("hpo", 480), ("heavy", 480), ("infer", 360),
+           ("sparse_psd", 480)]  # headline LAST
 
 
 def _run_inline(names) -> int:
@@ -660,7 +720,7 @@ def _run_inline(names) -> int:
     backend = jax.default_backend()
     fns = {"dense_conv1d": bench_dense_conv1d, "wfparams": bench_wfparams,
            "stream": bench_stream, "hpo": bench_hpo, "heavy": bench_heavy,
-           "sparse_psd": bench_sparse_psd}
+           "infer": bench_infer, "sparse_psd": bench_sparse_psd}
     for name, _budget in BENCHES:
         if names is not None and name not in names:
             continue
