@@ -24,6 +24,9 @@ class FakeLogger:
     def log_scalars(self, values, step=0):
         self.scalars.update(values)
 
+    def log_histogram(self, tag, values, step=0):
+        self.figures[tag] = True
+
     def flush(self):
         pass
 
@@ -101,6 +104,12 @@ def test_psd_evaluator_accumulates_and_dumps(rng):
     ev.dump()
     assert "evaluation/confusion" in logger.figures
     assert "evaluation/average_pulse" in logger.figures
+    # reference figure variants (ref: PSDEvaluator.py:136-233)
+    assert "evaluation/average_pulse_normalized" in logger.figures
+    assert "evaluation/average_pulse_labelled" in logger.figures
+    assert "evaluation/pulse" in logger.figures
+    assert "evaluation/energy" in logger.figures
+    assert "evaluation/output_A" in logger.figures
 
 
 def test_z_evaluator_mae(rng):

@@ -51,6 +51,17 @@ class PSDEvaluator(SingleEndedEvaluator):
         self.confusion_vs_nSE = np.zeros((4, nc, nc))
         self.avg_pulse_sum = np.zeros((nc, 1))
         self.avg_pulse_n = np.zeros(nc)
+        # predicted-class averages + grand total with Poisson errors
+        # (ref: PSDEvaluator.py:223-233 average_pulses_labelled / pulse)
+        self.labelled_pulse_sum = np.zeros((nc, 1))
+        self.labelled_pulse_n = np.zeros(nc)
+        self.total_pulse_sum = np.zeros((1,))
+        self.total_pulse_n = 0.0
+        # bounded sample reservoirs for the energy / per-class output
+        # histograms (ref :136, :158)
+        self._hist_cap = 100_000
+        self._energy_samples: list = []
+        self._output_samples: list = []
         self.roc = ROCCurve(nc)
         self._avg_initialized = False
 
@@ -70,9 +81,18 @@ class PSDEvaluator(SingleEndedEvaluator):
         psd = 0.5 * (summary["psdl"] + summary["psdr"])
         acc = (labels == predictions).astype(np.float64)
         if not self._avg_initialized:
-            self.avg_pulse_sum = np.zeros((len(self.class_names),
-                                           pulses.shape[1]))
+            nc = len(self.class_names)
+            self.avg_pulse_sum = np.zeros((nc, pulses.shape[1]))
+            self.labelled_pulse_sum = np.zeros((nc, pulses.shape[1]))
+            self.total_pulse_sum = np.zeros((pulses.shape[1],))
             self._avg_initialized = True
+        self.total_pulse_sum += summary["pulses"].sum(axis=0)
+        self.total_pulse_n += float(B)
+        if sum(len(e) for e in self._energy_samples) < self._hist_cap:
+            self._energy_samples.append(summed_E)
+            if logits is not None:
+                ex = np.exp(logits - logits.max(axis=1, keepdims=True))
+                self._output_samples.append(ex / ex.sum(axis=1, keepdims=True))
         for ci, cname in enumerate(self.class_names):
             sel = labels == ci
             if not sel.any():
@@ -86,6 +106,10 @@ class PSDEvaluator(SingleEndedEvaluator):
             self.acc_vs_y.add(acc[sel], summary["coords"][sel, 1], cname)
             self.avg_pulse_sum[ci] += summary["pulses"][sel].sum(axis=0)
             self.avg_pulse_n[ci] += sel.sum()
+            sel_p = predictions == ci
+            if sel_p.any():
+                self.labelled_pulse_sum[ci] += summary["pulses"][sel_p].sum(axis=0)
+                self.labelled_pulse_n[ci] += sel_p.sum()
         confusion_accumulate(predictions, labels, self.confusion)
         confusion_accumulate_1d(predictions, labels, summed_E,
                                 self.confusion_vs_E, (0.0, self.E_max), N_E_CONF)
@@ -142,6 +166,34 @@ class PSDEvaluator(SingleEndedEvaluator):
             names = [n for i, n in enumerate(self.class_names) if present[i]]
             self.logger.log_figure(self.namespace + "average_pulse",
                                    plot_waveforms(wfs, names))
+            self.logger.log_figure(
+                self.namespace + "average_pulse_normalized",
+                plot_waveforms(wfs, names, normalize=True,
+                               title="Average waveform (peak-normalized)"))
+        lab_present = self.labelled_pulse_n > 0
+        if self._avg_initialized and lab_present.any():
+            wfs = [self.labelled_pulse_sum[i] / self.labelled_pulse_n[i]
+                   for i in range(len(self.class_names)) if lab_present[i]]
+            names = [n for i, n in enumerate(self.class_names) if lab_present[i]]
+            self.logger.log_figure(
+                self.namespace + "average_pulse_labelled",
+                plot_waveforms(wfs, names,
+                               title="Average waveform by predicted class"))
+        if self._avg_initialized and self.total_pulse_n > 0:
+            mean = self.total_pulse_sum / self.total_pulse_n
+            err = np.sqrt(np.clip(self.total_pulse_sum, 0, None)) / self.total_pulse_n
+            self.logger.log_figure(
+                self.namespace + "pulse",
+                plot_waveforms([mean], ["total"], errors=[err],
+                               title="Total average waveform"))
+        if self._energy_samples:
+            self.logger.log_histogram(self.namespace + "energy",
+                                      np.concatenate(self._energy_samples))
+        if self._output_samples:
+            outs = np.concatenate(self._output_samples, axis=0)
+            for i, name in enumerate(self.class_names):
+                self.logger.log_histogram(self.namespace + f"output_{name}",
+                                          outs[:, i])
         self.roc.plot(self.logger, self.class_names, self.namespace)
 
 

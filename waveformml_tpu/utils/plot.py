@@ -145,10 +145,22 @@ def plot_pr_curve(recall_per_class, precision_per_class, class_names,
 
 def plot_waveforms(waveforms: Sequence[np.ndarray], labels: Sequence[str],
                    xlabel: str = "sample", ylabel: str = "amplitude",
-                   title: str = "Average waveform"):
+                   title: str = "Average waveform", normalize: bool = False,
+                   errors: Optional[Sequence[np.ndarray]] = None):
+    """Waveform overlay (ref: PlotUtils.py plot_wfs): optional peak
+    normalization and per-sample error bands."""
     fig, ax = plt.subplots()
-    for wf, lab in zip(waveforms, labels):
-        ax.plot(np.arange(len(wf)), wf, label=lab)
+    for i, (wf, lab) in enumerate(zip(waveforms, labels)):
+        wf = np.asarray(wf, dtype=np.float64)
+        err = None if errors is None else np.asarray(errors[i], np.float64)
+        if normalize:
+            peak = np.abs(wf).max() or 1.0
+            wf = wf / peak
+            err = err / peak if err is not None else None
+        xs = np.arange(len(wf))
+        ax.plot(xs, wf, label=lab)
+        if err is not None:
+            ax.fill_between(xs, wf - err, wf + err, alpha=0.3)
     ax.set(xlabel=xlabel, ylabel=ylabel, title=title)
     ax.legend()
     fig.tight_layout()
