@@ -110,6 +110,16 @@ def test_psd_evaluator_accumulates_and_dumps(rng):
     assert "evaluation/pulse" in logger.figures
     assert "evaluation/energy" in logger.figures
     assert "evaluation/output_A" in logger.figures
+    # 2-D surfaces + precision curves (ref: PSDEvaluator.py:402-476)
+    assert "evaluation/energy_psd_accuracy" in logger.figures
+    assert "evaluation/position_accuracy" in logger.figures
+    assert "evaluation/EPSD" in logger.figures
+    assert "evaluation/EPSD_classes" in logger.figures
+    assert "evaluation/energy_psd_precision" in logger.figures
+    assert "evaluation/multiplicity" in logger.figures
+    assert "evaluation/multiplicity_precision" in logger.figures
+    assert "evaluation/multiplicity_classes" in logger.figures
+    assert "evaluation/energy_precision" in logger.figures
 
 
 def test_z_evaluator_mae(rng):

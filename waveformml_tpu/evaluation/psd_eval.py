@@ -46,6 +46,17 @@ class PSDEvaluator(SingleEndedEvaluator):
                                          self.class_names, metric_name="accuracy")
         self.acc_vs_y = MetricAggregator("y position", -0.5, NY - 0.5, NY,
                                          self.class_names, metric_name="accuracy")
+        # 2-D E x PSD and x x y accuracy surfaces (ref: PSDEvaluator.py
+        # :202-216 energy_psd_accuracy / position_accuracy; the per-class
+        # planes feed EPSD_classes + energy_psd_precision, ref :437-456)
+        from waveformml_tpu.evaluation.metric_agg import Metric2DAggregator
+
+        self.acc_E_psd = Metric2DAggregator(
+            "energy [MeV]", "PSD", (0.0, self.E_max, 25), (0.0, 0.6, 25),
+            ["all"] + self.class_names, metric_name="accuracy")
+        self.acc_pos = Metric2DAggregator(
+            "x", "y", (-0.5, NX - 0.5, NX), (-0.5, NY - 0.5, NY), ["all"],
+            metric_name="accuracy")
         self.confusion = np.zeros((nc, nc))
         self.confusion_vs_E = np.zeros((N_E_CONF + 1, nc, nc))
         self.confusion_vs_nSE = np.zeros((4, nc, nc))
@@ -110,6 +121,10 @@ class PSDEvaluator(SingleEndedEvaluator):
             if sel_p.any():
                 self.labelled_pulse_sum[ci] += summary["pulses"][sel_p].sum(axis=0)
                 self.labelled_pulse_n[ci] += sel_p.sum()
+            self.acc_E_psd.add(acc[sel], summed_E[sel], psd[sel], cname)
+        self.acc_E_psd.add(acc, summed_E, psd, "all")
+        self.acc_pos.add(acc, summary["coords"][:, 0], summary["coords"][:, 1],
+                         "all")
         confusion_accumulate(predictions, labels, self.confusion)
         confusion_accumulate_1d(predictions, labels, summed_E,
                                 self.confusion_vs_E, (0.0, self.E_max), N_E_CONF)
@@ -194,7 +209,89 @@ class PSDEvaluator(SingleEndedEvaluator):
             for i, name in enumerate(self.class_names):
                 self.logger.log_histogram(self.namespace + f"output_{name}",
                                           outs[:, i])
+        self._dump_2d_surfaces()
         self.roc.plot(self.logger, self.class_names, self.namespace)
+
+    def _dump_2d_surfaces(self) -> None:
+        """The reference's 2-D figure set (ref: PSDEvaluator.py:402-476):
+        E x PSD accuracy contour + totals, per-class planes, x x y accuracy,
+        multiplicity totals, per-class precision curves."""
+        from waveformml_tpu.ops.dsp import safe_divide
+        from waveformml_tpu.utils.plot import (plot_contour, plot_hist1d,
+                                               plot_hist2d, plot_lines,
+                                               plot_n_contour, plot_n_hist2d)
+
+        a2 = self.acc_E_psd
+        i_all = a2.class_names.index("all")
+        if a2.count[i_all].sum() > 0:
+            xs = 0.5 * (a2.edges_x[:-1] + a2.edges_x[1:])
+            ys = 0.5 * (a2.edges_y[:-1] + a2.edges_y[1:])
+            acc = safe_divide(a2.total[i_all], a2.count[i_all])[1:-1, 1:-1]
+            self.logger.log_figure(
+                self.namespace + "energy_psd_accuracy",
+                plot_contour(xs, ys, acc, "energy [MeV]", "PSD", "accuracy"))
+            self.logger.log_figure(
+                self.namespace + "EPSD",
+                plot_hist2d(a2.edges_x, a2.edges_y,
+                            a2.count[i_all][1:-1, 1:-1],
+                            xlabel="Energy [MeV]", ylabel="PSD",
+                            title="Total"))
+            per_class = [ci for ci, n in enumerate(a2.class_names)
+                         if n != "all" and a2.count[ci].sum() > 0]
+            if per_class:
+                names = [a2.class_names[ci] for ci in per_class]
+                self.logger.log_figure(
+                    self.namespace + "EPSD_classes",
+                    plot_n_hist2d(a2.edges_x, a2.edges_y,
+                                  [a2.count[ci][1:-1, 1:-1] for ci in per_class],
+                                  names, xlabel="Energy [MeV]", ylabel="PSD"))
+                self.logger.log_figure(
+                    self.namespace + "energy_psd_precision",
+                    plot_n_contour(xs, ys,
+                                   [safe_divide(a2.total[ci],
+                                                a2.count[ci])[1:-1, 1:-1]
+                                    for ci in per_class],
+                                   xlabel="Energy [MeV]", ylabel="PSD",
+                                   titles=names))
+        pos = self.acc_pos
+        if pos.count[0].sum() > 0:
+            self.logger.log_figure(
+                self.namespace + "position_accuracy",
+                plot_contour(np.arange(NX), np.arange(NY),
+                             safe_divide(pos.total[0], pos.count[0])[1:-1, 1:-1],
+                             "x", "y", "accuracy", filled=False))
+        # multiplicity totals + per-class precision curves from the 1-D aggs
+        # (MetricAggregator keeps Welford MEANS per bin, not sums)
+        m = self.acc_vs_mult
+        tot = m.count.sum(axis=0)[1:-1]
+        if tot.sum() > 0:
+            edges = np.linspace(0.5, N_MULT + 0.5, N_MULT + 1)
+            self.logger.log_figure(
+                self.namespace + "multiplicity",
+                plot_hist1d(edges, tot, xlabel="Multiplicity", ylabel="total",
+                            title="Total"))
+            mults = np.arange(1, N_MULT + 1)
+            present = [ci for ci in range(len(m.class_names))
+                       if m.count[ci].sum() > 0]
+            names = [m.class_names[ci] for ci in present]
+            self.logger.log_figure(
+                self.namespace + "multiplicity_precision",
+                plot_lines(mults, [m.mean[ci][1:-1] for ci in present], names,
+                           "multiplicity", "precision"))
+            self.logger.log_figure(
+                self.namespace + "multiplicity_classes",
+                plot_lines(mults, [m.count[ci][1:-1] for ci in present], names,
+                           "multiplicity", "total"))
+        e = self.acc_vs_E
+        if e.count.sum() > 0:
+            centers = 0.5 * (e.bin_edges[:-1] + e.bin_edges[1:])
+            present = [ci for ci in range(len(e.class_names))
+                       if e.count[ci].sum() > 0]
+            self.logger.log_figure(
+                self.namespace + "energy_precision",
+                plot_lines(centers, [e.mean[ci][1:-1] for ci in present],
+                           [e.class_names[ci] for ci in present],
+                           "energy [MeV]", "precision"))
 
 
 class PhysEvaluator(PSDEvaluator):
@@ -222,6 +319,14 @@ class PhysEvaluator(PSDEvaluator):
             self.acc_vs_mult.add(acc[sel], np.clip(out_m[sel], 1, N_MULT), cname)
             self.acc_vs_x.add(acc[sel], out_c[sel, 0], cname)
             self.acc_vs_y.add(acc[sel], out_c[sel, 1], cname)
+            self.acc_E_psd.add(acc[sel], summed_E[sel], psd[sel], cname)
+        self.acc_E_psd.add(acc, summed_E, psd, "all")
+        self.acc_pos.add(acc, out_c[:, 0], out_c[:, 1], "all")
+        if sum(len(x) for x in self._energy_samples) < self._hist_cap:
+            self._energy_samples.append(summed_E)
+            if logits is not None:
+                ex = np.exp(logits - logits.max(axis=1, keepdims=True))
+                self._output_samples.append(ex / ex.sum(axis=1, keepdims=True))
         confusion_accumulate(predictions, labels, self.confusion)
         confusion_accumulate_1d(predictions, labels, summed_E,
                                 self.confusion_vs_E, (0.0, self.E_max), N_E_CONF)
