@@ -163,6 +163,9 @@ def test_energy_evaluator_mape(rng):
     ev.dump()
     total = (ev.E_mape.mean * ev.E_mape.count).sum() / ev.E_mape.count.sum()
     assert total == pytest.approx(0.1, abs=0.01)
+    # summary scalar + combined per-mult figure (ref: EnergyEvaluator.py:94-121)
+    assert any(k.endswith("_E_MAPE") for k in logger.scalars), logger.scalars
+    assert "evaluation/E_error_summary_mult" in logger.figures
 
 
 def test_ez_evaluator_composes(rng):

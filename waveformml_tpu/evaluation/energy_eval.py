@@ -114,6 +114,39 @@ class EnergyEvaluatorBase(SingleEndedEvaluator):
         self.log_segment_metric("seg_mape", "E_mape_segment", "E MAPE by segment")
         if self._has_cal:
             self.E_mape_cal.plot(self.logger)
+        self._dump_summary()
+
+    def _dump_summary(self) -> None:
+        """Summary scalars + the combined per-multiplicity figure
+        (ref: EnergyEvaluator.py:94-121 single/dual_E_MAPE +
+        E_error_summary_mult)."""
+        from waveformml_tpu.utils.plot import plot_lines
+
+        def overall(agg, ci):
+            cnt = agg.count[ci].sum()
+            return float((agg.mean[ci] * agg.count[ci]).sum() / cnt
+                         * agg.scale_factor) if cnt > 0 else None
+
+        for ci, key in ((0, "single"), (1, "dual")):
+            v = overall(self.E_mape, ci)
+            if v is not None:
+                self.logger.log_scalar(self.namespace + f"{key}_E_MAPE", v, 0)
+            if self._has_cal:
+                vc = overall(self.E_mape_cal, ci)
+                if vc is not None:
+                    self.logger.log_scalar(
+                        self.namespace + f"{key}_E_MAPE_cal", vc, 0)
+        m = self.mult_mape
+        present = [ci for ci in range(len(m.class_names))
+                   if m.count[ci].sum() > 0]
+        if present:
+            mults = np.arange(1, N_MULT + 1)
+            self.logger.log_figure(
+                self.namespace + "E_error_summary_mult",
+                plot_lines(mults,
+                           [m.mean[ci][1:-1] * m.scale_factor for ci in present],
+                           [m.class_names[ci] for ci in present],
+                           "multiplicity", "E MAPE [%]"))
 
 
 class EnergyEvaluatorWF(EnergyEvaluatorBase):
