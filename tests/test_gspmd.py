@@ -133,3 +133,43 @@ def test_gspmd_checkpoint_roundtrip(psd_setup, tmp_path):
     specs = [x.sharding.spec for x in jax.tree.leaves(trainer2.state.params)
              if hasattr(x, "sharding")]
     assert any(len(spec) and spec[-1] == "model" for spec in specs)
+
+
+def test_gspmd_row_label_task(psd_setup):
+    """Row-label tasks (LitZ prepare_block: labels_rows aligned to rows) also
+    shard on the 2-D mesh — every leading dim divides the data axis."""
+    import jax
+    import numpy as np
+
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import LitZ
+
+    tmp_path, _ = psd_setup
+    cfg = Config({
+        "run_config": {"exp_name": "gz", "run_class": "LitZ", "imports": []},
+        "system_config": {"model_name": "gz", "n_samples": N_SAMPLES, "n_type": 2,
+                          "type_names": ["a"], "model_base_path": str(tmp_path / "m2"),
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_type": "2DConvolution",
+                       "algorithm": "conv",
+                       "hparams": {"conv": {"kernel_size": 3, "n_layers": 2},
+                                   "point": {"pointwise_layers": 1}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPair",
+                           "dataset_params": {}, "n_train": 8, "n_validate": 4},
+    })
+    rng = np.random.default_rng(0)
+    n = 24
+    coords = np.stack([rng.integers(0, 14, n), rng.integers(0, 11, n),
+                       np.sort(rng.integers(0, 12, n))], axis=1).astype(np.int32)
+    feats = rng.random((n, 2 * N_SAMPLES)).astype(np.float32)
+    labels = rng.random(n).astype(np.float32)
+    block = FileBlock(coords, feats, labels, {})
+    trainer = Trainer(cfg, LitZ(cfg), tp=2, seed=0)
+    loss, _ = _one_step(trainer, block, jax.random.PRNGKey(0))
+    assert math.isfinite(loss)
