@@ -292,3 +292,104 @@ def test_occlusion_study_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr + r.stdout
     assert "ind 0 is" in r.stdout and "ind 1 is" in r.stdout
     assert os.path.exists(os.path.join(eval_dir, "occlude_results_test_loss.png"))
+
+
+def _tiny_task_ckpt(tmp_path, run_class, net_cfg, n_type, name):
+    """Init-only checkpoint + config for a writer test."""
+    import jax
+
+    from waveformml_tpu.config import Config, save_config
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.parallel.mesh import make_mesh
+    from waveformml_tpu.registry import retrieve_class
+
+    cfg = Config({
+        "run_config": {"exp_name": name, "run_class": run_class, "imports": []},
+        "system_config": {"model_name": name, "n_samples": 65, "n_type": n_type,
+                          "type_names": [f"c{i}" for i in range(n_type)],
+                          "model_base_path": str(tmp_path / "model"),
+                          "half_precision": 0},
+        "net_config": {"criterion_params": [], "imports": [],
+                       "net_type": "2DConvolution", **net_cfg},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPairNorm",
+                           "dataset_params": {}, "n_train": 8, "n_validate": 4},
+    })
+    task = retrieve_class(run_class)(cfg)
+    rng = np.random.default_rng(0)
+    coords = np.array([[1, 1, 0], [2, 2, 1]], dtype=np.int32)
+    feats = rng.random((2, 130)).astype(np.float32)
+    labels = (np.zeros(2, np.int64) if "Class" in run_class or "PSD" in run_class
+              else rng.random(2).astype(np.float32))
+    trainer = Trainer(cfg, task, mesh=__import__("jax").devices()[:1] and
+                      make_mesh(__import__("jax").devices()[:1]), seed=0)
+    trainer._ensure_state(FileBlock(coords, feats, labels, {}))
+    ckpt = str(tmp_path / f"{name}.ckpt")
+    trainer.save_checkpoint(ckpt)
+    cfg_path = str(tmp_path / f"{name}.json")
+    save_config(cfg, cfg_path)
+    return cfg_path, ckpt
+
+
+def test_irn_prediction_writer_end_to_end(tmp_path):
+    """IRN writer swaps per-event model outputs into phys[:, 4:] on a WFNorm
+    stream (ref: PredictionWriter.py:180-195)."""
+    import h5py
+
+    from waveformml_tpu.datasets.synthetic import write_wfnorm
+    from waveformml_tpu.inference.prediction_writer import IRNPredictionWriter
+
+    cfg_path, ckpt = _tiny_task_ckpt(
+        tmp_path, "LitPSD",
+        {"criterion_class": "CrossEntropyLoss", "net_class": "SubMPSDNet",
+         "hparams": {"out_planes": 4, "n_lin": 1,
+                     "conv_params": {"kernel_size": 3, "n_conv": 1, "n_point": 1,
+                                     "conv_position": 1, "version": 2}}},
+        n_type=3, name="irn")
+    input_path = str(tmp_path / "run2_WFNorm.h5")
+    write_wfnorm(input_path, n_events=25, seed=3)
+    with h5py.File(input_path) as h5:
+        orig = h5["WaveformPairNorm"]["phys"][()].copy()
+    out_path = str(tmp_path / "irn_ModelOut.h5")
+    pw = IRNPredictionWriter(out_path, input_path, cfg_path, ckpt,
+                             n_rows_per_read=16)
+    pw.write_predictions()
+    with h5py.File(out_path) as h5:
+        rec = h5["WaveformPairNorm"][()]
+    assert not np.allclose(rec["phys"][:, 4:], orig[:, 4:])
+    np.testing.assert_allclose(rec["phys"][:, :4], orig[:, :4])
+
+
+def test_irnim_prediction_writer_end_to_end(tmp_path):
+    """IRNIM writer swaps per-row class scores into phys[:, 2:]
+    (ref: PredictionWriter.py:198-275, output_is_sparse path)."""
+    import h5py
+
+    from waveformml_tpu.datasets.synthetic import write_wfnorm
+    from waveformml_tpu.inference.prediction_writer import IRNIMPredictionWriter
+
+    cfg_path, ckpt = _tiny_task_ckpt(
+        tmp_path, "LitSegClassifier",
+        {"criterion_class": "CrossEntropyLoss", "net_class": "SPConvPreserveNet",
+         "hparams": {"n_conv": 1,
+                     "conv_params": {"pointwise_factor": 0, "pad_factor": 1.0,
+                                     "size_factor": 3, "stride_factor": 1.2,
+                                     "n_expansion": 1, "expansion_factor": 1.2,
+                                     "version": 1, "n_contraction": 1}}},
+        n_type=5, name="irnim")
+    input_path = str(tmp_path / "run3_WFNorm.h5")
+    write_wfnorm(input_path, n_events=25, seed=5)
+    with h5py.File(input_path) as h5:
+        orig = h5["WaveformPairNorm"]["phys"][()].copy()
+    out_path = str(tmp_path / "irnim_ModelOut.h5")
+    pw = IRNIMPredictionWriter(out_path, input_path, cfg_path, ckpt,
+                               n_rows_per_read=16)
+    pw.write_predictions()
+    with h5py.File(out_path) as h5:
+        rec = h5["WaveformPairNorm"][()]
+    assert not np.allclose(rec["phys"][:, 2:], orig[:, 2:])
+    np.testing.assert_allclose(rec["phys"][:, :2], orig[:, :2])

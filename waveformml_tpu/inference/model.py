@@ -50,7 +50,10 @@ class InferenceModel:
         variables = {"params": restored["params"]}
         if restored.get("batch_stats") is not None:
             variables["batch_stats"] = restored["batch_stats"]
-        return variables
+        # orbax restores HOST numpy arrays; params must be jax arrays or
+        # numpy fancy-indexing by tracers inside jit (e.g. FoldedSiteLinear's
+        # site gather) falls into numpy and fails
+        return jax.tree.map(jnp.asarray, variables)
 
     def _fn(self, row_bucket: int, event_bucket: int, n_feat: int,
             feat_dtype: str):
