@@ -393,3 +393,22 @@ def test_irnim_prediction_writer_end_to_end(tmp_path):
         rec = h5["WaveformPairNorm"][()]
     assert not np.allclose(rec["phys"][:, 2:], orig[:, 2:])
     np.testing.assert_allclose(rec["phys"][:, :2], orig[:, :2])
+
+
+def test_write_predictions_cli(z_model_setup, monkeypatch):
+    """The WritePredictions.py CLI end-to-end (arg plumbing, output naming,
+    XML provenance; ref: WritePredictions.py:11-86)."""
+    import WritePredictions
+    from waveformml_tpu.datasets.synthetic import write_wfpair_cal
+
+    tmp, config_path, ckpt, caldb = z_model_setup
+    monkeypatch.setenv("PROSPECT_CALDB", caldb)
+    input_path = str(tmp / "cli_WFCalFilteredSE.h5")
+    write_wfpair_cal(input_path, n_events=20, seed=6)
+    rc = WritePredictions.main([input_path, config_path, ckpt, "-w", "z",
+                                "-c", "testcal", "-r", "16",
+                                "-d", "WaveformPairCal"])
+    assert rc == 0
+    out_path = input_path[:-3] + "ModelOut.h5"
+    assert os.path.exists(out_path)
+    assert os.path.exists(out_path + ".xml")
