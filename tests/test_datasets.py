@@ -208,3 +208,63 @@ def test_shuffle_preserves_event_content(data_dirs, tmp_path):
             # each row of this event exists in the right class's source data
             for r in rows:
                 assert (np.abs(src[cls] - r).sum(axis=1) < 1e-4).any()
+
+
+@pytest.mark.parametrize("cls_name,fname,table,feat_field,n_feat,label", [
+    ("PulseDatasetPMT", "f0_PMTCoordSim.h5", "DetPulseCoord", "pulse", 7, None),
+    ("PulseDatasetDet", "f0_DetCoordSim.h5", "DetPulseCoord", "pulse", 7, None),
+    ("PulseDataset2DWithZ", "f0_WaveformPairZSim.h5", "WaveformPairsWithZ",
+     "waveform", 16, ("z", 1)),
+    ("PulseDataset2DWithEZ", "f0_WaveformPairEZSim.h5", "WaveformPairsWithEZ",
+     "waveform", 16, ("EZ", 2)),
+    ("PulseDatasetDetWithZ", "f0_DetCoordZSim.h5", "DetPulseCoordWithZ",
+     "pulse", 7, ("z", 1)),
+    ("PulseDatasetDetWithEZ", "f0_DetCoordEZSim.h5", "DetPulseCoordWithEZ",
+     "pulse", 7, ("EZ", 2)),
+])
+def test_remaining_pulse_dataset_variants(tmp_path, rng, cls_name, fname,
+                                          table, feat_field, n_feat, label):
+    """Every registered PulseDataset variant loads its on-disk layout
+    (ref: PulseDataset.py:628-903): PMT/Det phys-pulse coords and the
+    WithZ/WithEZ labelled waveform tables."""
+    import h5py
+
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.registry import retrieve_class
+
+    d = tmp_path / "data" / "a"
+    os.makedirs(d)
+    n = 30
+    fields = [("coord", np.int32, (3,)), (feat_field, np.float32, (n_feat,))]
+    if label is not None and label[1] == 1:
+        fields.append((label[0], np.float32))
+    elif label is not None:
+        fields.append((label[0], np.float32, (label[1],)))
+    rec = np.zeros(n, dtype=np.dtype(fields))
+    rec["coord"][:, 0] = rng.integers(0, 14, n)
+    rec["coord"][:, 1] = rng.integers(0, 11, n)
+    rec["coord"][:, 2] = np.sort(rng.integers(0, 10, n))
+    rec[feat_field] = rng.random((n, n_feat), dtype=np.float32)
+    if label is not None:
+        rec[label[0]] = (rng.random(n, dtype=np.float32) if label[1] == 1
+                         else rng.random((n, label[1]), dtype=np.float32))
+    with h5py.File(str(d / fname), "w") as h5:
+        h5.create_dataset(table, data=rec)
+        h5[table].attrs.create("nevents", np.array([10.0]))
+
+    cfg = Config({
+        "system_config": {"model_name": "m", "n_samples": 8,
+                          "model_base_path": str(tmp_path / "model"),
+                          "type_names": ["a"]},
+        "dataset_config": {"base_path": str(tmp_path / "data"), "paths": ["a"],
+                           "dataset_params": {}},
+    })
+    ds = retrieve_class(cls_name)(cfg, "train", 10)
+    block = ds[0]
+    assert block.coords.shape[1] == 3
+    assert block.feats.shape[1] == n_feat
+    if label is not None:
+        assert block.labels is not None and block.labels.shape[0] == block.coords.shape[0]
+    if cls_name == "PulseDatasetPMT":
+        # per-feature normalization vector applied (ref :628-676)
+        assert block.feats.max() <= 1.0 + 1e-6
