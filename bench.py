@@ -706,9 +706,13 @@ def _safe(fn):
         return None
 
 
-BENCHES = [("dense_conv1d", 420), ("wfparams", 360), ("stream", 480),
-           ("hpo", 480), ("heavy", 480), ("infer", 360),
-           ("sparse_psd", 480)]  # headline LAST
+BENCHES = [("hpo", 600), ("dense_conv1d", 480), ("wfparams", 420),
+           ("stream", 540), ("heavy", 540), ("infer", 480),
+           ("sparse_psd", 600)]  # headline LAST; hpo first (most compiles,
+                                 # so it gets the freshest link phase).
+# Budgets absorb the link's per-client first-execution stall (1-10 min,
+# phase-dependent — docs/PERF_NOTES.md); a skipped config is a stalled-phase
+# artifact, not a failure, and the headline always retries.
 
 
 def _run_inline(names) -> int:
