@@ -268,3 +268,16 @@ def test_remaining_pulse_dataset_variants(tmp_path, rng, cls_name, fname,
     if cls_name == "PulseDatasetPMT":
         # per-feature normalization vector applied (ref :628-676)
         assert block.feats.max() <= 1.0 + 1e-6
+
+
+def test_combine_data_type_map_resolves():
+    """Every CombineData -t choice maps to a registered dataset class
+    (ref: CombineData.py:6)."""
+    import CombineData
+    from waveformml_tpu.registry import retrieve_class
+
+    assert set(CombineData.TYPE_MAP) == {"2d", "3d", "pmt", "det", "detz",
+                                         "detez", "2dz", "2dez", "wfpair",
+                                         "wfpairez"}
+    for cls_name in CombineData.TYPE_MAP.values():
+        assert retrieve_class(cls_name) is not None
