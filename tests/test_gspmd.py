@@ -173,3 +173,27 @@ def test_gspmd_row_label_task(psd_setup):
     trainer = Trainer(cfg, LitZ(cfg), tp=2, seed=0)
     loss, _ = _one_step(trainer, block, jax.random.PRNGKey(0))
     assert math.isfinite(loss)
+
+
+def test_gspmd_bf16_step(psd_setup):
+    """half_precision (bf16 compute, fp32 params) under the gspmd engine."""
+    import jax
+
+    from waveformml_tpu.config import to_dict
+
+    tmp_path, cfg = psd_setup
+    d = {k: to_dict(getattr(cfg, k)) for k in
+         ("run_config", "system_config", "net_config", "optimize_config",
+          "dataset_config")}
+    d["system_config"]["half_precision"] = 1
+    cfg_bf16 = Config(d)
+    dm = PSDDataModule(cfg_bf16)
+    dm.setup("fit")
+    block = next(iter(dm.train_dataloader()))
+    trainer = Trainer(cfg_bf16, LitPSD(cfg_bf16), tp=2, seed=0)
+    loss, new_p = _one_step(trainer, block, jax.random.PRNGKey(3))
+    assert math.isfinite(loss)
+    # master params stay fp32
+    assert all(np.asarray(x).dtype == np.float32
+               for x in jax.tree.leaves(new_p)
+               if np.asarray(x).dtype.kind == "f")
