@@ -556,8 +556,11 @@ def _torch_stream(input_path, tmp):
     n_done = 0
     with h5py.File(input_path) as h5in, h5py.File(out_path, "w") as h5out:
         din = h5in["WaveformPairCal"]
+        # the reference stack writes gzip-9 (HDF5IO.py:88-91) — charge the
+        # baseline what the reference actually pays
         dout = h5out.create_dataset("WaveformPairCal", shape=din.shape,
-                                    dtype=din.dtype)
+                                    dtype=din.dtype, chunks=(1024,),
+                                    compression="gzip", compression_opts=9)
         n = din.shape[0]
         with torch.no_grad():
             for lo in range(0, n, STREAM_READ):
