@@ -108,3 +108,104 @@ def test_torch_prediction_parity(rng, path):
         got = layer.apply(v, h, batch)
 
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_full_flagship_model_parity(rng):
+    """FULL-model prediction parity (BASELINE hard gate): the flagship
+    SubMPSDNet (SubM stack + eval BatchNorm + pointwise + folded linear head)
+    vs a weight-shared torch mirror of the reference compute pattern, with
+    randomized parameters AND randomized BN running statistics."""
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    cfg = Config({
+        "run_config": {"exp_name": "p", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "p", "n_samples": 8, "n_type": 2,
+                          "type_names": ["a", "b"], "model_base_path": "/tmp/p",
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "SubMPSDNet",
+                       "net_type": "2DConvolution",
+                       "hparams": {"out_planes": 8, "n_lin": 2,
+                                   "conv_params": {"kernel_size": 3, "n_conv": 2,
+                                                   "n_point": 1,
+                                                   "conv_position": 1,
+                                                   "version": 2}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    task = LitPSD(cfg)
+    n_events, n_in = 10, 16
+    rows = []
+    for e in range(n_events):
+        for s in rng.choice(NX * NY, size=int(rng.integers(1, 5)), replace=False):
+            rows.append([s % NX, s // NX, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], n_in)).astype(np.float32)
+    c, f, m = pad_sparse(coords, feats, 64)
+    batch = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), n_events)
+    v = task.model.init(jax.random.PRNGKey(0), batch)
+
+    def randomize(x):
+        return jnp.asarray(rng.normal(size=np.shape(x)).astype(np.float32) * 0.2)
+
+    params = jax.tree.map(randomize, v["params"])
+    bstats = {"stack": {
+        k: {"mean": randomize(v["batch_stats"]["stack"][k]["mean"]),
+            "var": jnp.asarray(
+                rng.uniform(0.5, 1.5, np.shape(v["batch_stats"]["stack"][k]["var"])
+                            ).astype(np.float32))}
+        for k in v["batch_stats"]["stack"]}}
+    got = np.asarray(task.model.apply({"params": params, "batch_stats": bstats},
+                                      batch))
+
+    # torch mirror (eval mode, masked to active sites after every stage)
+    p = jax.tree.map(np.asarray, params)
+    bs = jax.tree.map(np.asarray, bstats)
+
+    def conv(name, cin, cout, k, pd):
+        layer = tnn.Conv2d(cin, cout, k, 1, pd)
+        w = p["stack"][name]["kernel"].reshape(k, k, cin, cout).transpose(3, 2, 0, 1)
+        with torch.no_grad():
+            layer.weight.copy_(torch.from_numpy(np.ascontiguousarray(w)))
+            layer.bias.copy_(torch.from_numpy(p["stack"][name]["bias"]))
+        return layer
+
+    def bn(name, nch):
+        layer = tnn.BatchNorm2d(nch, eps=1e-5)
+        with torch.no_grad():
+            layer.weight.copy_(torch.from_numpy(p["stack"][name]["scale"]))
+            layer.bias.copy_(torch.from_numpy(p["stack"][name]["bias"]))
+            layer.running_mean.copy_(torch.from_numpy(bs["stack"][name]["mean"]))
+            layer.running_var.copy_(torch.from_numpy(bs["stack"][name]["var"]))
+        layer.eval()
+        return layer
+
+    dense = np.zeros((n_events, NX, NY, n_in), np.float32)
+    occ = np.zeros((n_events, NX, NY), bool)
+    dense[coords[:, 2], coords[:, 0], coords[:, 1]] = feats
+    occ[coords[:, 2], coords[:, 0], coords[:, 1]] = True
+    x = torch.from_numpy(dense).permute(0, 3, 1, 2)
+    tm = torch.from_numpy(occ)[:, None].float()
+    l0 = conv("l0", 16, 13, 3, 1)
+    l1 = bn("l1", 13)
+    l3 = conv("l3", 13, 11, 3, 1)
+    l4 = bn("l4", 11)
+    l6 = conv("l6", 11, 8, 1, 0)
+    lin0 = tnn.Linear(8 * NX * NY, 50)
+    lin1 = tnn.Linear(50, 2)
+    with torch.no_grad():
+        lin0.weight.copy_(torch.from_numpy(p["head0"]["kernel"].T))
+        lin0.bias.copy_(torch.from_numpy(p["head0"]["bias"]))
+        lin1.weight.copy_(torch.from_numpy(p["linear"]["dense_0"]["kernel"].T))
+        lin1.bias.copy_(torch.from_numpy(p["linear"]["dense_0"]["bias"]))
+        h = torch.relu(l1(l0(x) * tm)) * tm
+        h = torch.relu(l4(l3(h) * tm)) * tm
+        h = torch.relu(l6(h)) * tm
+        want = lin1(lin0(h.flatten(1))).numpy()
+
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
