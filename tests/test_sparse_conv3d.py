@@ -265,3 +265,54 @@ def test_scnet_3d_row_path_active(rng):
     dense_out = row_net.apply(rv, b)
     assert dense_out.shape == (3, 4, NX, NY, T)
     assert bool(jnp.isfinite(dense_out).all())
+
+
+def test_pulse_dataset_3d_trainer_fit(rng, tmp_path):
+    """Full 3D training loop: PulseDataset3D → SPMD Trainer.fit over the
+    4-column sparse batches (SubMConv3d stack)."""
+    import math
+
+    from waveformml_tpu.datasets.data_module import PSDDataModule
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs_3d
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.engineering.trainer import Trainer
+
+    n_samples = T
+    write_classification_dirs_3d(str(tmp_path / "data"), ["a", "b"],
+                                 n_files=4, events_per_file=8,
+                                 n_samples=n_samples, seed=7)
+    cfg = Config({
+        "run_config": {"exp_name": "t3", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "t3", "n_samples": n_samples,
+                          "n_type": 2, "type_names": ["a", "b"],
+                          "model_base_path": str(tmp_path / "model"),
+                          "half_precision": 0},
+        "net_config": {"net_type": "3DConvolution",
+                       "criterion_class": "CrossEntropyLoss",
+                       "criterion_params": [], "imports": [],
+                       "net_class": "SCNet",
+                       "algorithm": [
+                           "spconv.SubMConv3d", [2, 4, 3, 1, 1, 1],
+                           "nn.ReLU",
+                           "spconv.ToDense",
+                           "nn.Linear", [4 * NX * NY * n_samples, 8],
+                           "nn.ReLU",
+                           "nn.Linear", [8, 2],
+                       ]},
+        "optimize_config": {"total_epoch": 2, "lr": 0.05, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9}},
+        "dataset_config": {"mode": "path", "imports": [],
+                           "base_path": str(tmp_path / "data"),
+                           "paths": ["a", "b"],
+                           "dataset_class": "PulseDataset3D",
+                           "dataset_params": {}, "n_train": 12, "n_validate": 4,
+                           "dataloader_params": {"batch_size": 2,
+                                                 "num_workers": 0}},
+    })
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    trainer = Trainer(cfg, LitPSD(cfg), seed=0, early_stopping_patience=10)
+    metrics = trainer.fit(PSDDataModule(cfg))
+    assert math.isfinite(metrics["train_loss"])
+    assert "val_loss" in metrics
