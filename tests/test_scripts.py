@@ -399,3 +399,27 @@ def test_write_zandclass_end_to_end(tmp_path):
     assert os.path.exists(xml_path)
     text = open(xml_path).read()
     assert "ML_z_placement" in text
+
+
+def test_analyze_waveforms_det_type(tmp_path):
+    """AnalyzeWaveforms --type det reads DetPulseCoord phys-pulse files."""
+    import h5py
+
+    rng = np.random.default_rng(4)
+    for cls in ("A", "B"):
+        d = tmp_path / cls
+        os.makedirs(d)
+        n = 40
+        rec = np.zeros(n, dtype=np.dtype([("coord", np.int32, (3,)),
+                                          ("pulse", np.float32, (7,))]))
+        rec["coord"][:, 0] = rng.integers(0, 14, n)
+        rec["coord"][:, 1] = rng.integers(0, 11, n)
+        rec["coord"][:, 2] = np.sort(rng.integers(0, 12, n))
+        rec["pulse"] = rng.random((n, 7), dtype=np.float32)
+        with h5py.File(str(d / f"{cls}0_DetCoordSim.h5"), "w") as h5:
+            h5.create_dataset("DetPulseCoord", data=rec)
+    out = tmp_path / "analysis"
+    r = _run("AnalyzeWaveforms.py", str(tmp_path / "A"), str(tmp_path / "B"),
+             "--type", "det", "-o", str(out))
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert list(out.glob("*.npz")), r.stdout
