@@ -209,3 +209,125 @@ def test_full_flagship_model_parity(rng):
         want = lin1(lin0(h.flatten(1))).numpy()
 
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def _dilate_occ_np(occ, k):
+    """Pure-numpy occupancy dilation for a stride-1 SparseConv (spconv
+    semantics: output sites wherever the kernel overlaps an input site)."""
+    r = (k - 1) // 2
+    if r == 0:
+        return occ
+    out = np.zeros_like(occ)
+    B, H, W = occ.shape
+    for b, i, j in zip(*np.nonzero(occ)):
+        out[b, max(0, i - r):i + r + 1, max(0, j - r):j + r + 1] = True
+    return out
+
+
+def _torch_mirror_specs(specs, p, bs, x, occ):
+    """Generic torch mirror of a _SpecNet spec list (subm/conv/bn/relu/
+    todense): dense conv masked to the evolving active-site set — the
+    reference's spconv semantics (SubM preserves occupancy; SparseConv
+    dilates it)."""
+    h = x
+    tm = torch.from_numpy(occ)[:, None].float()
+    for i, spec in enumerate(specs):
+        nm = f"l{i}"
+        if spec[0] in ("subm", "conv"):
+            if spec[0] == "subm":
+                _, cin, cout, k, pd, _key = spec
+                kern = p[nm]["kernel"].reshape(k, k, cin, cout)
+                bias = p[nm]["bias"]
+            else:  # ('conv', cin, cout, k, stride, pad, dil), stride/dil 1
+                _, cin, cout, k, st, pd, dil = spec
+                assert st == 1 and dil == 1
+                kern = p[nm]["conv"]["kernel"]
+                bias = p[nm]["conv"]["bias"]
+                occ = _dilate_occ_np(occ, k)
+                tm = torch.from_numpy(occ)[:, None].float()
+            layer = tnn.Conv2d(cin, cout, k, 1, pd)
+            w = kern.transpose(3, 2, 0, 1)
+            with torch.no_grad():
+                layer.weight.copy_(torch.from_numpy(np.ascontiguousarray(w)))
+                layer.bias.copy_(torch.from_numpy(bias))
+                h = layer(h) * tm
+        elif spec[0] == "bn":
+            layer = tnn.BatchNorm2d(spec[1], eps=1e-5)
+            with torch.no_grad():
+                layer.weight.copy_(torch.from_numpy(p[nm]["scale"]))
+                layer.bias.copy_(torch.from_numpy(p[nm]["bias"]))
+                layer.running_mean.copy_(torch.from_numpy(bs[nm]["mean"]))
+                layer.running_var.copy_(torch.from_numpy(bs[nm]["var"]))
+            layer.eval()
+            with torch.no_grad():
+                h = layer(h) * tm
+        elif spec[0] == "relu":
+            h = torch.relu(h)
+        elif spec[0] == "todense":
+            pass
+        else:  # pragma: no cover - no other kinds exist
+            raise AssertionError(spec)
+    return h
+
+
+def test_full_z_model_parity(rng):
+    """FULL-model parity for the Z-regression family: SingleEndedZConv
+    (algorithm-conv SubM stack to a dense [B, 1, NX, NY] z map) vs the
+    spec-driven torch mirror with shared randomized weights."""
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.engineering.tasks import LitZ
+    from waveformml_tpu.models.sparse_blocks import SparseConv2DForZ
+
+    n_samples = 8
+    cfg = Config({
+        "run_config": {"exp_name": "z", "run_class": "LitZ", "imports": []},
+        "system_config": {"model_name": "z", "n_samples": n_samples, "n_type": 2,
+                          "type_names": ["a"], "model_base_path": "/tmp/zp",
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_type": "2DConvolution",
+                       "algorithm": "conv",
+                       "hparams": {"conv": {"kernel_size": 3, "n_layers": 3},
+                                   "point": {"pointwise_layers": 1}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPair",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    task = LitZ(cfg)
+    n_events, n_in = 8, 2 * n_samples
+    rows = []
+    for e in range(n_events):
+        for s in rng.choice(NX * NY, size=int(rng.integers(1, 4)), replace=False):
+            rows.append([s % NX, s // NX, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], n_in)).astype(np.float32)
+    c, f, m = pad_sparse(coords, feats, 64)
+    batch = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), n_events)
+    v = task.model.init(jax.random.PRNGKey(1), batch)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(rng.normal(size=np.shape(x)).astype(np.float32) * 0.3),
+        v["params"])
+    variables = {"params": params}
+    if "batch_stats" in v:
+        variables["batch_stats"] = v["batch_stats"]
+    got = np.asarray(task.model.apply(variables, batch))  # [B, 1, NX, NY]
+
+    specs = SparseConv2DForZ.schedule(n_in, kernel_size=3, n_layers=3)
+    # the model wraps the spec net in a single scope
+    p = jax.tree.map(np.asarray, params)
+    inner = p[next(iter(p))] if len(p) == 1 and "l0" not in p else p
+    bs = {}
+    if "batch_stats" in v:
+        b = jax.tree.map(np.asarray, v["batch_stats"])
+        bs = b[next(iter(b))] if len(b) == 1 and "l0" not in b else b
+    dense = np.zeros((n_events, NX, NY, n_in), np.float32)
+    occ = np.zeros((n_events, NX, NY), bool)
+    dense[coords[:, 2], coords[:, 0], coords[:, 1]] = feats
+    occ[coords[:, 2], coords[:, 0], coords[:, 1]] = True
+    x = torch.from_numpy(dense).permute(0, 3, 1, 2)
+    want = _torch_mirror_specs(specs, inner, bs, x, occ).numpy()
+
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
