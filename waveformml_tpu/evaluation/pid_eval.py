@@ -120,8 +120,18 @@ class PIDEvaluator(SingleEndedEvaluator):
             self.logger.log_figure(self.namespace + "pid_confusion",
                                    plot_confusion_matrix(self.confusion,
                                                          self.class_names))
+            # un-normalized counts (ref: PIDEvaluator.py:145 *_totals figures)
+            self.logger.log_figure(
+                self.namespace + "pid_confusion_totals",
+                plot_confusion_matrix(self.confusion, self.class_names,
+                                      normalize=False, title="Counts"))
         for e in range(5):
             if self.confusion_vs_E[e].sum() > 0:
                 self.logger.log_figure(
                     self.namespace + f"pid_confusion_E{e}",
                     plot_confusion_matrix(self.confusion_vs_E[e], self.class_names))
+                self.logger.log_figure(
+                    self.namespace + f"pid_confusion_E{e}_totals",
+                    plot_confusion_matrix(self.confusion_vs_E[e],
+                                          self.class_names, normalize=False,
+                                          title="Counts"))

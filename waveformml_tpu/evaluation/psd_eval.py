@@ -158,6 +158,11 @@ class PSDEvaluator(SingleEndedEvaluator):
             self.logger.log_figure(
                 self.namespace + "confusion",
                 plot_confusion_matrix(self.confusion, self.class_names))
+            # un-normalized counts (ref: PSDEvaluator.py:247 *_totals)
+            self.logger.log_figure(
+                self.namespace + "confusion_totals",
+                plot_confusion_matrix(self.confusion, self.class_names,
+                                      normalize=False, title="Counts"))
         for e in range(N_E_CONF):
             if self.confusion_vs_E[e].sum() > 0:
                 lo = e * self.E_max / N_E_CONF
