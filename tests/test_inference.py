@@ -412,3 +412,41 @@ def test_write_predictions_cli(z_model_setup, monkeypatch):
     out_path = input_path[:-3] + "ModelOut.h5"
     assert os.path.exists(out_path)
     assert os.path.exists(out_path + ".xml")
+
+
+def test_irnim_physpulse_convert_end_to_end(tmp_path, monkeypatch):
+    """IRNIM writer in PhysPulse mode: WaveformPairCal stream → per-row class
+    scores → full PhysPulse conversion (ref: PredictionWriter.py:198-275,
+    convert path with datatype='PhysPulse')."""
+    import h5py
+
+    from waveformml_tpu.datasets.synthetic import write_wfpair_cal
+    from waveformml_tpu.inference.prediction_writer import IRNIMPredictionWriter
+    from waveformml_tpu.io.sql import write_synthetic_caldb
+
+    cfg_path, ckpt = _tiny_task_ckpt(
+        tmp_path, "LitSegClassifier",
+        {"criterion_class": "CrossEntropyLoss", "net_class": "SPConvPreserveNet",
+         "hparams": {"n_conv": 1,
+                     "conv_params": {"pointwise_factor": 0, "pad_factor": 1.0,
+                                     "size_factor": 3, "stride_factor": 1.2,
+                                     "n_expansion": 1, "expansion_factor": 1.2,
+                                     "version": 1, "n_contraction": 1}}},
+        n_type=5, name="irnimp")
+    caldb = str(tmp_path / "cal.db")
+    write_synthetic_caldb(caldb, "testcal", seed=9)
+    monkeypatch.setenv("PROSPECT_CALDB", caldb)
+    input_path = str(tmp_path / "run4_WFCalFilteredSE.h5")
+    write_wfpair_cal(input_path, n_events=25, seed=8)
+    out_path = str(tmp_path / "run4_Phys.h5")
+    pw = IRNIMPredictionWriter(out_path, input_path, cfg_path, ckpt,
+                               calgroup="testcal", datatype="PhysPulse",
+                               n_rows_per_read=16)
+    pw.write_predictions()
+    with h5py.File(out_path) as h5:
+        rec = h5["PhysPulse"][()]
+    with h5py.File(input_path) as h5:
+        cin = h5["WaveformPairCal"]["coord"][()]
+    assert rec.shape[0] == cin.shape[0]
+    np.testing.assert_array_equal(rec["seg"], cin[:, 0] + cin[:, 1] * 14)
+    assert np.isfinite(rec["E"]).all()
