@@ -1,0 +1,38 @@
+"""Shared fixture builder for the multi-process distributed-training test
+(imported by both the pytest process and the spawned workers)."""
+import numpy as np
+
+from waveformml_tpu.config import Config
+from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+
+
+def make_cfg_block():
+    cfg = Config({
+        "run_config": {"exp_name": "d", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "d", "n_samples": 8, "n_type": 2,
+                          "type_names": ["a", "b"], "model_base_path": "/tmp/dd",
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "SubMPSDNet",
+                       "net_type": "2DConvolution",
+                       "hparams": {"out_planes": 4, "n_lin": 1,
+                                   "conv_params": {"kernel_size": 3, "n_conv": 1,
+                                                   "n_point": 1,
+                                                   "conv_position": 1,
+                                                   "version": 2}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.05, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    rng = np.random.default_rng(11)
+    rows = []
+    for e in range(8):  # 8 events -> 2 per device on the 4-device mesh
+        for s in rng.choice(154, size=2, replace=False):
+            rows.append([s % 14, s // 14, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], 16)).astype(np.float32)
+    labels = rng.integers(0, 2, 8).astype(np.int64)
+    return cfg, FileBlock(coords, feats, labels, {})

@@ -81,3 +81,102 @@ def test_two_process_data_parallel_init(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, err + out
         assert "DIST_OK" in out, out
+
+
+TRAIN_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=2")
+os.environ["JAX_PLATFORMS"] = "cpu"
+pid, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from waveformml_tpu.parallel.mesh import DATA_AXIS, initialize_distributed, make_mesh
+from _dist_train_common import make_cfg_block
+
+mesh = initialize_distributed(f"localhost:{port}", 2, pid)
+assert jax.device_count() == 4
+
+from waveformml_tpu.engineering.tasks import LitPSD
+from waveformml_tpu.engineering.trainer import Trainer
+
+cfg, block = make_cfg_block()
+trainer = Trainer(cfg, LitPSD(cfg), mesh=mesh, seed=0)
+trainer._build_steps()
+db = trainer._device_batch(block)           # [4, ...] identical on both procs
+# this process owns devices [2*pid, 2*pid+1] -> global shards [pid*2:(pid+1)*2]
+gdb = {}
+for k, v in db.items():
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    local = np.ascontiguousarray(v[2 * pid:2 * pid + 2])
+    gdb[k] = jax.make_array_from_process_local_data(sh, local, v.shape)
+one = {k: jnp.asarray(v[0]) for k, v in db.items()}
+variables = trainer.task.init_variables(jax.random.PRNGKey(1), one)
+params = variables["params"]
+batch_stats = variables.get("batch_stats")
+opt_state = trainer.optimizer.init(params)
+out = trainer._train_step_fn(params, batch_stats, opt_state,
+                             jax.random.PRNGKey(2), gdb)
+loss = float(out[3])
+# losses must agree across processes (fully-replicated output)
+from jax.experimental import multihost_utils
+losses = np.asarray(multihost_utils.process_allgather(np.array([loss])))
+assert np.allclose(losses, losses.ravel()[0]), losses
+if pid == 0:
+    with open(os.path.join(outdir, "loss.txt"), "w") as f:
+        f.write(repr(loss))
+print("TRAIN_DIST_OK", pid, loss, flush=True)
+"""
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """A REAL multi-host train step: two OS processes run the Trainer's
+    compiled shard_map step over a 4-device global mesh (gradient psum over
+    DCN), and the resulting loss equals the single-process 4-device run."""
+    import jax
+
+    # single-process reference on a local 4-device mesh
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _dist_train_common import make_cfg_block
+
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    cfg, block = make_cfg_block()
+    trainer = Trainer(cfg, LitPSD(cfg), mesh=make_mesh(jax.devices()[:4]),
+                      seed=0)
+    trainer._build_steps()
+    db = trainer._device_batch(block)
+    one = {k: jnp.asarray(v[0]) for k, v in db.items()}
+    variables = trainer.task.init_variables(jax.random.PRNGKey(1), one)
+    out = trainer._train_step_fn(
+        variables["params"], variables.get("batch_stats"),
+        trainer.optimizer.init(variables["params"]), jax.random.PRNGKey(2),
+        {k: jnp.asarray(v) for k, v in db.items()})
+    want = float(out[3])
+
+    port = _free_port()
+    env = {**os.environ,
+           "PYTHONPATH": REPO + ":" + os.path.dirname(os.path.abspath(__file__))}
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", TRAIN_WORKER, str(i), str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        cwd=REPO) for i in range(2)]
+    for p in procs:
+        try:
+            out_s, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err + out_s
+        assert "TRAIN_DIST_OK" in out_s, out_s
+    got = float(open(os.path.join(str(tmp_path), "loss.txt")).read())
+    assert abs(got - want) < 1e-5, (got, want)
