@@ -6,7 +6,7 @@ from waveformml_tpu.config import Config
 from waveformml_tpu.datasets.hdf5_dataset import FileBlock
 
 
-def make_cfg_block():
+def make_cfg_block(rank=None, n_ranks=2):
     cfg = Config({
         "run_config": {"exp_name": "d", "run_class": "LitPSD", "imports": []},
         "system_config": {"model_name": "d", "n_samples": 8, "n_type": 2,
@@ -35,4 +35,12 @@ def make_cfg_block():
     coords = np.asarray(rows, np.int32)
     feats = rng.normal(size=(coords.shape[0], 16)).astype(np.float32)
     labels = rng.integers(0, 2, 8).astype(np.int64)
+    if rank is not None:
+        # this rank's event half, renumbered from 0 (the process-local block)
+        per = 8 // n_ranks
+        lo, hi = rank * per, (rank + 1) * per
+        sel = (coords[:, 2] >= lo) & (coords[:, 2] < hi)
+        c = coords[sel].copy()
+        c[:, 2] -= lo
+        return cfg, FileBlock(c, feats[sel], labels[lo:hi], {})
     return cfg, FileBlock(coords, feats, labels, {})

@@ -95,6 +95,21 @@ class Trainer:
         if self.parallel == "gspmd":
             steps_per_dispatch = 1  # multi-step stacking is shard_map-only
         self.n_devices = self.mesh.devices.size
+        # multi-host (jax.distributed) data parallelism: the shard_map step
+        # runs unchanged over the GLOBAL mesh; each process feeds its local
+        # devices' batch shards (parallel/mesh.py initialize_distributed)
+        self.process_count = jax.process_count()
+        self.process_index = jax.process_index()
+        self._multihost = self.process_count > 1
+        if self._multihost:
+            if self.parallel == "gspmd":
+                raise NotImplementedError(
+                    "multi-host training uses the shard_map engine")
+            steps_per_dispatch = 1
+            if logger is not None and self.process_index != 0:
+                self.logger = logger = None  # rank-0-only logging
+            self._local_devices = [d for d in self.mesh.devices.ravel()
+                                   if d.process_index == self.process_index]
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
         self.limit_test_batches = limit_test_batches
@@ -266,6 +281,25 @@ class Trainer:
     # -- batch preparation ------------------------------------------------------------
 
     def _device_batch(self, block: FileBlock) -> Dict[str, np.ndarray]:
+        if self._multihost:
+            # split the PROCESS-LOCAL block over local devices; bucket shapes
+            # must agree globally (they are jit shape keys), so take the
+            # cross-process max
+            from jax.experimental import multihost_utils
+
+            n_local = len(self._local_devices)
+            shards = split_block_for_devices(block, n_local)
+            rb = max(self.task.row_bucket(s) for s in shards)
+            eb = max(self.task.event_bucket(s) for s in shards)
+            agreed = np.asarray(multihost_utils.process_allgather(
+                np.array([rb, eb], np.int64)))
+            rb = int(agreed.reshape(-1, 2)[:, 0].max())
+            eb = int(agreed.reshape(-1, 2)[:, 1].max())
+            prepared = [self.task.prepare_block(s, rb, eb) for s in shards]
+            while len(prepared) < n_local:
+                empty = {k: np.zeros_like(v) for k, v in prepared[0].items()}
+                prepared.append(empty)
+            return stack_shards(prepared)
         if self.parallel == "gspmd":
             # one GLOBAL batch; buckets rounded to multiples of the data
             # degree so the leading dim shards evenly
@@ -284,11 +318,53 @@ class Trainer:
         return stack_shards(prepared)
 
     def _to_device(self, db: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        if self._multihost:
+            # local [n_local, ...] shard stacks -> one global [n_global, ...]
+            # array per leaf, device dim sharded over the data axis
+            from jax.sharding import NamedSharding
+
+            sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            out = {}
+            for k, v in db.items():
+                v = np.ascontiguousarray(v)
+                gshape = (self.n_devices,) + v.shape[1:]
+                out[k] = jax.make_array_from_process_local_data(sh, v, gshape)
+            return out
         if self.parallel == "gspmd":
             from waveformml_tpu.parallel.gspmd import shard_batch
 
             return shard_batch(db, self.mesh)
         return {k: jnp.asarray(v) for k, v in db.items()}
+
+    def _shard_loader(self, loader):
+        """Round-robin batch sharding across processes (DDP semantics): at
+        step t, process p consumes loader batch t*P + p; every process runs
+        the same number of steps so the collective dispatch stays in
+        lockstep."""
+        if not self._multihost:
+            return loader
+        P_, p_ = self.process_count, self.process_index
+        n = len(loader) // P_
+
+        class _Sharded:
+            def __len__(self):
+                return n
+
+            def __iter__(self):
+                it = iter(loader)
+                for i in range(n * P_):
+                    try:
+                        b = next(it)
+                    except StopIteration:
+                        return
+                    if i % P_ == p_:
+                        yield b
+
+        if n == 0:
+            raise RuntimeError(
+                f"loader has {len(loader)} batches for {P_} processes; "
+                "need at least one batch per process")
+        return _Sharded()
 
     # -- initialization / checkpointing -----------------------------------------------
 
@@ -348,8 +424,16 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        # multihost: EVERY process must enter orbax's save (it synchronizes
+        # internally; a rank skipping it desyncs the collective stream), but
+        # only process 0 touches the filesystem around it
+        if not self._multihost or self.process_index == 0:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+        if self._multihost:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("wfml:ckpt_cleared")
         ckptr = ocp.PyTreeCheckpointer()
         # save topology-free host arrays: params/stats are replicated, and
         # device-bound sharding metadata would make the checkpoint
@@ -361,6 +445,8 @@ class Trainer:
                    "batch_stats": to_host(self.state.batch_stats),
                    "opt_state": to_host(self.state.opt_state)}
         ckptr.save(path, payload)
+        if self._multihost and self.process_index != 0:
+            return  # meta sidecar: single writer
         meta = {"epoch": self.current_epoch, "step": self.state.step,
                 "best_val_loss": self.best_val_loss,
                 "config": to_dict(self.config)}
@@ -422,9 +508,9 @@ class Trainer:
 
     def fit(self, data_module) -> Dict[str, float]:
         data_module.setup("fit")
-        train_loader = data_module.train_dataloader()
+        train_loader = self._shard_loader(data_module.train_dataloader())
         data_module.setup("test")
-        val_loader = data_module.val_dataloader()
+        val_loader = self._shard_loader(data_module.val_dataloader())
         if self.overfit_batches:
             self.limit_train_batches = self.overfit_batches
             self.limit_val_batches = self.overfit_batches
@@ -615,7 +701,20 @@ class Trainer:
             if collect is not None:
                 if self.parallel == "gspmd":  # evaluator contract: [D, ...]
                     db = {k: v[None] for k, v in db.items()}
-                collect(block, db, jax.tree.map(np.asarray, test_out))
+                if self._multihost:
+                    # dp-sharded outputs are only partially addressable: each
+                    # process collects ITS device shards (aligned with its
+                    # local db stack); evaluators aggregate per process
+                    def _local(x):
+                        shards = sorted(
+                            x.addressable_shards,
+                            key=lambda sh: sh.index[0].start or 0)
+                        return np.concatenate(
+                            [np.asarray(sh.data) for sh in shards], axis=0)
+
+                    collect(block, db, jax.tree.map(_local, test_out))
+                else:
+                    collect(block, db, jax.tree.map(np.asarray, test_out))
         out = {f"{prefix}_loss": loss_sum / max(weight, 1.0)}
         out.update(_finalize(agg, prefix=f"{prefix}_"))
         # keep raw arrays (e.g. confusion) for figure callbacks
