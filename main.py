@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit_val_batches", type=float, default=None)
     p.add_argument("--limit_test_batches", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed for multi-host training "
+                        "(TPU pods auto-discover; or pass --coordinator)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (multi-host)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -74,6 +81,11 @@ def main(argv=None) -> int:
 
     config = load_config(args.config)
     log = setup_logger(args.verbosity, args.logfile)
+    if args.distributed:
+        from waveformml_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
     from waveformml_tpu.utils.util import enable_compilation_cache
     enable_compilation_cache()
 
@@ -93,13 +105,33 @@ def main(argv=None) -> int:
         mo.run_study(pruning=args.pruning)
         return 0
 
+    import jax as _jax
+
+    multihost = _jax.process_count() > 1
+    rank0 = _jax.process_index() == 0
     exp_name = config.run_config.exp_name
-    if not args.restore_training:
+    if not args.restore_training and rank0:
         exp_name = next_experiment_name(model_folder, exp_name)
     run_dir = os.path.join(model_folder, "runs", exp_name)
-    log_dir = next_version_dir(run_dir)
-    logger = TBLogger(log_dir)
-    write_run_info(log_dir)
+    if rank0:
+        log_dir = next_version_dir(run_dir)
+    else:
+        log_dir = run_dir  # placeholder; replaced by the broadcast below
+    if multihost:
+        # every rank needs the SAME run dir (checkpoints are an all-rank
+        # orbax protocol); rank 0 picks it and broadcasts the string
+        import numpy as _np
+        from jax.experimental import multihost_utils as _mh
+
+        buf = _np.zeros(512, _np.uint8)
+        if rank0:
+            raw = log_dir.encode()[:512]
+            buf[:len(raw)] = _np.frombuffer(raw, _np.uint8)
+        buf = _np.asarray(_mh.broadcast_one_to_all(buf))
+        log_dir = bytes(buf[buf != 0]).decode()
+    logger = TBLogger(log_dir) if rank0 else None
+    if rank0:
+        write_run_info(log_dir)
     log.info("logging to %s", log_dir)
 
     task_cls = retrieve_class(config.run_config.run_class)

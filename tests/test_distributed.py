@@ -281,3 +281,92 @@ def test_two_process_fit_end_to_end(tmp_path):
     import glob
     cks = glob.glob(os.path.join(str(tmp_path), "ckpt", "*.ckpt"))
     assert cks, "no checkpoint written by rank 0"
+
+
+CLI_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=2")
+os.environ["JAX_PLATFORMS"] = "cpu"
+pid, port, cfg_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+import main
+rc = main.main([cfg_path, "-t", "--max_epochs", "2", "-v", "2",
+                "--distributed", "--coordinator", f"localhost:{port}",
+                "--num_processes", "2", "--process_id", str(pid)])
+assert rc == 0
+print("CLI_DIST_OK", pid, flush=True)
+"""
+
+
+def test_two_process_main_cli(tmp_path):
+    """The full main.py CLI under --distributed: 2 processes, rank-0 run-dir
+    broadcast, fit + test, one TB run dir and one checkpoint set."""
+    import glob
+
+    from waveformml_tpu.config import Config, save_config
+    from waveformml_tpu.datasets.pulse_dataset import PulseDataset2D
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+
+    datadir = str(tmp_path / "data")
+    write_classification_dirs(datadir, ["A", "B"], n_files=4,
+                              events_per_file=20, n_samples=8, seed=5)
+    cfg = Config({
+        "run_config": {"exp_name": "mhcli", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "mhcli", "n_samples": 8, "n_type": 2,
+                          "type_names": ["A", "B"],
+                          "model_base_path": str(tmp_path / "model"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "SubMPSDNet",
+                       "net_type": "2DConvolution",
+                       "hparams": {"out_planes": 4, "n_lin": 1,
+                                   "conv_params": {"kernel_size": 3, "n_conv": 1,
+                                                   "n_point": 1,
+                                                   "conv_position": 1,
+                                                   "version": 2}}},
+        "optimize_config": {"total_epoch": 2, "lr": 0.05, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9}},
+        "dataset_config": {"mode": "path", "imports": [], "base_path": datadir,
+                           "paths": ["A", "B"], "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 40, "n_validate": 20,
+                           "n_test": 20,
+                           "data_prep": "shuffle", "shuffled_size": 20,
+                           "dataloader_params": {"batch_size": 1,
+                                                 "num_workers": 0}},
+    })
+    # single-writer offline shuffle prep
+    prep_cfg = Config({
+        "system_config": {"model_name": "mhcli", "n_samples": 8,
+                          "model_base_path": str(tmp_path / "model"),
+                          "type_names": ["A", "B"]},
+        "dataset_config": {"base_path": datadir, "paths": ["A", "B"],
+                           "data_prep": "shuffle", "shuffled_size": 20,
+                           "dataset_params": {}},
+    })
+    PulseDataset2D(prep_cfg, "train", 80).write_shuffled()
+    cfg_path = str(tmp_path / "cfg.json")
+    save_config(cfg, cfg_path)
+
+    port = _free_port()
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-u", "-c", CLI_WORKER, str(i), str(port), cfg_path],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        cwd=REPO) for i in range(2)]
+    for p in procs:
+        try:
+            out_s, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err + out_s
+        assert "CLI_DIST_OK" in out_s, out_s
+    run_dir = os.path.join(str(tmp_path), "model", "mhcli", "runs", "mhcli",
+                           "version_0")
+    assert glob.glob(os.path.join(run_dir, "*tfevents*"))
+    assert glob.glob(os.path.join(run_dir, "*.ckpt"))
