@@ -20,6 +20,10 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("config", help="path to the experiment config JSON/YAML")
+    p.add_argument("--name", "-n", type=str, default=None,
+                   help="override run_config.exp_name for this run")
+    p.add_argument("--config_validation", "-cv", type=str, default=None,
+                   help="path to a custom config-requirements JSON")
     p.add_argument("--test", "-t", action="store_true",
                    help="run the test pass after training")
     p.add_argument("--verbosity", "-v", type=int, default=3,
@@ -79,7 +83,16 @@ def main(argv=None) -> int:
         get_model_folder, next_experiment_name, next_version_dir,
         retrieve_best_checkpoint, setup_logger, write_run_info)
 
-    config = load_config(args.config)
+    config = load_config(args.config, validate=args.config_validation is None)
+    if args.config_validation:
+        import json as _json
+
+        from waveformml_tpu.config import validate_config
+
+        with open(args.config_validation) as f:
+            validate_config(config, _json.load(f))
+    if args.name:
+        config.run_config.exp_name = args.name
     log = setup_logger(args.verbosity, args.logfile)
     if args.distributed:
         from waveformml_tpu.parallel.mesh import initialize_distributed

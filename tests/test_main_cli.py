@@ -102,3 +102,25 @@ def test_main_profiler_writes_summary(cli_setup):
     hits = glob.glob(os.path.join(str(tmp / "model" / "m"), "runs", "cli*",
                                   "version_*", "profile_results.txt"))
     assert hits, "no profile_results.txt written"
+
+
+def test_main_name_override_and_custom_validation(cli_setup, tmp_path, capsys):
+    """--name overrides exp_name; -cv uses a custom requirements file
+    (ref: main.py:39-61 --name / --config_validation)."""
+    import json as _json
+
+    import main
+
+    tmp, config_path = cli_setup
+    # custom requirements: a copy of the shipped schema
+    req_src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "waveformml_tpu", "config_requirements.json")
+    req_path = str(tmp_path / "req.json")
+    with open(req_src) as f:
+        _json.dump(_json.load(f), open(req_path, "w"))
+    rc = main.main([config_path, "--name", "renamed", "-cv", req_path,
+                    "--max_epochs", "1", "-v", "2"])
+    assert rc == 0
+    assert "fit:" in capsys.readouterr().out
+    assert os.path.isdir(os.path.join(str(tmp / "model" / "m"), "runs",
+                                      "renamed"))
