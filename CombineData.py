@@ -39,6 +39,9 @@ def main(argv=None) -> int:
     parser.add_argument("--out_dir", "-o", default=None,
                         help="output directory for Combined_* files")
     parser.add_argument("--verbosity", "-v", type=int, default=3)
+    parser.add_argument("--config", "-c", type=str, default=None,
+                        help="config file overriding chunk_size / shuffled_size "
+                             "(ref: CombineData.py:30-31)")
     args = parser.parse_args(argv)
 
     from waveformml_tpu.config import Config
@@ -46,12 +49,18 @@ def main(argv=None) -> int:
     from waveformml_tpu.utils.util import setup_logger
 
     setup_logger(args.verbosity)
+    shuffled_size = args.shuffled_size
+    if args.config:
+        from waveformml_tpu.config import load_config
+
+        dc = load_config(args.config, validate=False).dataset_config
+        shuffled_size = int(getattr(dc, "shuffled_size", shuffled_size))
     config = Config({
         "system_config": {"model_name": "combine", "model_base_path": "./model",
                           "n_samples": 0, "type_names": [os.path.basename(d) for d in args.dirs]},
         "dataset_config": {"base_path": args.base_path, "paths": list(args.dirs),
                            "data_prep": "shuffle",
-                           "shuffled_size": args.shuffled_size,
+                           "shuffled_size": shuffled_size,
                            "dataset_params": {}},
     })
     cls = retrieve_class(TYPE_MAP[args.type])
