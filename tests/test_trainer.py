@@ -473,3 +473,18 @@ def test_litwaveform_multi_output_regression_loss():
     assert float(weight) == n * k
     np.testing.assert_allclose(float(loss_sum) / float(weight),
                                expect.mean(), rtol=1e-6)
+
+
+def test_fit_is_deterministic_for_fixed_seed(psd_setup):
+    """Reproducibility contract: identical config + seed => bit-identical
+    training trajectory (fresh Trainer + DataModule each run)."""
+    from waveformml_tpu.datasets.data_module import PSDDataModule
+
+    _, cfg = psd_setup
+    results = []
+    for _ in range(2):
+        task = LitPSD(cfg)
+        trainer = Trainer(cfg, task, max_epochs=2, seed=123)
+        results.append(trainer.fit(PSDDataModule(cfg)))
+    assert results[0]["train_loss"] == results[1]["train_loss"], results
+    assert results[0]["val_loss"] == results[1]["val_loss"], results
