@@ -197,3 +197,34 @@ def test_gspmd_bf16_step(psd_setup):
     assert all(np.asarray(x).dtype == np.float32
                for x in jax.tree.leaves(new_p)
                if np.asarray(x).dtype.kind == "f")
+
+
+def test_gspmd_checkpoint_serves_single_chip(psd_setup, tmp_path):
+    """Train-on-pod / serve-on-one-chip: a tp-sharded checkpoint restores
+    into the single-device InferenceModel and runs a forward."""
+    import numpy as np
+
+    import jax
+
+    from waveformml_tpu.config import save_config
+    from waveformml_tpu.inference.model import InferenceModel
+
+    _, cfg = psd_setup
+    dm = PSDDataModule(cfg)
+    dm.setup("fit")
+    block = next(iter(dm.train_dataloader()))
+    trainer = Trainer(cfg, LitPSD(cfg), tp=2, seed=0)
+    trainer._ensure_state(block)
+    ckpt = str(tmp_path / "serve.ckpt")
+    trainer.save_checkpoint(ckpt)
+    cfg_path = str(tmp_path / "serve.json")
+    save_config(cfg, cfg_path)
+
+    from waveformml_tpu.config import load_config
+
+    model = InferenceModel(load_config(cfg_path), ckpt)
+    rng = np.random.default_rng(2)
+    coords = np.array([[1, 1, 0], [3, 4, 0], [5, 5, 1]], dtype=np.int32)
+    vals = rng.random((3, 2 * N_SAMPLES)).astype(np.float32)
+    out = model(coords, vals)
+    assert out.shape[0] == 2 and np.isfinite(np.asarray(out)).all()
