@@ -102,9 +102,6 @@ class Trainer:
         self.process_index = jax.process_index()
         self._multihost = self.process_count > 1
         if self._multihost:
-            if self.parallel == "gspmd":
-                raise NotImplementedError(
-                    "multi-host training uses the shard_map engine")
             steps_per_dispatch = 1
             if logger is not None and self.process_index != 0:
                 self.logger = logger = None  # rank-0-only logging
@@ -281,6 +278,27 @@ class Trainer:
     # -- batch preparation ------------------------------------------------------------
 
     def _device_batch(self, block: FileBlock) -> Dict[str, np.ndarray]:
+        if self._multihost and self.parallel == "gspmd":
+            # gspmd across hosts: each process prepares ITS slice of the
+            # GLOBAL flat batch. Local buckets are agreed globally, local
+            # event ids are offset into this rank's global event slot, and
+            # _to_device stitches the per-process slices into one global
+            # dp-sharded array per leaf.
+            from jax.experimental import multihost_utils
+
+            local_dp = int(self.mesh.shape[DATA_AXIS]) // self.process_count
+            rb = -(-self.task.row_bucket(block) // max(1, local_dp)) * max(1, local_dp)
+            eb = -(-self.task.event_bucket(block) // max(1, local_dp)) * max(1, local_dp)
+            agreed = np.asarray(multihost_utils.process_allgather(
+                np.array([rb, eb], np.int64))).reshape(-1, 2)
+            rb, eb = int(agreed[:, 0].max()), int(agreed[:, 1].max())
+            db = dict(self.task.prepare_block(block, rb, eb))
+            if "coords" in db:
+                coords = db["coords"].copy()
+                coords[..., -1] += self.process_index * eb
+                db["coords"] = coords
+            self._gspmd_local_events = eb
+            return db
         if self._multihost:
             # split the PROCESS-LOCAL block over local devices; bucket shapes
             # must agree globally (they are jit shape keys), so take the
@@ -318,6 +336,16 @@ class Trainer:
         return stack_shards(prepared)
 
     def _to_device(self, db: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        if self._multihost and self.parallel == "gspmd":
+            from jax.sharding import NamedSharding
+
+            sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            out = {}
+            for k, v in db.items():
+                v = np.ascontiguousarray(v)
+                gshape = (self.process_count * v.shape[0],) + v.shape[1:]
+                out[k] = jax.make_array_from_process_local_data(sh, v, gshape)
+            return out
         if self._multihost:
             # local [n_local, ...] shard stacks -> one global [n_global, ...]
             # array per leaf, device dim sharded over the data axis
@@ -701,6 +729,8 @@ class Trainer:
             if collect is not None:
                 if self.parallel == "gspmd":  # evaluator contract: [D, ...]
                     db = {k: v[None] for k, v in db.items()}
+                if self._multihost and self.parallel == "gspmd":
+                    continue  # figure collection needs the shard_map layout
                 if self._multihost:
                     # dp-sharded outputs are only partially addressable: each
                     # process collects ITS device shards (aligned with its
