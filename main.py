@@ -108,6 +108,10 @@ def main(argv=None) -> int:
         log.info("model validation passed")
 
     if args.optuna_config:
+        if args.distributed:
+            raise SystemExit(
+                "HPO studies are single-host (each trial already uses every "
+                "local device); drop --distributed for -oc runs")
         from waveformml_tpu.config import load_config as _lc
         from waveformml_tpu.optimization.hpo import ModelOptimization
 
