@@ -95,6 +95,38 @@ def test_hist_collator():
     assert h2d.counts[0, 0] == 1 and h2d.counts[3, 3] == 1
 
 
+def test_hist_collator_degenerate_and_fuzz():
+    """Auto-range must survive constant (min==max) input — including nonzero
+    constants, which the old `x.max() or 1.0` rescue missed — and fuzzed
+    inputs must always land every sample in a finite-width bin."""
+    from waveformml_tpu.utils.hist import Hist2DCollator, HistCollator
+
+    for const in (0.0, 3.5, -2.0):
+        h = HistCollator(bins=8)
+        h.add(np.full(5, const))
+        assert h.counts.sum() == 5
+        assert np.all(np.isfinite(h.edges)) and h.edges[0] < h.edges[-1]
+
+        h2d = Hist2DCollator(bins=(4, 4))
+        h2d.add(np.full(5, const), np.full(5, const))
+        assert h2d.counts.sum() == 5
+        ex, ey = h2d.edges
+        assert ex[0] < ex[-1] and ey[0] < ey[-1]
+
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        n = int(rng.integers(1, 50))
+        scale = float(rng.choice([1e-6, 1.0, 1e6]))
+        x = rng.normal(rng.uniform(-5, 5), rng.uniform(0, 2), n) * scale
+        y = rng.normal(rng.uniform(-5, 5), rng.uniform(0, 2), n) * scale
+        h = HistCollator(bins=int(rng.integers(1, 20)))
+        h.add(x)
+        assert h.counts.sum() == n
+        h2d = Hist2DCollator(bins=(3, 7))
+        h2d.add(x, y)
+        assert h2d.counts.sum() == n
+
+
 def test_graph_dataset_cache(tmp_path, rng):
     from waveformml_tpu.config import Config
     from waveformml_tpu.datasets.graph_dataset import GraphDataset

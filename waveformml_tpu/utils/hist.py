@@ -78,10 +78,17 @@ class Hist2DCollator:
             weights: Optional[np.ndarray] = None) -> None:
         x, y = np.asarray(x).ravel(), np.asarray(y).ravel()
         if self._edges is None:
-            self._edges = (np.linspace(x.min(), x.max() or 1.0, self.bins[0] + 1),
-                           np.linspace(y.min(), y.max() or 1.0, self.bins[1] + 1))
+            self._edges = (self._auto_edges(x, self.bins[0]),
+                           self._auto_edges(y, self.bins[1]))
         c, _, _ = np.histogram2d(x, y, bins=self._edges, weights=weights)
         self.counts += c.astype(np.int64)
+
+    @staticmethod
+    def _auto_edges(v: np.ndarray, bins: int) -> np.ndarray:
+        lo, hi = float(v.min()), float(v.max())
+        if lo == hi:
+            hi = lo + 1.0
+        return np.linspace(lo, hi, bins + 1)
 
     def add_histogram(self, counts: np.ndarray) -> None:
         counts = np.asarray(counts)
