@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit_train_batches", type=float, default=None)
     p.add_argument("--limit_val_batches", type=float, default=None)
     p.add_argument("--limit_test_batches", type=float, default=None)
+    p.add_argument("--gradient_clip_val", type=float, default=None,
+                   help="clip gradients to this global norm (PL Trainer flag)")
+    p.add_argument("--accumulate_grad_batches", type=int, default=1,
+                   help="apply the optimizer every k batches (PL Trainer flag)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--distributed", action="store_true",
                    help="initialize jax.distributed for multi-host training "
@@ -159,6 +163,8 @@ def main(argv=None) -> int:
                       limit_val_batches=args.limit_val_batches,
                       limit_test_batches=args.limit_test_batches,
                       overfit_batches=args.overfit_batches,
+                      gradient_clip_val=args.gradient_clip_val,
+                      accumulate_grad_batches=args.accumulate_grad_batches,
                       profiler=args.profiler, seed=args.seed)
     data_module = choose_data_module(config)
 

@@ -488,3 +488,59 @@ def test_fit_is_deterministic_for_fixed_seed(psd_setup):
         results.append(trainer.fit(PSDDataModule(cfg)))
     assert results[0]["train_loss"] == results[1]["train_loss"], results
     assert results[0]["val_loss"] == results[1]["val_loss"], results
+
+
+def test_gradient_clip_and_accumulation(psd_setup):
+    """PL Trainer passthrough flags (ref: main.py:74 add_argparse_args):
+    --gradient_clip_val caps the global grad norm; --accumulate_grad_batches=k
+    defers the optimizer update to every k-th micro-batch (optax.MultiSteps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu import optim as wopt
+
+    _, cfg = psd_setup
+
+    def one_step(trainer, db, srng):
+        return trainer._train_step_fn(
+            trainer.state.params, trainer.state.batch_stats,
+            trainer.state.opt_state, srng, db)
+
+    def setup(**kw):
+        task = LitPSD(cfg)
+        trainer = Trainer(cfg, task, seed=0, **kw)
+        dm = PSDDataModule(cfg)
+        dm.setup("fit")
+        block = next(iter(dm.train_dataloader()))
+        trainer._ensure_state(block)
+        db = {k: jnp.asarray(v) for k, v in trainer._device_batch(block).items()}
+        return trainer, db
+
+    srng = jax.random.PRNGKey(7)
+
+    # clip: the parameter update must shrink with a tiny clip norm
+    deltas = {}
+    for clip in (None, 1e-4):
+        trainer, db = setup(gradient_clip_val=clip)
+        p0 = jax.tree.map(np.asarray, trainer.state.params)
+        # lr finder / scheduler plumbing still reaches the injected lr
+        # through the chain wrapper (before the step donates the state)
+        assert wopt.get_learning_rate(trainer.state.opt_state) == pytest.approx(
+            cfg.optimize_config.lr)
+        new_p, *_ = one_step(trainer, db, srng)
+        deltas[clip] = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - b).max()), new_p, p0)))
+    assert deltas[1e-4] < deltas[None] / 10, deltas
+
+    # accumulation: params unchanged after micro-batch 1, updated after 2
+    trainer, db = setup(accumulate_grad_batches=2)
+    p0 = jax.tree.map(np.asarray, trainer.state.params)
+    p1, bs1, os1, *_ = one_step(trainer, db, srng)
+    assert max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), p1, p0))) == 0.0
+    trainer.state.params, trainer.state.batch_stats = p1, bs1
+    trainer.state.opt_state = os1
+    assert wopt.get_learning_rate(os1) == pytest.approx(cfg.optimize_config.lr)
+    p2, *_ = one_step(trainer, db, srng)
+    assert max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), p2, p0))) > 0.0

@@ -72,6 +72,8 @@ class Trainer:
                  steps_per_dispatch: int = 1,
                  parallel: str = "shard_map",
                  tp: int = 1,
+                 gradient_clip_val: Optional[float] = None,
+                 accumulate_grad_batches: int = 1,
                  seed: int = 0):
         self.config = config
         self.task = task
@@ -123,6 +125,20 @@ class Trainer:
         self.optimizer = wopt.build_optimizer(
             oc.optimizer_class, task.lr,
             to_dict(getattr(oc, "optimizer_params", {}) or {}))
+        # Lightning Trainer flags the reference inherits via add_argparse_args
+        # (ref: main.py:74): --gradient_clip_val clips the global grad norm
+        # before the update; --accumulate_grad_batches applies the update
+        # every k micro-batches. Both compose as optax transforms, so every
+        # engine (shard_map, gspmd, multi-host) gets them for free.
+        self.gradient_clip_val = gradient_clip_val
+        self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
+        if gradient_clip_val:
+            self.optimizer = optax.chain(
+                optax.clip_by_global_norm(float(gradient_clip_val)),
+                self.optimizer)
+        if self.accumulate_grad_batches > 1:
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=self.accumulate_grad_batches)
         self.early_stopping = EarlyStopping(patience=early_stopping_patience)
         self.current_epoch = 0
         self.best_val_loss = math.inf

@@ -130,18 +130,34 @@ def build_optimizer(name: str, lr: float, params: Optional[Dict[str, Any]] = Non
     return fn(lr, **p)
 
 
+def _hyperparams_state(opt_state):
+    """Locate the inject_hyperparams state inside a possibly wrapped opt
+    state (optax.chain tuples, MultiSteps for accumulate_grad_batches)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    if hasattr(opt_state, "inner_opt_state"):  # optax.MultiSteps
+        return _hyperparams_state(opt_state.inner_opt_state)
+    if isinstance(opt_state, (tuple, list)):  # optax.chain
+        for s in opt_state:
+            found = _hyperparams_state(s)
+            if found is not None:
+                return found
+    return None
+
+
 def set_learning_rate(opt_state, lr: float):
     """Write a new lr into inject_hyperparams state (epoch scheduler step)."""
     import jax.numpy as jnp
 
-    cur = opt_state.hyperparams["learning_rate"]
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+    state = _hyperparams_state(opt_state)
+    cur = state.hyperparams["learning_rate"]
+    state.hyperparams["learning_rate"] = jnp.asarray(
         lr, dtype=getattr(cur, "dtype", jnp.float32))
     return opt_state
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    return float(_hyperparams_state(opt_state).hyperparams["learning_rate"])
 
 
 # ---------------------------------------------------------------------------------
