@@ -172,3 +172,17 @@ def test_graph3dnet_forward(rng, tmp_path):
     out = trainer._train_step_fn(trainer.state.params, trainer.state.batch_stats,
                                  trainer.state.opt_state, _jax.random.PRNGKey(0), db)
     assert np.isfinite(float(out[3]))
+
+
+def test_dynamic_conv_variants_forward(rng):
+    """DynamicEdgeConv / DynamicGraphConv (ref: GraphNet.py:24-41) — the
+    kNN-over-positions wrappers around EdgeConv / GCNConv."""
+    from waveformml_tpu.models.graph_net import DynamicEdgeConv, DynamicGraphConv
+
+    x, edges, edge_mask, _ = _graph_inputs(rng)
+    for cls in (DynamicEdgeConv, DynamicGraphConv):
+        layer = cls(in_channels=6, out_channels=4)
+        variables = layer.init(jax.random.PRNGKey(0), x, edges, edge_mask)
+        out = layer.apply(variables, x, edges, edge_mask)
+        assert out.shape == (12, 4)
+        assert np.isfinite(np.asarray(out)).all()

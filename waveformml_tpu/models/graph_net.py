@@ -476,3 +476,21 @@ class DynamicEdgeConv(nn.Module):
 
         return EdgeConv(_GraphMLP((2 * self.in_channels, self.out_channels)))(
             x, edges, edge_mask, train=train)
+
+
+class DynamicGraphConv(nn.Module):
+    """GCNConv over a kNN graph recomputed from positions — the reference
+    defines this beside DynamicEdgeConv (ref: GraphNet.py:34-41) though no
+    shipped config instantiates it; kept for API parity. Edges are supplied
+    precomputed (host kNN), matching DynamicEdgeConv's convention here."""
+
+    in_channels: int
+    out_channels: int
+    k: int = 6
+
+    @nn.compact
+    def __call__(self, x, edges, edge_mask, train: bool = False):
+        from waveformml_tpu.models.graph_layers import GCNConv
+
+        return GCNConv(self.in_channels, self.out_channels)(
+            x, edges, edge_mask, train=train)
