@@ -87,3 +87,112 @@ def test_add_rows_resizes(tmp_path):
     out.add_rows("T", d[10:])
     assert out.tables["T"].shape[0] == 25
     out.close()
+
+
+def test_parallel_gzip_appender_round_trip(tmp_path):
+    """gzip-chunked tables are written through write_direct_chunk with the
+    deflate running on a thread pool; the bytes on disk must read back
+    identically through plain h5py (same deflate filter format)."""
+    import h5py
+
+    from waveformml_tpu.io.compound_types import WaveformPairCal
+
+    rng = np.random.default_rng(1)
+    t = WaveformPairCal()
+    n = 3333  # 3 full 1024-chunks + a 261-row tail
+    data = t.generate_random_data(n, rng)
+    p = tmp_path / "gz.h5"
+    out = H5Output(str(p))
+    out.create_table("T", (n,), t.type, compression="gzip",
+                     compression_opts=4, chunks=(1024,))
+    assert "T" in out._appenders
+    # ragged appends that straddle chunk boundaries
+    i, sizes = 0, [100, 924, 1, 1023, 1285]
+    for s in sizes:
+        out.add_rows("T", data[i:i + s])
+        i += s
+    out.add_rows("T", data[i:])
+    out.close()
+    with h5py.File(p) as f:
+        back = f["T"][()]
+        assert f["T"].compression == "gzip"
+    np.testing.assert_array_equal(back, data)
+
+
+def test_parallel_gzip_appender_resize_and_fallback(tmp_path):
+    import h5py
+
+    rng = np.random.default_rng(2)
+    dt = np.dtype([("a", np.int32), ("b", np.float32)])
+    data = np.zeros(2600, dtype=dt)
+    data["a"] = rng.integers(0, 1000, 2600)
+    data["b"] = rng.random(2600, dtype=np.float32)
+    p = tmp_path / "gz2.h5"
+    out = H5Output(str(p))
+    out.create_table("T", (1000,), dt, compression="gzip",
+                     compression_opts=4, chunks=(1024,))
+    out.add_rows("T", data[:2048])  # forces a resize past the initial shape
+    out.add_rows("T", data[2048:])
+    out.close()
+    with h5py.File(p) as f:
+        np.testing.assert_array_equal(f["T"][()], data)
+
+    # non-sequential writer retires the appender but loses nothing
+    p2 = tmp_path / "gz3.h5"
+    out = H5Output(str(p2))
+    out.create_table("T", (2600,), dt, compression="gzip",
+                     compression_opts=4, chunks=(1024,))
+    out.add_rows("T", data[:1500])
+    out.table_index["T"] = 1400  # simulate an out-of-band rewind
+    out.add_rows("T", data[1400:])
+    out.close()
+    with h5py.File(p2) as f:
+        np.testing.assert_array_equal(f["T"][()], data)
+
+
+def test_parallel_chunk_reader_matches_plain_slicing(tmp_path):
+    """H5Input over a gzip-chunked table (threaded direct-chunk decode) must
+    yield byte-identical chunks to the same table stored uncompressed."""
+    import h5py
+
+    from waveformml_tpu.io.compound_types import WaveformPairCal
+    from waveformml_tpu.io.hdf5 import ParallelChunkReader, _gzip_only_dataset
+
+    rng = np.random.default_rng(3)
+    t = WaveformPairCal()
+    n = 2500
+    data = t.generate_random_data(n, rng)
+    data["coord"][:, 2] = np.sort(rng.integers(0, 400, n))
+    gz, plain = tmp_path / "gz.h5", tmp_path / "plain.h5"
+    with h5py.File(gz, "w") as f:
+        f.create_dataset("WaveformPairCal", data=data, chunks=(1024,),
+                         compression="gzip", compression_opts=4)
+    with h5py.File(plain, "w") as f:
+        f.create_dataset("WaveformPairCal", data=data)
+
+    readers = {}
+    for name, path in (("gz", gz), ("plain", plain)):
+        inp = H5Input(str(path))
+        inp.setup_table("WaveformPairCal", t.type, "coord", 2)
+        readers[name] = inp
+    assert readers["gz"]._par is not None
+    assert readers["plain"]._par is None
+    while True:
+        a = readers["gz"].next_chunk(nrows=700, preserve_event=True)
+        b = readers["plain"].next_chunk(nrows=700, preserve_event=True)
+        assert (a is None) == (b is None)
+        if a is None:
+            break
+        np.testing.assert_array_equal(a, b)
+    for r in readers.values():
+        r.close()
+
+    # random-access read() equals slicing, including the ragged tail chunk
+    with h5py.File(gz) as f:
+        pr = ParallelChunkReader(f["WaveformPairCal"])
+        assert _gzip_only_dataset(f["WaveformPairCal"])
+        for lo, hi in ((0, 1), (1000, 1048), (2400, 2500), (0, 2500), (2499, 2500)):
+            np.testing.assert_array_equal(pr.read(lo, hi), data[lo:hi])
+        # returned arrays must be writable (writers mutate EZ in place)
+        chunk = pr.read(10, 20)
+        chunk["EZ"][:, 1] = 1.0

@@ -166,8 +166,13 @@ def write_classification_dirs_3d(base: str, type_names: Sequence[str],
 
 
 def write_wfpair_cal(path: str, n_events: int, seed: int = 0,
-                     file_tag: str = "WFPairSim") -> None:
-    """Write a *WFPairSim.h5 / *WFCalFilteredSE.h5-style WaveformPairCal table."""
+                     file_tag: str = "WFPairSim",
+                     compression: int = 0) -> None:
+    """Write a *WFPairSim.h5 / *WFCalFilteredSE.h5-style WaveformPairCal table.
+
+    compression > 0 writes the table gzip-chunked like the experiment's
+    analysis chain does (ref: HDF5IO.py:88-91 gzip, chunks=(1024,));
+    0 (default) writes uncompressed for test speed."""
     from waveformml_tpu.io.compound_types import WaveformPairCal
 
     rng = np.random.default_rng(seed)
@@ -205,7 +210,12 @@ def write_wfpair_cal(path: str, n_events: int, seed: int = 0,
                   + rng.normal(0, 0.01, n)).astype(np.float32)
     rec["PID"] = pid_of_kind[np.asarray(kinds)].astype(np.int32)
     with h5py.File(path, "w") as h5:
-        h5.create_dataset("WaveformPairCal", data=rec)
+        if compression:
+            h5.create_dataset("WaveformPairCal", data=rec,
+                              chunks=(min(1024, n),),
+                              compression="gzip", compression_opts=compression)
+        else:
+            h5.create_dataset("WaveformPairCal", data=rec)
         h5["WaveformPairCal"].attrs.create("nevents", np.array([float(n_events)]))
 
 

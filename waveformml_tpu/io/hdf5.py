@@ -6,17 +6,155 @@ writing (:88-108), and ``P2XTableWriter`` which replicates the PyTables
 ``CLASS/FIELD_n_NAME/TITLE/VERSION/abstime/runtime/calgrp/nevents`` attribute
 conventions (:134-206) so outputs stay readable by the experiment's toolchain.
 
-TPU-era improvement over the reference: the event-extension read is a block
-read (the reference reads one row at a time, HDF5IO.py:70-78), so streaming
-throughput is bounded by HDF5 chunk decode, not per-row h5py calls.
+TPU-era improvements over the reference:
+- the event-extension read is a block read (the reference reads one row at a
+  time, HDF5IO.py:70-78), so streaming throughput is bounded by HDF5 chunk
+  decode, not per-row h5py calls;
+- gzip-chunked tables are decoded and encoded by a THREAD POOL using direct
+  chunk IO (``read_direct_chunk``/``write_direct_chunk`` + zlib, which
+  releases the GIL), so the deflate work — the host-side hot loop of the
+  streaming-inference pipeline — parallelizes across cores instead of
+  serializing inside HDF5's filter pipeline.
 """
 from __future__ import annotations
 
+import os
+import zlib
+from collections import OrderedDict, deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Sequence
 
 import h5py
 import numpy as np
 from h5py import Datatype, h5t
+
+_POOL: Optional[ThreadPoolExecutor] = None
+
+
+def _gzip_pool() -> ThreadPoolExecutor:
+    """Shared deflate worker pool (zlib drops the GIL, so threads scale)."""
+    global _POOL
+    if _POOL is None:
+        _POOL = ThreadPoolExecutor(
+            max_workers=int(os.environ.get("WFML_GZIP_WORKERS",
+                                           min(8, os.cpu_count() or 4))),
+            thread_name_prefix="wfml-gzip")
+    return _POOL
+
+
+def _gzip_only_dataset(ds: h5py.Dataset) -> bool:
+    """True when the dataset is 1-D, chunked, and deflate is its only filter
+    — the layout every table in this chain uses — so raw chunk bytes are a
+    plain zlib stream we can (de)compress off to the side."""
+    return (ds.chunks is not None and len(ds.shape) == 1
+            and ds.compression == "gzip" and not ds.shuffle
+            and not ds.fletcher32 and ds.scaleoffset is None)
+
+
+class ParallelChunkReader:
+    """Decode gzip HDF5 chunks on the shared thread pool with readahead.
+
+    ``read(lo, hi)`` returns rows [lo, hi) like a dataset slice, but the
+    deflate of each chunk runs on worker threads (h5py only fetches the raw
+    compressed bytes under its own lock), and chunks past ``hi`` are
+    prefetched so a sequential reader never waits on a cold chunk."""
+
+    def __init__(self, ds: h5py.Dataset, readahead: int = 8):
+        self.ds = ds
+        self.chunk = int(ds.chunks[0])
+        self.n = int(ds.shape[0])
+        self.n_chunks = -(-self.n // self.chunk)
+        self.readahead = readahead
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._futures: Dict[int, Any] = {}
+
+    def _decode(self, ci: int) -> np.ndarray:
+        lo = ci * self.chunk
+        try:
+            fmask, raw = self.ds.id.read_direct_chunk((lo,))
+        except Exception:
+            return np.asarray(self.ds[lo:min(lo + self.chunk, self.n)])
+        if fmask != 0:  # deflate was skipped for this chunk
+            return np.asarray(self.ds[lo:min(lo + self.chunk, self.n)])
+        arr = np.frombuffer(zlib.decompress(raw), dtype=self.ds.dtype)
+        return arr[:min(self.chunk, self.n - lo)]
+
+    def _ensure(self, ci: int) -> None:
+        if ci < self.n_chunks and ci not in self._cache and ci not in self._futures:
+            self._futures[ci] = _gzip_pool().submit(self._decode, ci)
+
+    def _get(self, ci: int) -> np.ndarray:
+        if ci not in self._cache:
+            self._ensure(ci)
+            self._cache[ci] = self._futures.pop(ci).result()
+            while len(self._cache) > 2 * self.readahead + 4:
+                self._cache.popitem(last=False)
+        return self._cache[ci]
+
+    def read(self, lo: int, hi: int) -> np.ndarray:
+        hi = min(hi, self.n)
+        c0, c1 = lo // self.chunk, max(lo, hi - 1) // self.chunk
+        for ci in range(c0, min(c1 + 1 + self.readahead, self.n_chunks)):
+            self._ensure(ci)
+        parts = []
+        for ci in range(c0, c1 + 1):
+            arr = self._get(ci)
+            a = max(0, lo - ci * self.chunk)
+            b = min(len(arr), hi - ci * self.chunk)
+            parts.append(arr[a:b])
+        if len(parts) == 1:
+            return parts[0].copy()  # frombuffer views are read-only
+        return np.concatenate(parts)
+
+
+class ParallelGzipAppender:
+    """Append rows to a gzip-chunked dataset, compressing full chunks on the
+    shared thread pool and committing them with ``write_direct_chunk``.
+
+    Appends must be sequential (they are: add_rows streams front-to-back).
+    The trailing partial chunk goes through the normal filter pipeline at
+    ``finalize()``."""
+
+    def __init__(self, ds: h5py.Dataset, level: int, max_inflight: int = 16):
+        self.ds = ds
+        self.chunk = int(ds.chunks[0])
+        self.level = int(level)
+        self.row0 = 0                       # absolute row of buf[0]
+        self.buf: List[np.ndarray] = []
+        self.buffered = 0
+        self.pending: deque = deque()       # (chunk_offset, future)
+        self.max_inflight = max_inflight
+
+    def append(self, rows: np.ndarray) -> None:
+        self.buf.append(rows)
+        self.buffered += rows.shape[0]
+        while self.buffered >= self.chunk:
+            block = np.concatenate(self.buf) if len(self.buf) > 1 else self.buf[0]
+            full, rest = block[:self.chunk], block[self.chunk:]
+            data = full.tobytes()
+            self.pending.append((self.row0, _gzip_pool().submit(
+                zlib.compress, data, self.level)))
+            self.row0 += self.chunk
+            self.buf = [rest] if rest.shape[0] else []
+            self.buffered = rest.shape[0]
+            while len(self.pending) > self.max_inflight:
+                self._commit_one()
+
+    def _commit_one(self) -> None:
+        off, fut = self.pending.popleft()
+        self.ds.id.write_direct_chunk((off,), fut.result(), filter_mask=0)
+
+    def drain(self) -> None:
+        while self.pending:
+            self._commit_one()
+
+    def finalize(self) -> None:
+        self.drain()
+        if self.buffered:
+            tail = np.concatenate(self.buf) if len(self.buf) > 1 else self.buf[0]
+            self.ds[self.row0:self.row0 + tail.shape[0]] = tail
+            self.row0 += tail.shape[0]
+            self.buf, self.buffered = [], 0
 
 
 class H5FileHandler(h5py.File):
@@ -58,6 +196,7 @@ class H5Input(H5Base):
         self.event_index_coord: Optional[int] = None
         self.current_index = -1  # -1: fresh, -2: exhausted (next call resets)
         self.table_length = 0
+        self._par: Optional[ParallelChunkReader] = None
 
     def setup_table(self, name: str, data_type: np.dtype, event_index_name: str,
                     event_index_coord: Optional[int] = None, base: str = "/") -> None:
@@ -68,6 +207,15 @@ class H5Input(H5Base):
         self.event_index_name = event_index_name
         self.event_index_coord = event_index_coord
         self.current_index = -1
+        # gzip-chunked tables (the analysis chain's layout) decode on the
+        # shared thread pool with readahead; others use plain slicing
+        self._par = (ParallelChunkReader(self.table)
+                     if _gzip_only_dataset(self.table) else None)
+
+    def _read(self, lo: int, hi: int) -> np.ndarray:
+        if self._par is not None:
+            return self._par.read(lo, hi)
+        return self.table[lo:hi]
 
     def _event_numbers(self, rows: np.ndarray) -> np.ndarray:
         col = rows[self.event_index_name]
@@ -94,8 +242,8 @@ class H5Input(H5Base):
         if self.current_index + nrows >= self.table_length:
             ci = self.current_index
             self.current_index = -2
-            return self.table[ci:self.table_length]
-        data = self.table[self.current_index:self.current_index + nrows]
+            return self._read(ci, self.table_length)
+        data = self._read(self.current_index, self.current_index + nrows)
         self.current_index += nrows
         if preserve_event:
             last_event = self.get_event_number(data[-1])
@@ -103,8 +251,8 @@ class H5Input(H5Base):
             # row whose event id differs (vectorized vs ref's per-row loop)
             ext_block = max(64, nrows // 8)
             while self.current_index < self.table_length:
-                ahead = self.table[self.current_index:
-                                   min(self.current_index + ext_block, self.table_length)]
+                ahead = self._read(self.current_index,
+                                   min(self.current_index + ext_block, self.table_length))
                 evts = self._event_numbers(ahead)
                 differs = np.nonzero(evts != last_event)[0]
                 if differs.size:
@@ -136,6 +284,7 @@ class H5Output(H5Base):
         super().__init__(path, "w")
         self.tables: Dict[str, h5py.Dataset] = {}
         self.table_index: Dict[str, int] = {}
+        self._appenders: Dict[str, ParallelGzipAppender] = {}
 
     def create_table(self, name: str, shape, data_type, compression: str = "gzip",
                      maxshape=(None,), compression_opts: int = 9, chunks=(1024,), **kwargs) -> None:
@@ -143,21 +292,46 @@ class H5Output(H5Base):
             name, shape=shape, dtype=data_type, compression=compression,
             maxshape=maxshape, compression_opts=compression_opts, chunks=chunks, **kwargs)
         self.table_index[name] = 0
+        if _gzip_only_dataset(self.tables[name]):
+            self._appenders[name] = ParallelGzipAppender(
+                self.tables[name], level=int(compression_opts))
 
     def add_rows(self, name: str, rows: np.ndarray) -> None:
         i = self.table_index[name]
         tbl = self.tables[name]
         if i + rows.shape[0] > tbl.shape[0]:
+            app = self._appenders.get(name)
+            if app is not None:
+                app.drain()  # committed chunks stay valid through a resize
             tbl.resize((i + rows.shape[0],))
-        tbl[i:i + rows.shape[0]] = rows
+        app = self._appenders.get(name)
+        if app is not None and app.row0 + app.buffered == i:
+            app.append(np.ascontiguousarray(rows))
+        else:
+            if app is not None:  # non-sequential writer: retire the appender
+                self._finalize_table(name)
+            tbl[i:i + rows.shape[0]] = rows
         self.table_index[name] = i + rows.shape[0]
 
+    def _finalize_table(self, name: str) -> None:
+        app = self._appenders.pop(name, None)
+        if app is not None:
+            app.finalize()
+
     def close_table(self, name: str) -> None:
+        self._finalize_table(name)
         self.table_index.pop(name)
         self.tables.pop(name)
 
     def flush(self, table: Optional[str] = None) -> None:
+        for app in self._appenders.values():
+            app.drain()
         self.h5f.flush()
+
+    def close(self) -> None:
+        for name in list(self._appenders):
+            self._finalize_table(name)
+        super().close()
 
     def copy_attrs(self, table: str, h5input: H5Base, input_table: str,
                    names: Sequence[str], types: Sequence[Any], shapes: Sequence[Any]) -> None:
