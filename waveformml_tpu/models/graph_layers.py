@@ -62,11 +62,29 @@ def _sym_norm(edges, edge_mask, n_nodes, edge_weight=None):
     return w * dinv[edges[0]] * dinv[edges[1]]
 
 
+def add_self_loops(edges, edge_mask, n_nodes, edge_weight=None,
+                   fill_value: float = 1.0):
+    """Append one (i, i) edge per node — PyG's torch_geometric.utils
+    .add_self_loops, which GCNConv / GATConv / SGConv apply by default.
+    Static-shape friendly: always appends exactly n_nodes edges."""
+    loops = jnp.arange(n_nodes, dtype=edges.dtype)
+    edges = jnp.concatenate([edges, jnp.stack([loops, loops])], axis=1)
+    if edge_mask is not None:
+        edge_mask = jnp.concatenate(
+            [edge_mask, jnp.ones(n_nodes, edge_mask.dtype)])
+    if edge_weight is not None:
+        edge_weight = jnp.concatenate(
+            [edge_weight, jnp.full(n_nodes, fill_value, edge_weight.dtype)])
+    return edges, edge_mask, edge_weight
+
+
 class GCNConv(nn.Module):
-    """(index 0) symmetric-normalized aggregation (PyG GCNConv)."""
+    """(index 0) PyG GCNConv: X' = D̂^-1/2 Â D̂^-1/2 X Θ + b with
+    Â = A + I (self-loops added by default, fill weight 1)."""
 
     in_channels: int
     out_channels: int
+    with_self_loops: bool = True
 
     @nn.compact
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
@@ -74,6 +92,10 @@ class GCNConv(nn.Module):
         h = nn.Dense(self.out_channels, use_bias=False, name="lin")(x)
         ew = edge_attr[:, 0] if edge_attr is not None and edge_attr.ndim == 2 \
             else edge_attr
+        if ew is None:
+            ew = jnp.ones(edges.shape[1], x.dtype)
+        if self.with_self_loops:
+            edges, edge_mask, ew = add_self_loops(edges, edge_mask, n, ew)
         coeff = _sym_norm(edges, edge_mask, n, ew)
         out = segment_sum(h[edges[0]] * coeff[:, None], edges[1], n, edge_mask)
         return out + self.param("bias", nn.initializers.zeros, (self.out_channels,))
@@ -89,8 +111,10 @@ class SAGEConv(nn.Module):
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
         n = x.shape[0]
         agg = segment_mean(x[edges[0]], edges[1], n, edge_mask)
+        # PyG: lin_l (aggregated neighbors) carries the bias, lin_r (root)
+        # has bias=False
         return nn.Dense(self.out_channels, name="lin_l")(agg) + \
-            nn.Dense(self.out_channels, name="lin_r")(x)
+            nn.Dense(self.out_channels, use_bias=False, name="lin_r")(x)
 
 
 class GraphConv(nn.Module):
@@ -112,18 +136,23 @@ class GraphConv(nn.Module):
 
 
 class GATConv(nn.Module):
-    """(index 3) single-head graph attention (PyG GATConv)."""
+    """(index 3) graph attention (PyG GATConv): self-loops added by
+    default, α_ij = softmax_j LeakyReLU(a_s·Θx_j + a_d·Θx_i) over
+    j ∈ N(i) ∪ {i}, x'_i = Σ_j α_ij Θx_j + b."""
 
     in_channels: int
     out_channels: int
     heads: int = 1
     negative_slope: float = 0.2
+    with_self_loops: bool = True
 
     @nn.compact
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
         n = x.shape[0]
         H, C = self.heads, self.out_channels
         h = nn.Dense(H * C, use_bias=False, name="lin")(x).reshape(n, H, C)
+        if self.with_self_loops:
+            edges, edge_mask, _ = add_self_loops(edges, edge_mask, n)
         a_src = self.param("att_src", nn.initializers.glorot_uniform(), (H, C))
         a_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (H, C))
         alpha = (h[edges[0]] * a_src).sum(-1) + (h[edges[1]] * a_dst).sum(-1)
@@ -131,18 +160,18 @@ class GATConv(nn.Module):
         alpha = edge_softmax(alpha, edges[1], n, edge_mask)
         out = segment_sum((h[edges[0]] * alpha[..., None]).reshape(-1, H * C),
                           edges[1], n, edge_mask)
-        if H == 1:
-            return out
-        return out  # concatenated heads
+        return out + self.param("bias", nn.initializers.zeros, (H * C,))
 
 
 class GATv2Conv(nn.Module):
-    """(index 4) GATv2: attention after the nonlinearity."""
+    """(index 4) GATv2: attention after the nonlinearity (self-loops added
+    by default, like PyG)."""
 
     in_channels: int
     out_channels: int
     heads: int = 1
     negative_slope: float = 0.2
+    with_self_loops: bool = True
 
     @nn.compact
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
@@ -150,13 +179,15 @@ class GATv2Conv(nn.Module):
         H, C = self.heads, self.out_channels
         hl = nn.Dense(H * C, use_bias=False, name="lin_l")(x).reshape(n, H, C)
         hr = nn.Dense(H * C, use_bias=False, name="lin_r")(x).reshape(n, H, C)
+        if self.with_self_loops:
+            edges, edge_mask, _ = add_self_loops(edges, edge_mask, n)
         att = self.param("att", nn.initializers.glorot_uniform(), (H, C))
         z = jax.nn.leaky_relu(hl[edges[0]] + hr[edges[1]], self.negative_slope)
         alpha = (z * att).sum(-1)
         alpha = edge_softmax(alpha, edges[1], n, edge_mask)
         out = segment_sum((hl[edges[0]] * alpha[..., None]).reshape(-1, H * C),
                           edges[1], n, edge_mask)
-        return out
+        return out + self.param("bias", nn.initializers.zeros, (H * C,))
 
 
 class TransformerConv(nn.Module):
@@ -257,17 +288,23 @@ class ARMAConv(nn.Module):
 
 
 class SGConv(nn.Module):
-    """(index 9) simplified GCN: W (norm-A)^K x."""
+    """(index 9) simplified GCN: W (D̂^-1/2 Â D̂^-1/2)^K x, Â = A + I
+    (PyG adds self-loops by default)."""
 
     in_channels: int
     out_channels: int
     K: int = 1
+    with_self_loops: bool = True
 
     @nn.compact
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
         n = x.shape[0]
         ew = edge_attr[:, 0] if edge_attr is not None and edge_attr.ndim == 2 \
             else edge_attr
+        if ew is None:
+            ew = jnp.ones(edges.shape[1], x.dtype)
+        if self.with_self_loops:
+            edges, edge_mask, ew = add_self_loops(edges, edge_mask, n, ew)
         coeff = _sym_norm(edges, edge_mask, n, ew)
         h = x
         for _ in range(self.K):
@@ -277,12 +314,15 @@ class SGConv(nn.Module):
 
 class GMMConv(nn.Module):
     """(index 10) gaussian-mixture conv over pseudo-coordinates
-    (edge_attr [E, dim], `kernel_size` gaussians)."""
+    (edge_attr [E, dim], `kernel_size` gaussians). PyG GMMConv:
+    x'_i = mean_{j∈N(i)} Σ_k w_k(e_ij) ⊙ (Θ_k x_j) + W_root x_i + b,
+    w_k(e) = exp(-0.5 Σ_d (e_d − μ_kd)² / σ_kd²), root_weight=True."""
 
     in_channels: int
     out_channels: int
     dim: int = 2
     kernel_size: int = 3
+    root_weight: bool = True
 
     @nn.compact
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
@@ -299,6 +339,9 @@ class GMMConv(nn.Module):
                      name="g")(x).reshape(n, K, self.out_channels)
         msg = (h[edges[0]] * w[..., None]).sum(1)                 # [E, C]
         out = segment_mean(msg, edges[1], n, edge_mask)
+        if self.root_weight:
+            out = out + nn.Dense(self.out_channels, use_bias=False,
+                                 name="root")(x)
         return out + self.param("bias", nn.initializers.zeros, (self.out_channels,))
 
 
