@@ -326,3 +326,102 @@ def test_gspmd_two_process_dp_tp_step(tmp_path):
         assert "GSPMD_MH_OK" in out_s, out_s
     got = float(open(os.path.join(str(tmp_path), "gspmd_loss.txt")).read())
     assert abs(got - want) < 1e-5, (got, want)
+
+
+GSPMD_MH_EVAL_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=2")
+os.environ["JAX_PLATFORMS"] = "cpu"
+pid, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from waveformml_tpu.parallel.mesh import initialize_distributed
+initialize_distributed(f"localhost:{port}", 2, pid)
+from _dist_train_common import make_cfg_block
+from waveformml_tpu.engineering.tasks import LitPSD
+from waveformml_tpu.engineering.trainer import Trainer
+
+
+class CountingLogger:
+    def __init__(self):
+        self.figures = {}
+        self.log_dir = outdir
+
+    def log_figure(self, tag, fig, step=0, close=True):
+        self.figures[tag] = True
+        import matplotlib.pyplot as plt
+        plt.close(fig)
+
+    def log_scalar(self, tag, value, step=0):
+        pass
+
+    def log_scalars(self, values, step=0):
+        pass
+
+    def log_histogram(self, tag, values, step=0):
+        self.figures[tag] = True
+
+    def flush(self):
+        pass
+
+
+class DM:
+    def __init__(self, block):
+        self.block = block
+
+    def setup(self, stage=None):
+        pass
+
+    def test_dataloader(self):
+        return [self.block]
+
+
+cfg, block = make_cfg_block(rank=pid)
+logger = CountingLogger() if pid == 0 else None
+trainer = Trainer(cfg, LitPSD(cfg), tp=2, seed=0, logger=logger)
+assert trainer.mesh.shape == {"data": 2, "model": 2}, trainer.mesh.shape
+metrics = trainer.test(DM(block))
+assert np.isfinite(metrics["test_loss"]), metrics
+ev = trainer.task.evaluator
+assert ev is not None
+if pid == 0:
+    with open(os.path.join(outdir, "figcount.txt"), "w") as f:
+        f.write(str(len(logger.figures)))
+print("GSPMD_MH_EVAL_OK", pid, metrics["test_loss"], flush=True)
+"""
+
+
+def test_gspmd_two_process_evaluator_figures(tmp_path):
+    """trainer.test under --distributed + tp=2 must COLLECT evaluator inputs
+    (per-process addressable slices of the gspmd outputs) and emit figures on
+    rank 0 — the silent-skip this replaces dropped all figures."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ,
+           "PYTHONPATH": REPO + ":" + os.path.dirname(os.path.abspath(__file__))}
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [_sys.executable, "-u", "-c", GSPMD_MH_EVAL_WORKER, str(i), str(port),
+         str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        cwd=REPO) for i in range(2)]
+    for p in procs:
+        try:
+            out_s, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err + out_s
+        assert "GSPMD_MH_EVAL_OK" in out_s, out_s
+    n_figures = int(open(os.path.join(str(tmp_path), "figcount.txt")).read())
+    assert n_figures > 0, "no evaluator figures emitted on rank 0"

@@ -743,10 +743,35 @@ class Trainer:
             weight += float(w)
             _accumulate(agg, metrics)
             if collect is not None:
+                if self._multihost and self.parallel == "gspmd":
+                    # the jit's outputs are sharded over the global (data,
+                    # model) mesh and only partially addressable per process:
+                    # all-gather them to replicated (one jit identity; XLA
+                    # rides ICI/DCN), then slice THIS process's contribution
+                    # back out so evaluators aggregate per process exactly
+                    # like the shard_map path below
+                    rep = jax.jit(
+                        lambda t: t,
+                        out_shardings=jax.sharding.NamedSharding(
+                            self.mesh, P()))(test_out)
+                    nproc, pidx = self.process_count, self.process_index
+
+                    def _proc_slice(x):
+                        g = np.asarray(x)
+                        loc = g.shape[1] // nproc
+                        if loc * nproc != g.shape[1]:
+                            return g  # not process-stitched: hand over whole
+                        return g[:, pidx * loc:(pidx + 1) * loc]
+
+                    db2 = {k: v[None] for k, v in db.items()}
+                    if "coords" in db:
+                        c = db["coords"].copy()  # undo the global event offset
+                        c[..., -1] -= pidx * self._gspmd_local_events
+                        db2["coords"] = c[None]
+                    collect(block, db2, jax.tree.map(_proc_slice, rep))
+                    continue
                 if self.parallel == "gspmd":  # evaluator contract: [D, ...]
                     db = {k: v[None] for k, v in db.items()}
-                if self._multihost and self.parallel == "gspmd":
-                    continue  # figure collection needs the shard_map layout
                 if self._multihost:
                     # dp-sharded outputs are only partially addressable: each
                     # process collects ITS device shards (aligned with its

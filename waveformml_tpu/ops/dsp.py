@@ -62,7 +62,7 @@ def moment(data: np.ndarray, n: int, weights: Optional[np.ndarray] = None
         curt = float((s ** 4)[nz].sum())
         denom = n
         svar = svar / (n - 1) if n > 1 else 0.0
-    if svar:
+    if svar > 0:  # w can contain negatives (raw noise); sqrt needs svar > 0
         sdev = sqrt(svar)
         skew = skew / (denom * svar * sdev)
         curt = curt / (denom * svar * svar) - 3.0
