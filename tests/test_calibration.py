@@ -147,3 +147,32 @@ def test_calc_calib_z_E_fuzz_bounds(cal, rng):
         assert (z[filled] >= -0.5).all() and (z[filled] <= 1.5).all(), \
             (trial, z[filled])
         assert (E[filled] > -1e-9).all(), trial
+
+
+def test_calc_calib_z_E_separated_baselines(cal):
+    """z_dt_out / z_light_out receive the two ingredient positions peak_to_z
+    combines (ref SparseUtils.py:797-845): the light-ratio z must track the
+    amplitude asymmetry, and both must bracket plausible positions."""
+    n = 64
+    z_true = -240.0
+    amp_l = 300 * np.exp(-0.8 * z_true / 600)
+    amp_r = 300 * np.exp(+0.8 * z_true / 600)
+    wf = _pulse_pair(n, amp_l, amp_r) / (2 ** 14 - 1)
+    coords = np.array([[4, 5, 0]], dtype=np.int32)
+    z_out = np.zeros((1, NX, NY))
+    E_out = np.zeros((1, NX, NY))
+    z_dt = np.full((1, NX, NY), 0.5)
+    z_light = np.full((1, NX, NY), 0.5)
+    calc_calib_z_E(coords, wf[None, :], z_out, E_out, cal, Z_SCALE, n,
+                   z_dt_out=z_dt, z_light_out=z_light)
+    got_light = (z_light[0, 4, 5] - 0.5) * Z_SCALE
+    assert got_light == pytest.approx(z_true, abs=60)
+    # the combined z is an inverse-variance mix of the two ingredients
+    lo = min(z_dt[0, 4, 5], z_light[0, 4, 5]) - 1e-9
+    hi = max(z_dt[0, 4, 5], z_light[0, 4, 5]) + 1e-9
+    assert lo <= z_out[0, 4, 5] <= hi
+    # without separated outputs the combined result is unchanged
+    z2 = np.zeros((1, NX, NY)); E2 = np.zeros((1, NX, NY))
+    calc_calib_z_E(coords, wf[None, :], z2, E2, cal, Z_SCALE, n)
+    np.testing.assert_allclose(z2, z_out)
+    np.testing.assert_allclose(E2, E_out)

@@ -490,11 +490,20 @@ def test_z_evaluator_reference_figure_accounting(tmp_path, monkeypatch, rng):
 
     figs = set(logger.figures)
     scalars = set(logger.scalars)
-    for s in ("single_mae", "dual_mae", "single_mae_cal", "dual_mae_cal"):
+    for s in ("single_mae", "dual_mae", "single_mae_cal", "dual_mae_cal",
+              # per-mult and per-E scalar SERIES (ref :165-204)
+              "single_mae_mult", "dual_mae_mult",
+              "single_mae_mult_cal", "dual_mae_mult_cal",
+              "single_mae_E", "dual_mae_E",
+              "single_mae_E_cal", "dual_mae_E_cal",
+              # separated classical baselines (dt-only / light-ratio-only z)
+              "single_mae_cal_dt", "dual_mae_cal_dt",
+              "single_mae_cal_light", "dual_mae_cal_light"):
         assert f"evaluation/{s}" in scalars, sorted(scalars)
     # one required-regex per reference figure family (cal branch active)
     required = [
         r"z_error_summary_mult$",
+        r"z_error_summary_mult_baselines$",
         r"z_error_summary_E_single$",
         r"z_error_summary_E_dual$",
         r"z_seg_\d+_\d+_mult_\d+_error$",

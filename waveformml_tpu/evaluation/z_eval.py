@@ -179,7 +179,11 @@ class ZEvaluatorBase(SingleEndedEvaluator):
         if self._has_cal_metrics and f is not None:
             cal = self.z_from_cal(c, f, target)
             if cal is not None:
-                cal_z, cal_E = cal if isinstance(cal, tuple) else (cal, None)
+                cal_sep = cal if isinstance(cal, dict) else None
+                if cal_sep is not None:
+                    cal_z, cal_E = cal_sep["z"], cal_sep.get("E")
+                else:
+                    cal_z, cal_E = cal if isinstance(cal, tuple) else (cal, None)
                 if target_is_cal:
                     # real data (ref: ZEvaluator.py:513-517): targets ARE the
                     # calibration z at dual-ended segments, so the baseline is
@@ -205,6 +209,16 @@ class ZEvaluatorBase(SingleEndedEvaluator):
                 E_rows = E if E is not None else (
                     cal_E[b, x, y] if cal_E is not None else None)
                 self.dev_cal.add(cal_pred, targ, x, y, mult, is_single, E=E_rows)
+                if cal_sep is not None and not target_is_cal:
+                    # separated classical baselines (dt-only / light-ratio-only
+                    # z, the two methods peak_to_z combines — ref :797-845)
+                    if not hasattr(self, "dev_cal_dt"):
+                        self.dev_cal_dt = ZDeviationAccumulator(z_scale=self.z_scale)
+                        self.dev_cal_light = ZDeviationAccumulator(z_scale=self.z_scale)
+                    self.dev_cal_dt.add(cal_sep["z_dt"][b, x, y], targ, x, y,
+                                        mult, is_single, E=E_rows)
+                    self.dev_cal_light.add(cal_sep["z_light"][b, x, y], targ,
+                                           x, y, mult, is_single, E=E_rows)
 
     def z_from_cal(self, c, f, targ, E=None):
         return None
@@ -245,11 +259,35 @@ class ZEvaluatorBase(SingleEndedEvaluator):
         self.logger.log_scalar(self.namespace + "single_mae", single, 0)
         self.logger.log_scalar(self.namespace + "dual_mae", dual, 0)
         mults = list(range(1, self.dev.nmult + 1))
+        # per-multiplicity MAE scalar SERIES, one point per global_step=mult
+        # (ref: ZEvaluator.py:165-204) — in addition to the summary figures
+        for m in range(self.dev.nmult):
+            self.logger.log_scalar(self.namespace + "single_mae_mult",
+                                   single_mult[m], m + 1)
+            self.logger.log_scalar(self.namespace + "dual_mae_mult",
+                                   dual_mult[m], m + 1)
         if self._has_cal_metrics:
             single_cal, single_mult_cal = self.dev_cal.summary("single")
             dual_cal, dual_mult_cal = self.dev_cal.summary("dual")
             self.logger.log_scalar(self.namespace + "single_mae_cal", single_cal, 0)
             self.logger.log_scalar(self.namespace + "dual_mae_cal", dual_cal, 0)
+            for m in range(self.dev.nmult):
+                self.logger.log_scalar(self.namespace + "single_mae_mult_cal",
+                                       single_mult_cal[m], m + 1)
+                self.logger.log_scalar(self.namespace + "dual_mae_mult_cal",
+                                       dual_mult_cal[m], m + 1)
+            # per-energy-bin MAE scalar series (ref :186-204, cal branch only)
+            nn_E = {w: self.dev.mae_vs_E(w) for w in ("single", "dual")}
+            cal_E = {w: self.dev_cal.mae_vs_E(w) for w in ("single", "dual")}
+            for i in range(self.dev.n_bins):
+                self.logger.log_scalar(self.namespace + "single_mae_E",
+                                       nn_E["single"][i], i + 1)
+                self.logger.log_scalar(self.namespace + "dual_mae_E",
+                                       nn_E["dual"][i], i + 1)
+                self.logger.log_scalar(self.namespace + "single_mae_E_cal",
+                                       cal_E["single"][i], i + 1)
+                self.logger.log_scalar(self.namespace + "dual_mae_E_cal",
+                                       cal_E["dual"][i], i + 1)
             self.logger.log_figure(
                 self.namespace + "z_error_summary_mult",
                 plot_lines(mults, [single_mult, dual_mult, single_mult_cal,
@@ -262,11 +300,33 @@ class ZEvaluatorBase(SingleEndedEvaluator):
                 self.logger.log_figure(
                     self.namespace + f"z_error_summary_E_{which}",
                     plot_lines(centers,
-                               [self.dev.mae_vs_E(which),
-                                self.dev_cal.mae_vs_E(which)],
+                               [nn_E[which], cal_E[which]],
                                ["NN", "calibration"],
                                "Visible Energy [MeV]", "MAE [mm]",
                                title=title))
+            if hasattr(self, "dev_cal_dt"):
+                # separated classical baselines: dt-only z vs light-ratio-only
+                # z beside the combined calibration and the NN
+                _, sm_dt = self.dev_cal_dt.summary("single")
+                _, dm_dt = self.dev_cal_dt.summary("dual")
+                _, sm_li = self.dev_cal_light.summary("single")
+                _, dm_li = self.dev_cal_light.summary("dual")
+                self.logger.log_figure(
+                    self.namespace + "z_error_summary_mult_baselines",
+                    plot_lines(mults,
+                               [single_mult, dual_mult, sm_dt, dm_dt,
+                                sm_li, dm_li],
+                               ["single NN", "dual NN", "single dt-z",
+                                "dual dt-z", "single light-z", "dual light-z"],
+                               "multiplicity", "MAE [mm]"))
+                for name, dev_sep in (("dt", self.dev_cal_dt),
+                                      ("light", self.dev_cal_light)):
+                    s_tot, _ = dev_sep.summary("single")
+                    d_tot, _ = dev_sep.summary("dual")
+                    self.logger.log_scalar(
+                        self.namespace + f"single_mae_cal_{name}", s_tot, 0)
+                    self.logger.log_scalar(
+                        self.namespace + f"dual_mae_cal_{name}", d_tot, 0)
         else:
             self.logger.log_figure(
                 self.namespace + "error_summary_mult",
@@ -346,10 +406,13 @@ class ZEvaluatorWF(ZEvaluatorBase):
         B = int(b[-1]) + 1 if len(b) else 0
         z_out = np.full((B, NX, NY), 0.0)
         E_out = np.zeros((B, NX, NY))
+        z_dt = np.full((B, NX, NY), 0.5)
+        z_light = np.full((B, NX, NY), 0.5)
         coords = np.stack([c[:, 0], c[:, 1], b], axis=1).astype(np.int64)
         calc_calib_z_E(coords, np.asarray(f, dtype=np.float64), z_out, E_out,
-                       self.calibrator.tables(), self.z_scale, n_samples)
-        return z_out, E_out
+                       self.calibrator.tables(), self.z_scale, n_samples,
+                       z_dt_out=z_dt, z_light_out=z_light)
+        return {"z": z_out, "E": E_out, "z_dt": z_dt, "z_light": z_light}
 
 
 class ZEvaluatorPhys(ZEvaluatorBase):

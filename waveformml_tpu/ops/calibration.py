@@ -72,17 +72,19 @@ def peak_to_dt(wf, m0, m1, x, y, cal: CalibrationTables, n_samples: int
     return t[1] - t[0] - cal.rel_times[x, y], L[0] + L[1]
 
 
-def peak_to_z(wf, m0, m1, x, y, cal: CalibrationTables, n_samples: int
-              ) -> Tuple[float, float]:
-    """(z [mm], E [MeV]) from one matched peak pair: light-ratio position and
-    dt position combined by inverse-variance weights (ref :797-845)."""
+def peak_to_z_parts(wf, m0, m1, x, y, cal: CalibrationTables, n_samples: int
+                    ) -> Tuple[float, float, float, float]:
+    """(z, E, z_dt, z_light) from one matched peak pair — the combined
+    inverse-variance-weighted z (ref :797-845) plus its two ingredients,
+    the dt-derived position and the light-ratio position, separately."""
     t = _corrected_times(wf, m0, m1, x, y, cal, n_samples)
     dt = t[1] - t[0] - cal.rel_times[x, y]
     tpos = lin_interp(cal.time_pos_curves[x, y], dt)
     L = [calc_size(wf[:n_samples], m0) * cal.gain_factors[x, y, 0],
          calc_size(wf[n_samples:], m1) * cal.gain_factors[x, y, 1]]
     if L[0] == 0 or L[1] == 0:
-        return 0.0, (L[0] + L[1]) / lin_interp(cal.light_sum_curves[x, y], 0.0)
+        E0 = (L[0] + L[1]) / lin_interp(cal.light_sum_curves[x, y], 0.0)
+        return 0.0, E0, tpos, 0.0
     PE = [L[0] * cal.eres[x, y, 0], L[1] * cal.eres[x, y, 1]]
     R = log(L[1] / L[0])
     validratio = R == R
@@ -96,6 +98,14 @@ def peak_to_z(wf, m0, m1, x, y, cal: CalibrationTables, n_samples: int
     z = (Rweight * Rpos + tweight * tpos) / (Rweight + tweight)
     z = max(-650.0, min(650.0, z))
     E = (PE[0] + PE[1]) / lin_interp(cal.light_sum_curves[x, y], z)
+    return z, E, tpos, Rpos
+
+
+def peak_to_z(wf, m0, m1, x, y, cal: CalibrationTables, n_samples: int
+              ) -> Tuple[float, float]:
+    """(z [mm], E [MeV]) from one matched peak pair: light-ratio position and
+    dt position combined by inverse-variance weights (ref :797-845)."""
+    z, E, _, _ = peak_to_z_parts(wf, m0, m1, x, y, cal, n_samples)
     return z, E
 
 
@@ -140,10 +150,18 @@ def z_dt_to_z(wf, z_dt, x, y, cal: CalibrationTables, n_samples: int
 def calc_calib_z_E(coordinates: np.ndarray, waveforms: np.ndarray,
                    z_out: np.ndarray, E_out: np.ndarray,
                    cal: CalibrationTables, z_scale: float, n_samples: int,
-                   minsep: int = 10) -> None:
+                   minsep: int = 10,
+                   z_dt_out: Optional[np.ndarray] = None,
+                   z_light_out: Optional[np.ndarray] = None) -> None:
     """Full classical reconstruction per pulse into dense [B, NX, NY] maps
     (ref :939-1027): find/cull peaks per PMT, pair or match them, reconstruct
-    per-peak (z, E), energy-weight, normalize z to [0, 1]."""
+    per-peak (z, E), energy-weight, normalize z to [0, 1].
+
+    z_dt_out / z_light_out, when given, additionally receive the SEPARATED
+    baselines — the dt-derived position alone and the light-ratio position
+    alone (the two ingredients peak_to_z combines, ref :797-845) — so the
+    evaluators can plot each classical method against the NN."""
+    sep = z_dt_out is not None
     for coord, wf in zip(coordinates, waveforms):
         x, y, b = int(coord[0]), int(coord[1]), int(coord[2])
         maxloc0, peaks0 = find_peaks(wf[:n_samples], minsep)
@@ -155,6 +173,9 @@ def calc_calib_z_E(coordinates: np.ndarray, waveforms: np.ndarray,
                 continue
             r = 1 if peaks0 is None else 0
             z_out[b, x, y] = 0.5
+            if sep:
+                z_dt_out[b, x, y] = 0.5
+                z_light_out[b, x, y] = 0.5
             L = sum_range(wf[n_samples * r: n_samples + n_samples * r],
                           0, n_samples - 1) * cal.gain_factors[x, y, r]
             PE = L * cal.eres[x, y, r]
@@ -164,12 +185,21 @@ def calc_calib_z_E(coordinates: np.ndarray, waveforms: np.ndarray,
         peaks1 = np.sort(peaks1)
         if peaks0.shape[0] == peaks1.shape[0]:
             z_weighted, total = 0.0, 0.0
+            zdt_weighted, zlight_weighted = 0.0, 0.0
             for m0, m1 in zip(peaks0, peaks1):
-                pz, pE = peak_to_z(wf, int(m0), int(m1), x, y, cal, n_samples)
+                pz, pE, pzdt, pzlight = peak_to_z_parts(
+                    wf, int(m0), int(m1), x, y, cal, n_samples)
                 z_weighted += pz * pE
+                zdt_weighted += pzdt * pE
+                zlight_weighted += pzlight * pE
                 total += pE
             z_out[b, x, y] = (z_weighted / total) / z_scale + 0.5
             E_out[b, x, y] = total
+            if sep:
+                z_dt_out[b, x, y] = max(-650.0, min(
+                    650.0, zdt_weighted / total)) / z_scale + 0.5
+                z_light_out[b, x, y] = max(-650.0, min(
+                    650.0, zlight_weighted / total)) / z_scale + 0.5
         else:
             z_weighted, total = 0.0, 0.0
             if peaks0.shape[0] < peaks1.shape[0]:
@@ -188,6 +218,10 @@ def calc_calib_z_E(coordinates: np.ndarray, waveforms: np.ndarray,
             z, E = z_dt_to_z(wf, z_dt, x, y, cal, n_samples)
             z_out[b, x, y] = z / z_scale + 0.5
             E_out[b, x, y] = E
+            if sep:
+                z_dt_out[b, x, y] = max(-650.0, min(650.0, z_dt)) / z_scale + 0.5
+                zl, _w, _E = z_from_total_light(wf, x, y, cal, n_samples)
+                z_light_out[b, x, y] = zl / z_scale + 0.5
 
 
 # ---------------------------------------------------------------------------------
