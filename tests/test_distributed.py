@@ -370,3 +370,29 @@ def test_two_process_main_cli(tmp_path):
                            "version_0")
     assert glob.glob(os.path.join(run_dir, "*tfevents*"))
     assert glob.glob(os.path.join(run_dir, "*.ckpt"))
+
+
+def test_shard_loader_pads_remainder():
+    """len(loader) % P trailing batches must NOT be dropped: the round-robin
+    sharding pads by wrapping to the head (torch DistributedSampler
+    semantics), every rank yields ceil(len/P) batches, and the union of all
+    ranks covers every batch."""
+    from waveformml_tpu.engineering.trainer import shard_loader_round_robin
+
+    for total, P in ((7, 2), (8, 3), (5, 4), (4, 4), (1, 2)):
+        loader = list(range(total))
+        per_rank = [list(shard_loader_round_robin(loader, P, p))
+                    for p in range(P)]
+        want_len = -(-total // P)
+        for p, got in enumerate(per_rank):
+            assert len(got) == want_len, (total, P, p, got)
+            assert len(shard_loader_round_robin(loader, P, p)) == want_len
+        seen = set()
+        for got in per_rank:
+            seen.update(got)
+        assert seen == set(range(total)), (total, P, per_rank)
+        # lockstep: at step t the ranks consume P distinct padded slots
+        padded = loader + loader[:want_len * P - total]
+        for t in range(want_len):
+            slot = {per_rank[p][t] for p in range(P)}
+            assert slot == {padded[t * P + p] for p in range(P)}

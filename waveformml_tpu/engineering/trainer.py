@@ -45,6 +45,39 @@ from waveformml_tpu.utils.tb import TBLogger
 log = logging.getLogger(__name__)
 
 
+def shard_loader_round_robin(loader, n_proc: int, proc: int):
+    """Round-robin view of `loader` for process `proc` of `n_proc`, padded to
+    ceil(len/P) batches per process by wrapping to the head of the loader —
+    torch DistributedSampler semantics (no batch is silently dropped; up to
+    P-1 head batches are seen twice per epoch when len % P != 0)."""
+    n = -(-len(loader) // n_proc)  # ceil
+    pad = n * n_proc - len(loader)
+    if pad and proc == 0:
+        log.info("multi-host loader: padding %d trailing slot(s) by wrapping "
+                 "to the first batches (len=%d, processes=%d)",
+                 pad, len(loader), n_proc)
+
+    class _Sharded:
+        def __len__(self):
+            return n
+
+        def __iter__(self):
+            head = []  # first `pad` batches, replayed for the wraparound
+            i = 0
+            for b in loader:
+                if pad and len(head) < pad:
+                    head.append(b)
+                if i % n_proc == proc:
+                    yield b
+                i += 1
+            for b in head:
+                if i % n_proc == proc:
+                    yield b
+                i += 1
+
+    return _Sharded()
+
+
 class TrainState:
     """params + batch_stats + optimizer state + bookkeeping (pytree-of-arrays
     held on host between steps)."""
@@ -384,31 +417,18 @@ class Trainer:
         """Round-robin batch sharding across processes (DDP semantics): at
         step t, process p consumes loader batch t*P + p; every process runs
         the same number of steps so the collective dispatch stays in
-        lockstep."""
+        lockstep. A trailing remainder (len % P != 0) is padded by wrapping
+        around to the first batches — torch DistributedSampler semantics —
+        so no batch is ever silently dropped."""
         if not self._multihost:
             return loader
-        P_, p_ = self.process_count, self.process_index
-        n = len(loader) // P_
-
-        class _Sharded:
-            def __len__(self):
-                return n
-
-            def __iter__(self):
-                it = iter(loader)
-                for i in range(n * P_):
-                    try:
-                        b = next(it)
-                    except StopIteration:
-                        return
-                    if i % P_ == p_:
-                        yield b
-
-        if n == 0:
+        sharded = shard_loader_round_robin(loader, self.process_count,
+                                           self.process_index)
+        if len(sharded) == 0:
             raise RuntimeError(
-                f"loader has {len(loader)} batches for {P_} processes; "
-                "need at least one batch per process")
-        return _Sharded()
+                f"loader has {len(loader)} batches for {self.process_count} "
+                "processes; need at least one batch per process")
+        return sharded
 
     # -- initialization / checkpointing -----------------------------------------------
 
