@@ -1,0 +1,43 @@
+"""bench.py orchestrator contracts: the headline sparse-PSD config must run
+FIRST and its JSON line must be re-emitted as the LAST stdout line at exit
+(the driver parses the final line), including via the SIGTERM handler."""
+import importlib
+import json
+import os
+import sys
+
+
+def _fresh_bench():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    return importlib.reload(bench)
+
+
+def test_headline_runs_first():
+    bench = _fresh_bench()
+    assert bench.BENCHES[0][0] == "sparse_psd"
+
+
+def test_finalize_reprints_headline_last(tmp_path, capsys):
+    bench = _fresh_bench()
+    entry = {"metric": "sparse PSD train throughput (tpu)", "value": 1.0,
+             "unit": "waveforms/sec/chip", "vs_baseline": 2.0}
+    bench.HEADLINE["entry"] = entry
+    bench.RESULTS.append(entry)
+    bench.RESULTS.append({"metric": "other", "value": 3.0})
+    bench._finalize(str(tmp_path))
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[-1]) == entry
+    # idempotent: a second call (atexit after SIGTERM handler) prints nothing
+    bench._finalize(str(tmp_path))
+    assert capsys.readouterr().out == ""
+    results = json.load(open(tmp_path / "bench_results.json"))
+    assert len(results) == 2
+
+
+def test_finalize_without_headline_is_quiet(tmp_path, capsys):
+    bench = _fresh_bench()
+    bench._finalize(str(tmp_path))
+    assert capsys.readouterr().out == ""
+    assert json.load(open(tmp_path / "bench_results.json")) == []
