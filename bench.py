@@ -783,8 +783,16 @@ HEAVY_CONV = 4
 PEAK_TFLOPS = float(os.environ.get("WFML_PEAK_TFLOPS", 197.0))  # v5e bf16 peak
 
 
-def _sparse_train_flops(n_rows, n_events, n_feat, out_planes, n_conv):
-    """Analytic FLOPs per train step (fwd+bwd ~ 3x fwd) of the SubM stack."""
+def _sparse_train_flops(n_rows, n_events, n_feat, out_planes, n_conv,
+                        executed=False):
+    """Analytic FLOPs per train step (fwd+bwd ~ 3x fwd) of the SubM stack +
+    SubMPSDNet head (planes schedule mirrors models/nets.py SubMPSDNet.setup,
+    n_lin=2 → head width √(n_type·flat)).
+
+    executed=False counts the row-space algorithm (active sites only — the
+    honest useful-work MFU denominator). executed=True counts the dense
+    flatten-Linear head the auto path actually runs on the MXU at wide
+    channels (and what the torch reference always runs)."""
     from waveformml_tpu.detector import NX, NY
     from waveformml_tpu.models.sparse_blocks import SparseConv2DForEZ
 
@@ -798,7 +806,10 @@ def _sparse_train_flops(n_rows, n_events, n_feat, out_planes, n_conv):
             fwd += n_rows * (k * k) * cin * cout * 2
             cfinal = cout
     flat = NX * NY * cfinal
-    fwd += n_events * (flat * 18 + 18 * N_TYPE) * 2
+    f_head = int(round(flat * (float(N_TYPE) / flat) ** 0.5))
+    head_rows = n_events * NX * NY if executed else n_rows
+    fwd += head_rows * cfinal * f_head * 2     # folded/dense first linear
+    fwd += n_events * f_head * N_TYPE * 2      # second linear
     return 3.0 * fwd
 
 

@@ -506,14 +506,16 @@ def test_gcn_parity(rng):
     W = rng.normal(size=(out, f)).astype(np.float32)
     b = rng.normal(size=(out,)).astype(np.float32)
 
-    # torch mirror: h = xW^T; deg_j = #incoming real edges; out_j = Σ_e
-    # h_src · d^-1/2_src · d^-1/2_dst  (symmetric GCN normalization)
+    # torch mirror of PyG GCNConv: self-loops added (Â = A + I), h = xW^T,
+    # deg over destinations incl. loops, out_j = Σ_e h_src·d^-1/2_src·d^-1/2_dst
     tx = torch.from_numpy(x)
     h = tx @ torch.from_numpy(W.T)
-    src = torch.from_numpy(edges[0][mask].astype(np.int64))
-    dst = torch.from_numpy(edges[1][mask].astype(np.int64))
+    loops = torch.arange(n, dtype=torch.int64)
+    src = torch.cat([torch.from_numpy(edges[0][mask].astype(np.int64)), loops])
+    dst = torch.cat([torch.from_numpy(edges[1][mask].astype(np.int64)), loops])
     deg = torch.zeros(n).index_add_(0, dst, torch.ones(len(dst)))
-    dinv = deg.clamp(min=1e-12).rsqrt()
+    dinv = deg.pow(-0.5)
+    dinv[torch.isinf(dinv)] = 0  # PyG masked_fill of inf
     coeff = dinv[src] * dinv[dst]
     want = torch.zeros(n, out).index_add_(0, dst, h[src] * coeff[:, None])
     want = want + torch.from_numpy(b)
@@ -533,14 +535,16 @@ def test_gat_parity(rng):
     a_src = rng.normal(size=(1, out)).astype(np.float32)
     a_dst = rng.normal(size=(1, out)).astype(np.float32)
 
+    # torch mirror of PyG GATConv: self-loops added before attention
     tx = torch.from_numpy(x)
     h = tx @ torch.from_numpy(W.T)
-    src = torch.from_numpy(edges[0][mask].astype(np.int64))
-    dst = torch.from_numpy(edges[1][mask].astype(np.int64))
+    loops = torch.arange(n, dtype=torch.int64)
+    src = torch.cat([torch.from_numpy(edges[0][mask].astype(np.int64)), loops])
+    dst = torch.cat([torch.from_numpy(edges[1][mask].astype(np.int64)), loops])
     logits = (h[src] * torch.from_numpy(a_src[0])).sum(-1) + \
              (h[dst] * torch.from_numpy(a_dst[0])).sum(-1)
     logits = tnn.functional.leaky_relu(logits, 0.2)
-    # per-destination softmax over incoming edges
+    # per-destination softmax over incoming edges (incl. the self-loop)
     alpha = torch.zeros(len(src))
     for j in range(n):
         sel = dst == j
@@ -551,7 +555,8 @@ def test_gat_parity(rng):
     layer = GATConv(f, out, heads=1)
     got = layer.apply({"params": {"lin": {"kernel": t2f_lin(W)},
                                   "att_src": jnp.asarray(a_src),
-                                  "att_dst": jnp.asarray(a_dst)}},
+                                  "att_dst": jnp.asarray(a_dst),
+                                  "bias": jnp.zeros((out,))}},
                       jnp.asarray(x), jnp.asarray(edges), jnp.asarray(mask))
     assert_close(got, want)
 

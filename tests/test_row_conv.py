@@ -154,8 +154,10 @@ def test_submpsdnet_trains(rng, tmp_path):
     assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
 
 
-def test_folded_site_linear_matches_dense_flatten(rng):
-    """FoldedSiteLinear == Dense over flatten(rows_to_dense(...)) exactly."""
+@pytest.mark.parametrize("mode", ["auto", "gather", "dense"])
+def test_folded_site_linear_matches_dense_flatten(rng, mode):
+    """FoldedSiteLinear (both execution paths) == Dense over
+    flatten(rows_to_dense(...)) exactly."""
     import jax
     import jax.numpy as jnp
 
@@ -174,7 +176,7 @@ def test_folded_site_linear_matches_dense_flatten(rng):
     c, f, m = pad_sparse(coords, feats, 32)
     b = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), n_events)
 
-    layer = FoldedSiteLinear(C, F)
+    layer = FoldedSiteLinear(C, F, mode=mode)
     variables = layer.init(jax.random.PRNGKey(0), b.feats, b)
     out = layer.apply(variables, b.feats, b)
 
@@ -182,6 +184,39 @@ def test_folded_site_linear_matches_dense_flatten(rng):
     ref = dense @ variables["params"]["kernel"] + variables["params"]["bias"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_folded_site_linear_paths_grads_match(rng):
+    """d_rows and d_kernel agree between the gather and dense paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu.detector import NX, NY
+    from waveformml_tpu.models.blocks import FoldedSiteLinear
+    from waveformml_tpu.ops.sparse import SparseBatch, pad_sparse
+
+    n_events, C, F = 4, 3, 5
+    rows = []
+    for e in range(n_events):
+        for s in rng.choice(NX * NY, size=3, replace=False):
+            rows.append([s % NX, s // NX, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], C)).astype(np.float32)
+    c, f, m = pad_sparse(coords, feats, 16)
+    b = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), n_events)
+
+    variables = FoldedSiteLinear(C, F, mode="gather").init(
+        jax.random.PRNGKey(0), b.feats, b)
+
+    def loss(params, rows_in, mode):
+        layer = FoldedSiteLinear(C, F, mode=mode)
+        out = layer.apply({"params": params}, rows_in, b)
+        return jnp.sum(out * out)
+
+    g_g = jax.grad(loss, argnums=(0, 1))(variables["params"], b.feats, "gather")
+    g_d = jax.grad(loss, argnums=(0, 1))(variables["params"], b.feats, "dense")
+    jax.tree.map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5), g_g, g_d)
 
 
 def test_submpsdnet_folded_head_matches_dense_head(rng):

@@ -108,35 +108,63 @@ class LinearBlock(nn.Module):
 
 
 class FoldedSiteLinear(nn.Module):
-    """First linear layer over a flattened dense grid, computed in ROW space.
+    """First linear layer over a flattened dense grid, computed sparsely.
 
-    ``Linear(flatten([B, C, NX, NY]))`` with zeros at inactive sites equals a
-    per-row contraction against the weight columns of each row's site plus a
-    segment-sum over events — a small gather + einsum + scatter-add instead of
-    materializing the [B, C·NX·NY] dense tensor (the scatter there is the
-    single most expensive op of the flagship step on TPU). Weight layout
+    ``Linear(flatten([B, C, NX, NY]))`` with zeros at inactive sites, without
+    materializing the [B, C·NX·NY] activation gradient-free. Weight layout
     matches torch (C, H, W) flatten order: column index = c·(NX·NY) + x·NY + y,
     so the parameters are interchangeable with an ``nn.Dense(features)`` over
     the flattened dense grid.
+
+    Two mathematically identical execution paths, selected by estimated HBM
+    traffic (``mode='auto'``):
+
+    - **gather**: per-row contraction against the weight columns of each
+      row's site + segment-sum over events. Fwd gathers [C, N, F] from the
+      kernel; bwd re-reads it for d_rows and scatter-adds d_kernel. Total
+      traffic ~3·N·C·F — wins when C·F is small.
+    - **dense**: scatter-add rows into [B·S, C] once (S = NX·NY), then ONE
+      MXU GEMM ``[B, S·C] × [C·S→F]`` (einsum reshapes, no transpose copy).
+      Bwd is a GEMM for d_kernel and a cheap gather for d_rows. Traffic
+      ~3·B·S·C + GEMM operands — wins at wide channels, where the gather
+      path's [C, N, F] weight-gather (1.8 GB at C=256) dominates the step
+      (measured: full train step 43.7 ms gather vs ~20 ms dense at C=256,
+      B=4096; see docs/PERF_NOTES.md MFU study).
     """
 
     cin: int
     features: int
+    mode: str = "auto"
 
     @nn.compact
     def __call__(self, rows, batch) -> jax.Array:
         from waveformml_tpu.detector import NX, NY
 
+        S = NX * NY
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (self.cin * NX * NY, self.features), jnp.float32)
+            (self.cin * S, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        k = kernel.astype(rows.dtype).reshape(self.cin, NX * NY, self.features)
+        mode = self.mode
+        if mode == "auto":
+            n_rows = rows.shape[0]
+            gather_bytes = 3 * n_rows * self.cin * self.features
+            dense_bytes = 3 * batch.n_events * S * self.cin
+            mode = "dense" if gather_bytes > dense_bytes else "gather"
+        rows = jnp.where(batch.mask[:, None], rows, 0)
+        if mode == "dense":
+            k3 = kernel.astype(rows.dtype).reshape(self.cin, S, self.features)
+            flat = jnp.zeros((batch.n_events * S, self.cin), rows.dtype)
+            flat = flat.at[batch.flat_site()].add(rows, mode="drop")
+            dense = flat.reshape(batch.n_events, S, self.cin)
+            out = jnp.einsum("bsc,csf->bf", dense, k3,
+                             preferred_element_type=jnp.float32)
+            return out.astype(rows.dtype) + bias.astype(rows.dtype)
+        k = kernel.astype(rows.dtype).reshape(self.cin, S, self.features)
         site = (batch.x * NY + batch.y).astype(jnp.int32)
         kg = k[:, site, :]                                   # [C, N, F] gather
-        rowlog = jnp.einsum("nc,cnf->nf",
-                            jnp.where(batch.mask[:, None], rows, 0), kg)
+        rowlog = jnp.einsum("nc,cnf->nf", rows, kg)
         ev = jnp.where(batch.mask, batch.event, batch.n_events)
         out = jnp.zeros((batch.n_events + 1, self.features), rows.dtype)
         out = out.at[ev].add(rowlog, mode="drop")[: batch.n_events]
