@@ -822,12 +822,16 @@ def bench_heavy(backend):
     wps, step_s, _ = _chained_train_wps(cfg, LitPSD(cfg), block)
     flops = _sparse_train_flops(block.coords.shape[0], N_EVENTS,
                                 2 * N_SAMPLES, HEAVY_PLANES, HEAVY_CONV)
+    flops_exec = _sparse_train_flops(block.coords.shape[0], N_EVENTS,
+                                     2 * N_SAMPLES, HEAVY_PLANES, HEAVY_CONV,
+                                     executed=True)
     mfu = flops / step_s / (PEAK_TFLOPS * 1e12)
     torch_wps = _safe(lambda: bench_sparse_torch(out_planes=HEAVY_PLANES,
                                                  n_conv=HEAVY_CONV, steps=4))
     _emit(f"compute-heavy bf16 sparse PSD train throughput ({backend})", wps,
           "waveforms/sec/chip", wps / torch_wps if torch_wps else 0.0,
           step_ms=round(step_s * 1e3, 3), mfu=round(mfu, 4),
+          mfu_exec=round(flops_exec / step_s / (PEAK_TFLOPS * 1e12), 4),
           tflops=round(flops / step_s / 1e12, 2))
 
 

@@ -148,10 +148,15 @@ class FoldedSiteLinear(nn.Module):
                           jnp.float32)
         mode = self.mode
         if mode == "auto":
+            # gather-path traffic / dense-path traffic = N·F / (B·S) ≈ 3F/S
+            # (multiplicity ~3) — batch-independent, so the switch is a
+            # width-only threshold. Measured on TPU (B=4096..65536): ratio
+            # 2.7 (C=64) → gather ties or wins; 3.9 (C=128) and 5.5 (C=256)
+            # → dense wins 1.5–2.2× (docs/PERF_NOTES.md MFU study).
             n_rows = rows.shape[0]
-            gather_bytes = 3 * n_rows * self.cin * self.features
-            dense_bytes = 3 * batch.n_events * S * self.cin
-            mode = "dense" if gather_bytes > dense_bytes else "gather"
+            gather_bytes = n_rows * self.cin * self.features
+            dense_bytes = batch.n_events * S * self.cin
+            mode = "dense" if gather_bytes > 3 * dense_bytes else "gather"
         rows = jnp.where(batch.mask[:, None], rows, 0)
         if mode == "dense":
             k3 = kernel.astype(rows.dtype).reshape(self.cin, S, self.features)
