@@ -217,7 +217,7 @@ def bench_infer(backend):
                 model(x)
         return tc.shape[0] / ((time.perf_counter() - t0) / TORCH_STEPS)
 
-    torch_wps = _safe(torch_side)
+    torch_wps = _cached_baseline("infer_sparse", torch_side)
     _emit(f"sparse PSD batched inference throughput ({backend})", jax_wps,
           "waveforms/sec/chip", jax_wps / torch_wps if torch_wps else 0.0)
 
@@ -268,7 +268,7 @@ def bench_sparse_torch(out_planes=8, n_conv=2, steps=TORCH_STEPS) -> float:
 
 def bench_sparse_psd(backend):
     jax_wps = bench_sparse_jax()
-    torch_wps = _safe(bench_sparse_torch)
+    torch_wps = _cached_baseline("sparse_psd_train", bench_sparse_torch)
     _emit(f"sparse PSD train throughput ({backend})", jax_wps,
           "waveforms/sec/chip", jax_wps / torch_wps if torch_wps else 0.0)
 
@@ -357,7 +357,7 @@ def bench_dense_conv1d(backend):
     x = torch.from_numpy(
         trng.random((n_torch, n_feat)).astype(np.float32))[:, None, :]
     y = torch.from_numpy(trng.integers(0, N_TYPE, n_torch))
-    torch_wps = _safe(lambda: _torch_train_wps(
+    torch_wps = _cached_baseline("dense_conv1d_train", lambda: _torch_train_wps(
         make_model, x, y, nn.CrossEntropyLoss(), n_torch))
     _emit(f"dense Conv1d PSD train throughput ({backend})", jax_wps,
           "waveforms/sec/chip", jax_wps / torch_wps if torch_wps else 0.0)
@@ -424,7 +424,7 @@ def bench_wfparams(backend):
     x = torch.from_numpy(
         np.random.default_rng(5).random((n_torch, n_feat)).astype(np.float32))
     y = torch.from_numpy(labels[:n_torch])
-    torch_wps = _safe(lambda: _torch_train_wps(
+    torch_wps = _cached_baseline("wfparams_train", lambda: _torch_train_wps(
         make_model, x, y, nn.L1Loss(), n_torch))
     _emit(f"WFParams regression train throughput ({backend})", jax_wps,
           "waveforms/sec/chip", jax_wps / torch_wps if torch_wps else 0.0)
@@ -520,8 +520,8 @@ def bench_stream(backend):
         # torch at BOTH output-gzip levels: 9 is what the reference hardcodes
         # (HDF5IO.py:88-91); 4 matches this repo's output policy so the
         # matched-level ratio isolates pipeline speed from compression policy
-        torch_wps4 = _safe(lambda: _torch_stream(input_path, tmp, gzip_level=4))
-        torch_wps9 = _safe(lambda: _torch_stream(input_path, tmp, gzip_level=9))
+        torch_wps4 = _cached_baseline("stream_gz4", lambda: _torch_stream(input_path, tmp, gzip_level=4))
+        torch_wps9 = _cached_baseline("stream_gz9", lambda: _torch_stream(input_path, tmp, gzip_level=9))
 
     # host->device link bandwidth: the stream's structural floor is shipping
     # the waveform bytes across this link; record it so the ratio is
@@ -719,7 +719,7 @@ def bench_hpo(backend):
     study.optimize(objective, n_trials=HPO_TRIALS)
     jax_s = time.perf_counter() - t0
 
-    torch_s = _safe(_torch_hpo_measured)
+    torch_s = _cached_baseline("hpo_measured", _torch_hpo_measured)
     _emit(f"HPO sweep wall-clock, {HPO_TRIALS} trials x {HPO_STEPS} steps ({backend})",
           jax_s, "seconds (lower is better)",
           torch_s / jax_s if torch_s else 0.0,
@@ -826,8 +826,9 @@ def bench_heavy(backend):
                                      2 * N_SAMPLES, HEAVY_PLANES, HEAVY_CONV,
                                      executed=True)
     mfu = flops / step_s / (PEAK_TFLOPS * 1e12)
-    torch_wps = _safe(lambda: bench_sparse_torch(out_planes=HEAVY_PLANES,
-                                                 n_conv=HEAVY_CONV, steps=4))
+    torch_wps = _cached_baseline(
+        "heavy_train", lambda: bench_sparse_torch(out_planes=HEAVY_PLANES,
+                                                  n_conv=HEAVY_CONV, steps=4))
     _emit(f"compute-heavy bf16 sparse PSD train throughput ({backend})", wps,
           "waveforms/sec/chip", wps / torch_wps if torch_wps else 0.0,
           step_ms=round(step_s * 1e3, 3), mfu=round(mfu, 4),
@@ -844,6 +845,41 @@ def _safe(fn):
     except Exception as e:
         print(f"baseline failed: {e}", file=sys.stderr)
         return None
+
+
+_TORCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_torch_cache.json")
+
+
+def _cached_baseline(key, fn):
+    """Measure a torch-CPU baseline once per host configuration and reuse it.
+
+    The baselines are deterministic CPU workloads (fixed seeds, fixed thread
+    count) — re-measuring them every driver run burned most of the suite's
+    wall-clock budget on this 1-core host (heavy: ~5 min of torch for 1 s of
+    TPU timing) and made per-config budgets overrun. The cache key carries
+    the torch version and CPU count so a toolchain or host change
+    invalidates it; BENCH_REFRESH_TORCH=1 forces re-measurement."""
+    import torch
+
+    sig = f"{key}|torch{torch.__version__}|cpus{os.cpu_count()}"
+    cache = {}
+    try:
+        with open(_TORCH_CACHE) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if not os.environ.get("BENCH_REFRESH_TORCH") and sig in cache:
+        return cache[sig]
+    val = _safe(fn)
+    if val:
+        cache[sig] = val
+        try:
+            with open(_TORCH_CACHE, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+    return val
 
 
 BENCHES = [("sparse_psd", 480), ("infer", 300), ("heavy", 360),
