@@ -887,10 +887,18 @@ BENCHES = [("sparse_psd", 480), ("infer", 300), ("heavy", 360),
            ("hpo", 420)]  # headline FIRST (freshest link phase + it can
                           # never be starved by earlier stalls); its line is
                           # re-printed last at exit for the driver's parse.
-# Budgets absorb the link's per-client first-execution stall (1-10 min,
-# phase-dependent — docs/PERF_NOTES.md); a skipped config is a stalled-phase
-# artifact, not a failure. A global wall-clock guard (BENCH_TOTAL_S, default
-# 2400 s) keeps the whole suite inside the driver's budget on a slow-link day.
+# Orchestrator child GROUPS: every child process is a fresh TPU client and
+# pays the link's per-client first-execution stall (1-10 min on a slow-phase
+# day — docs/PERF_NOTES.md) BEFORE its first timing, so configs are grouped
+# to pay the stall once per group, not once per config. The headline stays
+# alone (escalating retries roll the link-phase dice); the four chained-jit
+# train/infer configs share one client; stream and hpo keep their own
+# (different failure modes: filesystem pipeline / multi-trial study).
+# A skipped group is a stalled-phase artifact, not a failure; the global
+# wall-clock guard (BENCH_TOTAL_S, default 2400 s) keeps the suite inside
+# the driver's budget regardless.
+GROUPS = [("sparse_psd", 480), ("infer,heavy,dense_conv1d,wfparams", 900),
+          ("stream", 560), ("hpo", 420)]
 
 
 def _run_inline(names) -> int:
@@ -988,8 +996,8 @@ def main() -> int:
                 except json.JSONDecodeError:
                     continue
                 RESULTS.append(entry)
-                if name == "sparse_psd" and "train throughput" in \
-                        entry.get("metric", ""):
+                if "sparse_psd" in name.split(",") and \
+                        entry.get("metric", "").startswith("sparse PSD train"):
                     HEADLINE["entry"] = entry
                 print(line, flush=True)
                 got = True
@@ -997,7 +1005,7 @@ def main() -> int:
 
     # 1. headline first: escalating retries with fresh processes (each retry
     #    rolls the link-phase dice again)
-    name, budget = BENCHES[0]
+    name, budget = GROUPS[0]
     ok = False
     for attempt_budget in (budget, budget + 240, budget + 600):
         if run_child(name, attempt_budget):
@@ -1018,7 +1026,7 @@ def main() -> int:
             print(f"inline headline failed: {e}", file=sys.stderr)
 
     # 2. the rest, inside the global wall-clock guard
-    for name, budget in BENCHES[1:]:
+    for name, budget in GROUPS[1:]:
         remaining = total_budget - (time.perf_counter() - t_start)
         if remaining < 120:
             print(f"global budget exhausted, skipping {name}", file=sys.stderr)
