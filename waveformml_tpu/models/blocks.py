@@ -159,13 +159,29 @@ class FoldedSiteLinear(nn.Module):
             mode = "dense" if gather_bytes > 3 * dense_bytes else "gather"
         rows = jnp.where(batch.mask[:, None], rows, 0)
         if mode == "dense":
-            k3 = kernel.astype(rows.dtype).reshape(self.cin, S, self.features)
-            flat = jnp.zeros((batch.n_events * S, self.cin), rows.dtype)
-            flat = flat.at[batch.flat_site()].add(rows, mode="drop")
-            dense = flat.reshape(batch.n_events, S, self.cin)
-            out = jnp.einsum("bsc,csf->bf", dense, k3,
-                             preferred_element_type=jnp.float32)
-            return out.astype(rows.dtype) + bias.astype(rows.dtype)
+            flat_site = batch.flat_site()
+
+            def dense_head(rows_in, kernel_in, bias_in):
+                k3 = kernel_in.astype(rows_in.dtype).reshape(
+                    self.cin, S, self.features)
+                flat = jnp.zeros((batch.n_events * S, self.cin),
+                                 rows_in.dtype)
+                flat = flat.at[flat_site].add(rows_in, mode="drop")
+                dense = flat.reshape(batch.n_events, S, self.cin)
+                out = jnp.einsum("bsc,csf->bf", dense, k3,
+                                 preferred_element_type=jnp.float32)
+                return out.astype(rows_in.dtype) + bias_in.astype(
+                    rows_in.dtype)
+
+            # the [B·S, C] dense operand is the step's largest activation
+            # (2.6 GB at B=16k, C=512); past ~512 MB rematerialize it in the
+            # backward pass instead of saving it — the rebuild is one cheap
+            # scatter vs an HBM-budget blowout (measured RESOURCE_EXHAUSTED
+            # at 16384×512 without remat)
+            dense_bytes = batch.n_events * S * self.cin * rows.dtype.itemsize
+            if dense_bytes > (512 << 20):
+                dense_head = jax.checkpoint(dense_head)
+            return dense_head(rows, kernel, bias)
         k = kernel.astype(rows.dtype).reshape(self.cin, S, self.features)
         site = (batch.x * NY + batch.y).astype(jnp.int32)
         kg = k[:, site, :]                                   # [C, N, F] gather
