@@ -218,6 +218,17 @@ def test_folded_site_linear_paths_grads_match(rng):
     jax.tree.map(lambda a, c: np.testing.assert_allclose(
         np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5), g_g, g_d)
 
+    # the rematerialized dense backward (jax.checkpoint past remat_bytes)
+    # must be numerically identical to the saved-residual one
+    def loss_remat(params, rows_in):
+        layer = FoldedSiteLinear(C, F, mode="dense", remat_bytes=0)
+        out = layer.apply({"params": params}, rows_in, b)
+        return jnp.sum(out * out)
+
+    g_r = jax.grad(loss_remat, argnums=(0, 1))(variables["params"], b.feats)
+    jax.tree.map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6), g_d, g_r)
+
 
 def test_submpsdnet_folded_head_matches_dense_head(rng):
     """SubMPSDNet (folded head) == stack→rows_to_dense→flatten→same weights."""

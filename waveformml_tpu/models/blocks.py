@@ -135,6 +135,9 @@ class FoldedSiteLinear(nn.Module):
     cin: int
     features: int
     mode: str = "auto"
+    # dense-operand size above which the backward rematerializes it
+    # (jax.checkpoint) instead of saving the [B·S, C] residual
+    remat_bytes: int = 512 << 20
 
     @nn.compact
     def __call__(self, rows, batch) -> jax.Array:
@@ -179,7 +182,7 @@ class FoldedSiteLinear(nn.Module):
             # scatter vs an HBM-budget blowout (measured RESOURCE_EXHAUSTED
             # at 16384×512 without remat)
             dense_bytes = batch.n_events * S * self.cin * rows.dtype.itemsize
-            if dense_bytes > (512 << 20):
+            if dense_bytes > self.remat_bytes:
                 dense_head = jax.checkpoint(dense_head)
             return dense_head(rows, kernel, bias)
         k = kernel.astype(rows.dtype).reshape(self.cin, S, self.features)
