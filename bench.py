@@ -849,6 +849,10 @@ def _safe(fn):
 
 _TORCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_torch_cache.json")
+# Version token for the torch-baseline cache: bump when any baseline's
+# workload definition (event counts, model shapes, gzip level, step counts)
+# changes so cached numbers can't outlive the workload they measured.
+_BASELINE_WORKLOAD_V = 1
 
 
 def _cached_baseline(key, fn):
@@ -858,11 +862,18 @@ def _cached_baseline(key, fn):
     count) — re-measuring them every driver run burned most of the suite's
     wall-clock budget on this 1-core host (heavy: ~5 min of torch for 1 s of
     TPU timing) and made per-config budgets overrun. The cache key carries
-    the torch version and CPU count so a toolchain or host change
-    invalidates it; BENCH_REFRESH_TORCH=1 forces re-measurement."""
-    import torch
+    the torch version, CPU count, and a workload-version token (bump it
+    whenever a baseline's event count / model shape changes, or the stale
+    cached number silently survives the workload change) so a toolchain,
+    host, or workload change invalidates it; BENCH_REFRESH_TORCH=1 forces
+    re-measurement."""
+    try:
+        import torch
+        tver = torch.__version__
+    except ImportError:  # torch-less host: measure (and fail) via _safe
+        return _safe(fn)
 
-    sig = f"{key}|torch{torch.__version__}|cpus{os.cpu_count()}"
+    sig = (f"{key}|torch{tver}|cpus{os.cpu_count()}|wl{_BASELINE_WORKLOAD_V}")
     cache = {}
     try:
         with open(_TORCH_CACHE) as f:
@@ -976,19 +987,12 @@ def main() -> int:
 
     signal.signal(signal.SIGTERM, on_term)
 
-    def run_child(name: str, budget: int) -> bool:
-        env = {**os.environ, "BENCH_ONLY": name, "BENCH_CHILD": "1"}
-        try:
-            r = subprocess.run([sys.executable, "-u", os.path.abspath(__file__)],
-                               capture_output=True, text=True, env=env,
-                               cwd=here, timeout=budget)
-        except subprocess.TimeoutExpired:
-            print(f"bench {name} timed out after {budget}s, skipped",
-                  file=sys.stderr)
-            return False
-        sys.stderr.write(r.stderr)
+    def collect_output(name: str, stdout) -> bool:
+        """Parse a child's stdout (complete or partial) for metric lines."""
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode("utf-8", "replace")
         got = False
-        for line in r.stdout.splitlines():
+        for line in (stdout or "").splitlines():
             line = line.strip()
             if line.startswith("{"):
                 try:
@@ -1001,6 +1005,29 @@ def main() -> int:
                     HEADLINE["entry"] = entry
                 print(line, flush=True)
                 got = True
+        return got
+
+    def run_child(name: str, budget: int) -> bool:
+        env = {**os.environ, "BENCH_ONLY": name, "BENCH_CHILD": "1"}
+        try:
+            r = subprocess.run([sys.executable, "-u", os.path.abspath(__file__)],
+                               capture_output=True, text=True, env=env,
+                               cwd=here, timeout=budget)
+        except subprocess.TimeoutExpired as e:
+            # a grouped child prints each config's line as it finishes, so
+            # the partial stdout may already hold completed measurements —
+            # salvage them instead of discarding the whole group
+            salvaged = collect_output(name, e.stdout)
+            if e.stderr:
+                err = e.stderr
+                sys.stderr.write(err.decode("utf-8", "replace")
+                                 if isinstance(err, bytes) else err)
+            print(f"bench {name} timed out after {budget}s "
+                  f"({'partial results salvaged' if salvaged else 'skipped'})",
+                  file=sys.stderr)
+            return False
+        sys.stderr.write(r.stderr)
+        got = collect_output(name, r.stdout)
         return got and r.returncode == 0
 
     # 1. headline first: escalating retries with fresh processes (each retry

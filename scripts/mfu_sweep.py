@@ -93,7 +93,8 @@ def main() -> int:
             if point is None:
                 err = (r.stderr or "").strip().splitlines()
                 tail = err[-1][:90] if err else f"rc={r.returncode}"
-                print(f"| {n_events} | | {width} | FAILED: {tail} |", flush=True)
+                print(f"| {n_events} | — | {width} | FAILED: {tail} "
+                      f"| — | — | — | — |", flush=True)
                 continue
             print(f"| {point['events']} | {point['rows']} | {point['width']} "
                   f"| {point['step_ms']:.2f} | {point['wps']:,.0f} "
@@ -103,6 +104,11 @@ def main() -> int:
             results.append(point)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "mfu_sweep.json")
+    if not results:
+        # every point failed (e.g. stalled link): keep the last good sweep
+        print("no successful points; leaving mfu_sweep.json untouched",
+              file=sys.stderr)
+        return 1
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {os.path.normpath(out)}", file=sys.stderr)

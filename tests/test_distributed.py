@@ -379,7 +379,10 @@ def test_shard_loader_pads_remainder():
     ranks covers every batch."""
     from waveformml_tpu.engineering.trainer import shard_loader_round_robin
 
-    for total, P in ((7, 2), (8, 3), (5, 4), (4, 4), (1, 2)):
+    # (1,3)/(2,5)/(1,8) exercise pad > len(loader): the wraparound head must
+    # CYCLE (a single replay runs dry and trailing ranks hang in lockstep)
+    for total, P in ((7, 2), (8, 3), (5, 4), (4, 4), (1, 2),
+                     (1, 3), (2, 5), (1, 8), (3, 8)):
         loader = list(range(total))
         per_rank = [list(shard_loader_round_robin(loader, P, p))
                     for p in range(P)]
@@ -392,7 +395,8 @@ def test_shard_loader_pads_remainder():
             seen.update(got)
         assert seen == set(range(total)), (total, P, per_rank)
         # lockstep: at step t the ranks consume P distinct padded slots
-        padded = loader + loader[:want_len * P - total]
+        reps = -(-(want_len * P) // total)
+        padded = (loader * reps)[:want_len * P]
         for t in range(want_len):
             slot = {per_rank[p][t] for p in range(P)}
             assert slot == {padded[t * P + p] for p in range(P)}

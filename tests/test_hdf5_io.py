@@ -196,3 +196,56 @@ def test_parallel_chunk_reader_matches_plain_slicing(tmp_path):
         # returned arrays must be writable (writers mutate EZ in place)
         chunk = pr.read(10, 20)
         chunk["EZ"][:, 1] = 1.0
+
+
+def test_flush_persists_partial_chunk_and_appends_continue(tmp_path):
+    """H5Output.flush() must be a durability point even for gzip-appender
+    tables: the buffered partial chunk is visible to a concurrent reader
+    after flush, and later appends still complete the chunk correctly."""
+    import h5py
+
+    rng = np.random.default_rng(4)
+    dt = np.dtype([("a", np.int32), ("b", np.float32)])
+    data = np.zeros(2600, dtype=dt)
+    data["a"] = rng.integers(0, 1000, 2600)
+    data["b"] = rng.random(2600, dtype=np.float32)
+    p = tmp_path / "fl.h5"
+    out = H5Output(str(p))
+    out.create_table("T", (2600,), dt, compression="gzip",
+                     compression_opts=4, chunks=(1024,))
+    out.add_rows("T", data[:1500])  # 1 full chunk + 476-row buffered tail
+    out.flush()
+    # byte-copy the flushed file: what a crash/monitor reader would see
+    snap = tmp_path / "fl_snapshot.h5"
+    snap.write_bytes(p.read_bytes())
+    with h5py.File(snap, "r") as f:
+        np.testing.assert_array_equal(f["T"][:1500], data[:1500])
+    out.add_rows("T", data[1500:])  # appender must still be live + correct
+    assert "T" in out._appenders
+    out.close()
+    with h5py.File(p) as f:
+        np.testing.assert_array_equal(f["T"][()], data)
+
+
+def test_add_rows_dtype_mismatch_falls_back_to_slicing(tmp_path):
+    """Rows whose in-memory dtype differs from the table dtype must NOT go
+    through the raw tobytes() direct-chunk path (it would reinterpret bytes);
+    they retire the appender and write through h5py's converting slice."""
+    import h5py
+
+    rng = np.random.default_rng(5)
+    dt32 = np.dtype([("a", np.int32), ("b", np.float32)])
+    dt64 = np.dtype([("a", np.int64), ("b", np.float64)])
+    data = np.zeros(1600, dtype=dt64)
+    data["a"] = rng.integers(0, 1000, 1600)
+    data["b"] = rng.random(1600)
+    p = tmp_path / "conv.h5"
+    out = H5Output(str(p))
+    out.create_table("T", (1600,), dt32, compression="gzip",
+                     compression_opts=4, chunks=(1024,))
+    out.add_rows("T", data[:800].astype(dt32))   # fast path
+    out.add_rows("T", data[800:1200])            # foreign dtype -> fallback
+    out.add_rows("T", data[1200:].astype(dt32))  # plain slicing afterwards
+    out.close()
+    with h5py.File(p) as f:
+        np.testing.assert_array_equal(f["T"][()], data.astype(dt32))

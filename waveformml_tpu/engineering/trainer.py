@@ -62,7 +62,8 @@ def shard_loader_round_robin(loader, n_proc: int, proc: int):
             return n
 
         def __iter__(self):
-            head = []  # first `pad` batches, replayed for the wraparound
+            total = n * n_proc
+            head = []  # leading batches, replayed (cyclically) for the wraparound
             i = 0
             for b in loader:
                 if pad and len(head) < pad:
@@ -70,10 +71,15 @@ def shard_loader_round_robin(loader, n_proc: int, proc: int):
                 if i % n_proc == proc:
                     yield b
                 i += 1
-            for b in head:
-                if i % n_proc == proc:
-                    yield b
-                i += 1
+            # pad may exceed len(loader) (n_proc > 2*len): cycle the head until
+            # every rank has exactly `n` batches, like DistributedSampler does.
+            while i < total and head:
+                for b in head:
+                    if i >= total:
+                        break
+                    if i % n_proc == proc:
+                        yield b
+                    i += 1
 
     return _Sharded()
 
@@ -183,6 +189,7 @@ class Trainer:
         self.last_test_arrays: Dict[str, np.ndarray] = {}
         self._train_step_fn = None
         self._eval_step_fn = None
+        self._replicate_fn = None
         self._step_times: List[float] = []
         self._step_rows: List[float] = []
 
@@ -770,10 +777,14 @@ class Trainer:
                     # rides ICI/DCN), then slice THIS process's contribution
                     # back out so evaluators aggregate per process exactly
                     # like the shard_map path below
-                    rep = jax.jit(
-                        lambda t: t,
-                        out_shardings=jax.sharding.NamedSharding(
-                            self.mesh, P()))(test_out)
+                    if self._replicate_fn is None:
+                        # one persistent jit wrapper: re-creating it per batch
+                        # would retrace + recompile the all-gather every time
+                        self._replicate_fn = jax.jit(
+                            lambda t: t,
+                            out_shardings=jax.sharding.NamedSharding(
+                                self.mesh, P()))
+                    rep = self._replicate_fn(test_out)
                     nproc, pidx = self.process_count, self.process_index
 
                     def _proc_slice(x):

@@ -406,8 +406,11 @@ class ZEvaluatorWF(ZEvaluatorBase):
         B = int(b[-1]) + 1 if len(b) else 0
         z_out = np.full((B, NX, NY), 0.0)
         E_out = np.zeros((B, NX, NY))
-        z_dt = np.full((B, NX, NY), 0.5)
-        z_light = np.full((B, NX, NY), 0.5)
+        # same fill as z_out (ref inits pred to zeros, ZEvaluator.py:503): a
+        # both-PMTs-no-peak pulse must score identically under the combined
+        # and the separated baselines
+        z_dt = np.zeros((B, NX, NY))
+        z_light = np.zeros((B, NX, NY))
         coords = np.stack([c[:, 0], c[:, 1], b], axis=1).astype(np.int64)
         calc_calib_z_E(coords, np.asarray(f, dtype=np.float64), z_out, E_out,
                        self.calibrator.tables(), self.z_scale, n_samples,

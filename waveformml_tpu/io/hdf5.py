@@ -148,6 +148,17 @@ class ParallelGzipAppender:
         while self.pending:
             self._commit_one()
 
+    def checkpoint(self) -> None:
+        """Persist everything added so far WITHOUT retiring the appender: the
+        buffered partial chunk is slice-written through the regular filter
+        pipeline into the chunk at row0 (chunk-aligned), which the later
+        write_direct_chunk for the completed chunk simply overwrites. Makes
+        H5Output.flush() a real durability point for crash/monitor readers."""
+        self.drain()
+        if self.buffered:
+            tail = np.concatenate(self.buf) if len(self.buf) > 1 else self.buf[0]
+            self.ds[self.row0:self.row0 + tail.shape[0]] = tail
+
     def finalize(self) -> None:
         self.drain()
         if self.buffered:
@@ -305,10 +316,14 @@ class H5Output(H5Base):
                 app.drain()  # committed chunks stay valid through a resize
             tbl.resize((i + rows.shape[0],))
         app = self._appenders.get(name)
-        if app is not None and app.row0 + app.buffered == i:
+        # the direct-chunk path stores rows.tobytes() verbatim, so it is only
+        # valid when the in-memory dtype IS the dataset dtype; mismatches fall
+        # back to h5py slicing, which converts per-field
+        if app is not None and app.row0 + app.buffered == i \
+                and rows.dtype == tbl.dtype:
             app.append(np.ascontiguousarray(rows))
         else:
-            if app is not None:  # non-sequential writer: retire the appender
+            if app is not None:  # non-sequential/foreign writer: retire it
                 self._finalize_table(name)
             tbl[i:i + rows.shape[0]] = rows
         self.table_index[name] = i + rows.shape[0]
@@ -324,8 +339,10 @@ class H5Output(H5Base):
         self.tables.pop(name)
 
     def flush(self, table: Optional[str] = None) -> None:
-        for app in self._appenders.values():
-            app.drain()
+        apps = ([self._appenders[table]] if table in self._appenders
+                else self._appenders.values())
+        for app in apps:
+            app.checkpoint()  # incl. the buffered partial chunk
         self.h5f.flush()
 
     def close(self) -> None:

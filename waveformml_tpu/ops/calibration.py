@@ -219,7 +219,12 @@ def calc_calib_z_E(coordinates: np.ndarray, waveforms: np.ndarray,
             z_out[b, x, y] = z / z_scale + 0.5
             E_out[b, x, y] = E
             if sep:
-                z_dt_out[b, x, y] = max(-650.0, min(650.0, z_dt)) / z_scale + 0.5
+                # the separated dt baseline is a POSITION: map the averaged dt
+                # [ns] through the dt->z curve first, like the matched branch's
+                # tpos (the combined z_out keeps the reference's raw-dt combine,
+                # ref :1023 + :910, for parity)
+                tpos = lin_interp(cal.time_pos_curves[x, y], z_dt)
+                z_dt_out[b, x, y] = max(-650.0, min(650.0, tpos)) / z_scale + 0.5
                 zl, _w, _E = z_from_total_light(wf, x, y, cal, n_samples)
                 z_light_out[b, x, y] = zl / z_scale + 0.5
 
