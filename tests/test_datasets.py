@@ -281,3 +281,90 @@ def test_combine_data_type_map_resolves():
                                          "wfpairez"}
     for cls_name in CombineData.TYPE_MAP.values():
         assert retrieve_class(cls_name) is not None
+
+
+def test_superset_rejects_unknown_source_file(tmp_path):
+    """A source file absent from the sidecar must invalidate the combined
+    cache (the reference's loop falls through silently there)."""
+    from waveformml_tpu.datasets.pulse_dataset import _file_config_superset
+
+    sidecar = tmp_path / "Combined_0.json"
+    with open(sidecar, "w") as f:
+        json.dump({"0": [["a.h5", [0, 9], 123.0]]}, f)
+    # same file, covered range: superset
+    assert _file_config_superset({0: [["a.h5", [0, 5], 123.0]]}, str(sidecar))
+    # new file the sidecar has never seen: NOT a superset
+    assert not _file_config_superset(
+        {0: [["a.h5", [0, 5], 123.0], ["b.h5", [0, 5], 50.0]]}, str(sidecar))
+
+
+def test_shuffle_preserves_label_map(data_dirs, tmp_path):
+    """Combined files store raw label values; the post-shuffle re-init must
+    keep label_map so __getitem__ still remaps them."""
+    cfg = _config(tmp_path, n_train=40, data_prep="shuffle", shuffled_size=20)
+    ds = PulseDataset2D(cfg, "train", 40)
+    ds.info["label_map"] = {0: 5, 1: 6}  # as if label_map had been configured
+    ds.write_shuffled()
+    assert ds.info["label_map"] == {0: 5, 1: 6}
+    block = ds[0]
+    assert set(np.unique(block.labels)) == {5, 6}
+
+
+def test_sort_pattern_mixed_names():
+    from waveformml_tpu.datasets.hdf5_dataset import _sort_pattern
+
+    names = ["run_2_x.h5", "plain.h5", "run_10_x.h5", "other.h5"]
+    ordered = sorted(names, key=_sort_pattern)
+    assert ordered == ["run_2_x.h5", "run_10_x.h5", "other.h5", "plain.h5"]
+
+
+def test_dataset_construction_through_symlinked_root(data_dirs, tmp_path):
+    """Configured paths that traverse a symlink must still resolve each
+    file's directory index (abspath vs resolve mismatch)."""
+    link = tmp_path / "linkdata"
+    os.symlink(tmp_path / "data", link)
+    ds = HDF5Dataset([str(link / "TypeA"), str(link / "TypeB")],
+                     "*WaveformPairSim.h5", "WaveformPairs", "coord",
+                     "waveform", events_per_dir=30)
+    dir_idx = {di["dir_index"] for di in ds.info["data_info"]}
+    assert dir_idx == {0, 1}
+
+
+def test_data_module_train_only_config_test_fallback(data_dirs, tmp_path):
+    """A config with neither n_validate nor n_test must not crash setup():
+    the validation/test splits fall back instead."""
+    cfg = _config(tmp_path, n_train=30)
+    del cfg.dataset_config.__dict__["n_validate"]
+    del cfg.dataset_config.__dict__["n_test"]
+    dm = PSDDataModule(cfg)
+    dm.setup("test")
+    assert dm.val_dataset is not None
+    assert dm.test_dataset is dm.val_dataset
+
+
+def test_loader_prefetch_thread_exits_on_abandoned_iterator(data_dirs):
+    import threading
+    import time
+
+    from waveformml_tpu.datasets.data_module import DataLoaderLite
+
+    class SlowDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+            return FileBlock(np.array([[0, 0, 0]], np.int32),
+                             np.zeros((1, 4), np.float32),
+                             np.zeros((1,), np.int64), {})
+
+    loader = DataLoaderLite(SlowDataset(), batch_size=1, num_workers=1,
+                            prefetch_depth=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon mid-epoch: generator finally sets stop
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

@@ -450,3 +450,99 @@ def test_irnim_physpulse_convert_end_to_end(tmp_path, monkeypatch):
     assert rec.shape[0] == cin.shape[0]
     np.testing.assert_array_equal(rec["seg"], cin[:, 0] + cin[:, 1] * 14)
     assert np.isfinite(rec["E"]).all()
+
+
+def test_fetch_disambiguates_row_vs_event_bucket_collision():
+    """The row and event bucket tables share 256/512/1024/...: when a chunk's
+    padded row count equals its padded event count, the shape alone cannot
+    tell a per-row output from a per-event one. output_unit must decide."""
+    from waveformml_tpu.inference.model import InferenceModel
+
+    n, n_events, bucket = 2000, 1200, 2048
+    per_row = np.arange(bucket, dtype=np.float32)          # padded [2048]
+    per_event = np.arange(bucket, dtype=np.float32) + 0.5  # padded [2048]
+    handle_row = (per_row, n, n_events, bucket, bucket)
+    handle_evt = (per_event, n, n_events, bucket, bucket)
+
+    m = object.__new__(InferenceModel)
+    m._warned_ambiguous = False
+
+    m.output_unit = "row"
+    assert InferenceModel.fetch(m, handle_row).shape == (n,)
+    m.output_unit = "event"
+    assert InferenceModel.fetch(m, handle_evt).shape == (n_events,)
+    m.output_unit = "auto"  # legacy tie-break: per-event, with a warning
+    assert InferenceModel.fetch(m, handle_evt).shape == (n_events,)
+    assert m._warned_ambiguous
+    # no collision: auto still infers correctly from the shape
+    handle = (np.zeros((512, 3)), 500, 120, 512, 128)
+    assert InferenceModel.fetch(m, handle).shape == (500, 3)
+
+
+def test_irnim_dense_output_layout(tmp_path):
+    """The dense (output_is_sparse=False) classifier path must map the torch
+    layout [B, C, NX, NY] through the channel-last swap kernel."""
+    from waveformml_tpu.ops.sparse import swap_sparse_from_dense
+
+    rng = np.random.default_rng(6)
+    B, C, NX, NY = 3, 5, 14, 11
+    dense = rng.random((B, C, NX, NY)).astype(np.float32)
+    coord = np.array([[0, 0, 0], [13, 10, 0], [7, 3, 1], [9, 9, 2]],
+                     dtype=np.int32)
+    out = np.zeros((coord.shape[0], C), dtype=np.float32)
+    swap_sparse_from_dense(out, np.moveaxis(dense, 1, -1), coord)
+    for i, (x, y, b) in enumerate(coord):
+        np.testing.assert_allclose(out[i], dense[b, :, x, y])
+
+
+def test_inference_model_graph_net_host_prep(tmp_path):
+    """Graph models need task.prepare_block (padded edge lists from the host
+    C++ kernels, feature augmentation): InferenceModel must route them
+    through the host-prep path instead of the packed-buffer fast path."""
+    import jax
+
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import LitZ
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.inference.model import InferenceModel
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    n_samples = 16
+    cfg = Config({
+        "run_config": {"exp_name": "gzi", "run_class": "LitZ", "imports": []},
+        "system_config": {"model_name": "gzi", "n_samples": n_samples,
+                          "n_type": 2, "type_names": ["a"],
+                          "model_base_path": str(tmp_path / "m"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_class": "GraphZNet",
+                       "net_type": "graph", "algorithm": "conv",
+                       "hparams": {"neighbors": 1, "n_conv": 1, "n_point": 1,
+                                   "conv_position": 1, "graph_index": 0}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2DWithZ",
+                           "dataset_params": {}, "n_train": 4, "n_validate": 2},
+    })
+    config_path = str(tmp_path / "config.json")
+    save_config(cfg, config_path)
+    rng = np.random.default_rng(1)
+    task = LitZ(cfg)
+    trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0)
+    coords = np.array([[1, 1, 0], [2, 2, 0], [5, 5, 1], [6, 6, 1]],
+                      dtype=np.int32)
+    feats = rng.random((4, 2 * n_samples)).astype(np.float32)
+    trainer._ensure_state(FileBlock(coords, feats,
+                                    rng.random(4).astype(np.float32), {}))
+    ckpt = str(tmp_path / "g.ckpt")
+    trainer.save_checkpoint(ckpt)
+
+    m = InferenceModel(cfg, ckpt)
+    assert m._needs_host_prep
+    out = m(coords, feats)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    # dense z grid truncated to the true event count
+    assert out.shape[0] == 2

@@ -154,9 +154,11 @@ def test_graph_dataset_cache(tmp_path, rng):
     e = block.extras["edges_knn3"]
     m = block.extras["edge_mask_knn3"]
     assert e.shape[0] == 2 and m.dtype == bool
-    # cache hit: second construction must not re-process (mtimes unchanged)
+    # cache hit: same edge config must not re-process (mtimes unchanged);
+    # a DIFFERENT spec list rebuilds — see
+    # test_graph_dataset_cache_invalidates_on_change
     mtimes = [os.path.getmtime(p) for p in g.processed_file_names]
-    g2 = GraphDataset(ds, edge_specs=[("knn", 3, False)])
+    g2 = GraphDataset(ds, edge_specs=[("knn", 3, False), ("window", 1, True)])
     assert [os.path.getmtime(p) for p in g2.processed_file_names] == mtimes
     # PyG-compatible surface
     assert g.len() == len(g)
@@ -183,3 +185,41 @@ def test_analyze_waveforms_script(tmp_path):
     # classes differ in tail fraction → PSD must separate them
     assert feats["B"]["psd"] > feats["A"]["psd"]
     assert (out / "average_waveforms.png").exists()
+
+
+def test_graph_dataset_cache_invalidates_on_change(tmp_path, rng):
+    """The processed npz cache is keyed by source mtime + event range +
+    edge specs: a changed edge config or touched source rebuilds instead of
+    silently serving stale graphs (PyG reuses processed/ unconditionally)."""
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.datasets.graph_dataset import GraphDataset
+    from waveformml_tpu.datasets.pulse_dataset import PulseDataset2D
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+
+    write_classification_dirs(str(tmp_path / "data"), ["A"], n_files=2,
+                              events_per_file=8, n_samples=8, seed=3)
+    cfg = Config({
+        "system_config": {"model_name": "m",
+                          "model_base_path": str(tmp_path / "model"),
+                          "n_samples": 8, "type_names": ["A"]},
+        "dataset_config": {"base_path": str(tmp_path / "data"),
+                           "paths": ["A"], "dataset_params": {}},
+    })
+    ds = PulseDataset2D(cfg, "train", 16)
+    g1 = GraphDataset(ds, edge_specs=[("knn", 3, False)])
+    assert "edges_knn3" in g1[0].extras
+    mt1 = os.path.getmtime(g1.processed_file_names[0])
+
+    # same config: cache reused (no rewrite)
+    g2 = GraphDataset(ds, edge_specs=[("knn", 3, False)])
+    assert os.path.getmtime(g2.processed_file_names[0]) == mt1
+
+    # new edge spec: block rebuilt with the new edges
+    g3 = GraphDataset(ds, edge_specs=[("knn", 5, False)])
+    assert "edges_knn5" in g3[0].extras
+
+    # touched source file: rebuilt
+    src = ds.get_file_list()[0]
+    os.utime(src, (time.time() + 10, time.time() + 10))
+    g4 = GraphDataset(ds, edge_specs=[("knn", 5, False)])
+    assert os.path.getmtime(g4.processed_file_names[0]) > mt1

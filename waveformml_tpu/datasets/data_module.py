@@ -100,16 +100,30 @@ class DataLoaderLite:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded-wait put: a consumer that abandons the iterator (early
+            # stop, exception) sets `stop` but no longer drains the queue; a
+            # plain q.put would block this thread forever, leaking it and its
+            # buffered blocks
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b in batches:
                     if stop.is_set():
                         return
-                    q.put(self._load(b))
+                    if not put_or_stop(self._load(b)):
+                        return
             except BaseException as e:  # propagate into consumer
-                q.put(e)
+                put_or_stop(e)
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -187,7 +201,15 @@ class PSDDataModule:
                 else:
                     n_validate = getattr(dc, "n_validate", None)
                     if n_validate is None:
-                        n_validate = dc.n_test
+                        n_validate = getattr(dc, "n_test", None)
+                    if n_validate is None:
+                        # train-only config: size the validation split like
+                        # the training one instead of crashing before the
+                        # no-n_test fallback below can run
+                        self.log.warning("dataset_config has no n_validate/"
+                                         "n_test; using n_train for the "
+                                         "validation split size")
+                        n_validate = dc.n_train
                     self.val_dataset = self.dataset_class(
                         self.config, "validate", n_validate,
                         file_excludes=self.train_excludes,

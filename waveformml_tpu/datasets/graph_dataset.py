@@ -35,6 +35,7 @@ class GraphDataset:
                  edge_specs: Optional[Sequence[Tuple]] = None):
         self.raw_dataset = dataset
         files = file_list if file_list is not None else dataset.get_file_list()
+        self.source_files = list(files)
         root = os.path.dirname(files[0]) if files else "."
         self.processed_dir = os.path.join(root, "processed")
         self.expected_file_names = [
@@ -51,15 +52,44 @@ class GraphDataset:
     def processed_file_names(self) -> List[str]:
         return self.expected_file_names
 
+    def _signature(self, idx: int) -> str:
+        """Cache-validity key: source mtime + event range + edge config.
+        PyG's processed/ convention reuses cached files unconditionally;
+        keying on these instead means regenerated sources, grown event
+        ranges, or changed edge specs rebuild the block instead of silently
+        serving stale graphs."""
+        src = self.source_files[idx]
+        try:
+            mtime = round(float(os.path.getmtime(src)), 6)
+        except OSError:
+            mtime = -1.0
+        rng = None
+        get_info = getattr(self.raw_dataset, "get_path_info", None)
+        if callable(get_info):
+            di = get_info(src)
+            if di:
+                rng = list(di.get("event_range") or [])
+        return repr((mtime, rng, [tuple(s) for s in self.edge_specs],
+                     bool(self.use_self_loops)))
+
+    @staticmethod
+    def _cached_signature(path: str) -> Optional[str]:
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                return str(z["_sig"])
+        except (OSError, KeyError, ValueError):
+            return None  # unreadable or pre-signature cache: rebuild
+
     def process(self) -> None:
         os.makedirs(self.processed_dir, exist_ok=True)
         for idx, out_path in enumerate(self.expected_file_names):
-            if os.path.exists(out_path):
+            sig = self._signature(idx)
+            if os.path.exists(out_path) and self._cached_signature(out_path) == sig:
                 continue
             self.log.info("creating graph data from block %d", idx)
             block = self.raw_dataset[idx]
             payload = {"coords": block.coords, "feats": block.feats,
-                       "labels": block.labels}
+                       "labels": block.labels, "_sig": np.array(sig)}
             for k, v in (block.extras or {}).items():
                 payload[f"extra_{k}"] = v
             for e_name, e_arr, m_name, m_arr in self._build_edges(block):

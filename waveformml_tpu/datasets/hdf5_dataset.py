@@ -43,8 +43,10 @@ MAX_RANGE_INV = 1.0 / MAX_RANGE
 
 
 def _sort_pattern(name) -> Any:
+    """Total-order key: numbered files ('run_12_x.h5') sort numerically and
+    before unnumbered ones — a mixed directory must not raise int<str."""
     nums = FILENAME_SORT_REGEX.findall(str(name))
-    return int(nums[0]) if nums else str(name)
+    return (0, int(nums[0]), "") if nums else (1, 0, str(name))
 
 
 @dataclass
@@ -124,8 +126,11 @@ class HDF5Dataset:
                 raise RuntimeError(f"No hdf5 datasets found in {file_path}")
             all_files.append(files)
 
+        # carry each file's source-directory index explicitly: deriving it
+        # from dirname breaks under symlinked data roots (resolve() vs
+        # abspath) and under recursive globs (dirname is the subdirectory)
         if len(all_files) == 1:
-            ordered = list(all_files[0])
+            ordered = [(f, 0) for f in all_files[0]]
         else:
             # round-robin across dirs to balance classes (ref :162-183)
             tally = [0] * len(all_files)
@@ -135,14 +140,13 @@ class HDF5Dataset:
                 for i, q in enumerate(queues):
                     while q and tally[i] < events_per_dir:
                         f = q.pop(0)
-                        ordered.append(f)
+                        ordered.append((f, i))
                         tally[i] += self._peek_event_num(str(f.resolve()), data_name, event_based)
                         if tally[i] >= max(tally):
                             break
 
-        for f in ordered:
+        for f, dir_index in ordered:
             fp = str(Path(f).resolve())
-            dir_index = self.file_paths.index(os.path.normpath(os.path.dirname(fp)))
             if self.n_events[dir_index] >= events_per_dir:
                 continue
             self.ordered_file_set.append(fp)

@@ -49,7 +49,14 @@ def _is_superset(super_range, rng) -> bool:
 
 def _file_config_superset(data_info: Dict, fname: str) -> bool:
     """True if the on-disk sidecar covers (is a superset of) data_info
-    (ref: PulseDataset.py:62-79)."""
+    (ref: PulseDataset.py:62-79).
+
+    Stricter than the reference on one point: a requested source file that is
+    ABSENT from the sidecar (e.g. a data file added to the directory after
+    the combined files were written) makes this return False. The reference's
+    inner loop falls through silently there, reusing a stale combined file
+    that is missing the new events; regenerating is cheap, training on
+    silently truncated data is not."""
     with open(fname) as f:
         on_disk = json.load(f)
     for key, entries in data_info.items():
@@ -65,6 +72,8 @@ def _file_config_superset(data_info: Dict, fname: str) -> bool:
                     if not _is_superset(disk_info[1], this_info[1]):
                         return False
                     break
+            else:
+                return False  # source file unknown to the sidecar
     return True
 
 
@@ -142,12 +151,11 @@ class PulseDataset(HDF5Dataset):
     def _gen_shuffle_map(self) -> None:
         self.shuffle_queue = []
         n_per_category = int(self.shuffled_size / max(1, self.n_categories))
-        base = getattr(self.config, "base_path", "")
-        category_map = {os.path.normpath(os.path.abspath(os.path.join(base, p))): i
-                        for i, p in enumerate(self.config.paths)}
+        # group by the discovery-time dir_index (config.paths order): mapping
+        # dirname(fp) back to a configured path breaks under symlinked roots
         by_cat: Dict[int, List[str]] = {i: [] for i in range(self.n_categories)}
-        for fp in self.ordered_file_set:
-            by_cat[category_map[os.path.normpath(os.path.dirname(fp))]].append(fp)
+        for di in self.info["data_info"]:
+            by_cat[di["dir_index"]].append(di["file_path"])
 
         current_total = [0] * self.n_categories
         for cat, files in by_cat.items():
@@ -329,10 +337,20 @@ class PulseDataset(HDF5Dataset):
             fname = f"Combined_{shuffle_length - 1}_{suffix}"
             self._write_shuffled(self.shuffle_queue.pop(), os.path.join(self.data_dir, fname))
         self.log.info("Shuffling finished; re-rooting dataset at %s", self.data_dir)
-        # carry the normalize flag through the re-init — the combined files
-        # store raw-scale features (the reference drops it here,
-        # PulseDataset.py:530-538, silently training unnormalized after a
-        # shuffle; preserved deliberately as a fix)
+        # carry normalize AND label_map through the re-init — the combined
+        # files store raw-scale features and raw (unmapped) label values
+        # (the reference drops both here, PulseDataset.py:530-538, silently
+        # training unnormalized/unmapped after a shuffle; preserved
+        # deliberately as a fix)
+        label_map = self.info.get("label_map")
+        if self.info.get("additional_fields"):
+            # _write_shuffled emits only coord/feat/label columns, so extras
+            # cannot survive a shuffle (same loss in the reference)
+            self.log.warning(
+                "additional_fields %s are not propagated into combined "
+                "shuffle files and will be absent after re-rooting; use "
+                "data_prep without shuffle to keep them",
+                self.info["additional_fields"])
         HDF5Dataset.__init__(self, [self.data_dir], self.file_mask,
                              self.info["data_name"], self.info["coord_name"],
                              self.info["feat_name"],
@@ -340,6 +358,7 @@ class PulseDataset(HDF5Dataset):
                              label_name="labels" if not self.info["label_name"] else self.info["label_name"],
                              data_cache_size=self.info["data_cache_size"],
                              normalize=self.normalize,
+                             label_map=label_map,
                              use_half=self.use_half)
         self.save_info_to_file()
 

@@ -31,14 +31,36 @@ class InferenceModel:
     (ref: SparseUtils.py:1564-1584, :1459-1475)."""
 
     def __init__(self, config, checkpoint_path: str, preprocess=None,
-                 postprocess=None):
+                 postprocess=None, output_unit: str = "auto"):
+        if output_unit not in ("auto", "row", "event"):
+            raise ValueError(f"output_unit must be auto/row/event, "
+                             f"got {output_unit!r}")
         self.config = config
         task_cls = retrieve_class(config.run_config.run_class)
         self.task = task_cls(config)
         self.variables = self._restore(checkpoint_path)
         self.preprocess = preprocess
         self.postprocess = postprocess
+        # "row": leading output axis is padded rows; "event": padded events /
+        # dense batch. "auto" infers from the shape, which is AMBIGUOUS when
+        # the row and event bucket tables land on the same value (both contain
+        # 256, 512, 1024, ...) — callers that know their output layout should
+        # say so.
+        self.output_unit = output_unit
+        self._warned_ambiguous = False
         self._jitted: Dict[Tuple[int, int], any] = {}
+        self._jitted_block = None
+        # graph models need padded edge lists (host C++ kernels) and tasks
+        # may override prepare_block to augment features — neither fits the
+        # packed-buffer fast path, which rebuilds a minimal db inside jit
+        self._needs_host_prep = self._check_host_prep()
+
+    def _check_host_prep(self) -> bool:
+        from waveformml_tpu.engineering.base import TaskBase
+
+        if getattr(type(self.task.model), "is_graph", False):
+            return True
+        return type(self.task).prepare_block is not TaskBase.prepare_block
 
     def _restore(self, path: str):
         import os
@@ -99,6 +121,26 @@ class InferenceModel:
             self._jitted[key] = fn
         return self._jitted[key]
 
+    def _block_fn(self):
+        """Jit forward over a task-prepared padded db (general path: graph
+        edge lists, task-specific feature augmentation). jax.jit retraces
+        per shape combination; bucketed padding bounds the trace count."""
+        if self._jitted_block is None:
+            task, pre, post = self.task, self.preprocess, self.postprocess
+
+            @jax.jit
+            def fn(db):
+                if pre is not None:
+                    db = dict(db)
+                    db["feats"] = pre(db["coords"], db["feats"], db["mask"])
+                outputs, _ = task.apply_model(self.variables, db, train=False)
+                if post is not None:
+                    outputs = post(outputs, db["coords"], db["mask"])
+                return outputs
+
+            self._jitted_block = fn
+        return self._jitted_block
+
     def dispatch(self, coords: np.ndarray, vals: np.ndarray):
         """Pad + jit-dispatch WITHOUT a host sync; returns an opaque handle.
 
@@ -118,6 +160,22 @@ class InferenceModel:
         vals = np.asarray(vals)
         if self.preprocess is None and vals.dtype != np.float32:
             vals = vals.astype(np.float32)
+        if self._needs_host_prep:
+            from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+
+            # per-row-label tasks (event_predictions=False) pad labels
+            # alongside coords, so the dummies must be row-aligned
+            n_dummy = (max(1, n_events)
+                       if getattr(self.task, "event_predictions", True)
+                       else max(1, n))
+            block = FileBlock(coords=coords.astype(np.int32),
+                              feats=vals,
+                              labels=np.zeros((n_dummy,), np.float32))
+            rb = self.task.row_bucket(block)
+            eb = self.task.event_bucket(block)
+            db = self.task.prepare_block(block, rb, eb)
+            out = self._block_fn()({k: jnp.asarray(v) for k, v in db.items()})
+            return (out, n, n_events, rb, eb)
         c, f, m = pad_sparse(coords.astype(np.int32), vals, row_bucket)
         n_feat = f.shape[1]
         fbytes = f.dtype.itemsize
@@ -134,14 +192,26 @@ class InferenceModel:
                        f.dtype.name)(jnp.asarray(packed))
         return (out, n, n_events, row_bucket, event_bucket)
 
-    @staticmethod
-    def fetch(handle) -> np.ndarray:
+    def fetch(self, handle) -> np.ndarray:
         """Materialize a :meth:`dispatch` handle and un-pad: event-level /
         dense outputs truncate to the true event count, per-row outputs to
-        the true row count."""
+        the true row count (``output_unit`` decides when the padded shapes
+        coincide)."""
         out, n, n_events, row_bucket, event_bucket = handle
         out = np.asarray(out)
+        if self.output_unit == "row" and out.shape[0] == row_bucket:
+            return out[:n]
+        if self.output_unit == "event" and out.shape[0] == event_bucket:
+            return out[:n_events]
         if out.shape[0] == event_bucket:
+            if (self.output_unit == "auto" and event_bucket == row_bucket
+                    and not self._warned_ambiguous):
+                self._warned_ambiguous = True
+                log.warning(
+                    "row bucket == event bucket (%d): cannot tell per-row "
+                    "from per-event outputs; assuming per-event. Construct "
+                    "InferenceModel with output_unit='row'/'event' to "
+                    "disambiguate.", row_bucket)
             return out[:n_events]
         if out.shape[0] == row_bucket:
             return out[:n]

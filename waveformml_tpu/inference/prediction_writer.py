@@ -63,7 +63,8 @@ class PredictionWriter(P2XTableWriter):
             setattr(self, key, val)
         pre, post = self._model_transforms()
         self.model = InferenceModel(self.config, checkpoint,
-                                    preprocess=pre, postprocess=post)
+                                    preprocess=pre, postprocess=post,
+                                    output_unit=self._output_unit())
         if "datatype" in kwargs:
             if kwargs["datatype"] == "WaveformPairCal":
                 self.data_type = WaveformPairCal()
@@ -155,6 +156,12 @@ class PredictionWriter(P2XTableWriter):
         raise NotImplementedError
 
     # -- pipelined path hooks --------------------------------------------------------
+    def _output_unit(self) -> str:
+        """Leading axis of the model output ("row"/"event"): lets
+        InferenceModel.fetch un-pad correctly even when the padded row and
+        event bucket sizes coincide (both tables contain 256, 512, 1024...)."""
+        return "auto"
+
     def _model_transforms(self):
         """(preprocess, postprocess) jitted into the model's forward — see
         InferenceModel. Subclasses override to move host numpy pre/post work
@@ -216,6 +223,11 @@ class ZPredictionWriter(PredictionWriter):
                              "waveform" in (extension_type_map(input_path).type.names or ()))
         super().__init__(path, input_path, config, checkpoint, **kwargs)
 
+    def _output_unit(self) -> str:
+        # device-norm post gathers per-row z [N]; otherwise the model emits
+        # the dense [B, 1, NX, NY] grid (event-leading)
+        return "row" if self._device_norm else "event"
+
     def _model_transforms(self):
         if not self._device_norm:
             return None, None
@@ -271,6 +283,9 @@ class IRNPredictionWriter(PredictionWriter):
         super().__init__(path, input_path, config, checkpoint, **kwargs)
         self.phys_index_replaced = 4
 
+    def _output_unit(self) -> str:
+        return "event"  # per-event phys outputs [B, F]
+
     def swap_values(self, data: np.ndarray) -> None:
         self.apply_outputs(data, self.model_dispatch(data))
 
@@ -306,6 +321,12 @@ class IRNIMPredictionWriter(PredictionWriter):
         if isinstance(self.data_type, PhysPulse):
             self.swap = False
 
+    def _output_unit(self) -> str:
+        # sparse classifier scores are per-row [N, 5]; the dense variant
+        # emits [B, 5, NX, NY] (event-leading). output_is_sparse may arrive
+        # via kwargs (set by the base setattr loop) before __init__ finishes.
+        return "row" if getattr(self, "output_is_sparse", True) else "event"
+
     def swap_values(self, data: np.ndarray) -> None:
         self.apply_outputs(data, self.model_dispatch(data))
 
@@ -320,8 +341,10 @@ class IRNIMPredictionWriter(PredictionWriter):
             if self.output_is_sparse:
                 data["phys"][:, self.phys_index_replaced:] = output
             else:
+                # models emit the torch layout [B, C, NX, NY]; the swap kernel
+                # indexes [B, NX, NY, ...] (channel-last)
                 swap_sparse_from_dense(data["phys"][:, self.phys_index_replaced:],
-                                       output, data["coord"])
+                                       np.moveaxis(output, 1, -1), data["coord"])
             return data
         return self._convert(data, coords, output)
 
@@ -387,7 +410,11 @@ class ZAndClassWriter(PredictionWriter):
         class_pre = (self._norm_pre(self.scale_factor_class)
                      if self._device_norm else None)
         self.class_model = InferenceModel(self.class_config, classcheckpoint,
-                                          preprocess=class_pre)
+                                          preprocess=class_pre,
+                                          output_unit="row")  # [N, 5] scores
+
+    def _output_unit(self) -> str:
+        return "row" if self._device_norm else "event"
 
     def _norm_pre(self, scale_factor: float):
         """Device-side gain normalization of raw int16 ADC pairs (the host
