@@ -186,3 +186,12 @@ def test_dynamic_conv_variants_forward(rng):
         out = layer.apply(variables, x, edges, edge_mask)
         assert out.shape == (12, 4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_make_conv_transformer_params_propagate():
+    """graph_params must reach TransformerConv (index 5) — heads was
+    silently dropped before."""
+    from waveformml_tpu.models.graph_net import _make_conv
+
+    c = _make_conv(5, 4, 8, {"heads": 4})
+    assert c.heads == 4 and c.edge_dim == 2

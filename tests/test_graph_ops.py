@@ -67,3 +67,17 @@ def test_cartesian_edge_attr():
     np.testing.assert_allclose(attr, [[1.0, 2.0]])
     attr_n = cartesian_edge_attr(pos, edges, norm=True, max_value=2.0)
     np.testing.assert_allclose(attr_n, [[0.75, 1.0]])
+
+
+def test_local_cartesian_per_target_node_scaling():
+    """PyG LocalCartesian scales each edge by the max |rel| over its TARGET
+    node's incoming edges (scalar per node), not a batch-global max."""
+    pos = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 1.0], [0.5, 1.0]])
+    # node 1 has a far neighbor (|rel|=4); node 3 a near one (|rel|=0.5)
+    edges = np.array([[0, 2], [1, 3]])
+    attr = cartesian_edge_attr(pos, edges, local=True)
+    # edge 0 -> node 1: rel (4, 0), node-1 max 4 -> (4/8+0.5, 0+0.5)
+    np.testing.assert_allclose(attr[0], [1.0, 0.5])
+    # edge 2 -> node 3: rel (0.5, 0), node-3 max 0.5 -> (0.5/1+0.5, 0.5)
+    np.testing.assert_allclose(attr[1], [1.0, 0.5])
+    # global scaling would have squashed the near edge to (0.5625, 0.5)

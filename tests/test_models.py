@@ -201,3 +201,48 @@ def test_model_registry_resolution():
                  "WaveformModels.TemporalWaveformNet", "SingleEndedZConv",
                  "src.models.SPConvNet.SPConvPreserveNet"):
         assert retrieve_class(name) is not None
+
+
+def test_scnet_dsl_with_waveform_conv1d_stack(rng):
+    """A leading nn.Conv1d waveform section (ref SCNet.py:69-72) runs on
+    plain [N, S, 2] arrays: the stack must be built from the DENSE layer
+    registry, not the sparse translation table (SparseReLU on an array
+    crashed before)."""
+    from waveformml_tpu.models.nets import SCNet
+
+    cfg = _base_config(
+        net_type="2DConvolution",
+        algorithm=[
+            "nn.Conv1d", [2, 4, 3, 1, 1, 1],
+            "nn.ReLU",
+            "spconv.SubMConv2d", [4 * N_SAMPLES, 8, 3, 1, 1, 1],
+            "nn.ReLU",
+            "spconv.ToDense",
+            "nn.Linear", [8 * NX * NY, 3],
+        ])
+    model = SCNet(cfg)
+    b = _batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), b)
+    out = model.apply(variables, b)
+    assert out.shape == (3, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spconvnet_dsl_with_waveform_conv1d_stack(rng):
+    from waveformml_tpu.models.nets import SPConvNet
+
+    cfg = _base_config(
+        net_type="2DConvolution",
+        algorithm=[
+            "nn.Conv1d", [2, 4, 3, 1, 1, 1],
+            "nn.ReLU",
+            "spconv.SubMConv2d", [4 * N_SAMPLES, 8, 3, 1, 1, 1],
+            "nn.ReLU",
+            "spconv.ToDense",
+            "nn.Linear", [8 * NX * NY, 3],
+        ])
+    model = SPConvNet(cfg)
+    b = _batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), b)
+    out = model.apply(variables, b)
+    assert out.shape == (3, 3)

@@ -124,3 +124,42 @@ def test_todense_layout(rng):
     g = _grid(rng, C=5)
     dense = ToDense()(g)
     assert dense.shape == (2, 5, NX, NY)  # torch [B, C, H, W] order
+
+
+def test_sparse_dropout_train_eval_and_schedules():
+    """Configured dropout must actually drop in train mode (the reference
+    appends nn.Dropout after each bn+relu, SPConvBlocks.py:507) and be
+    identity in eval; schedules with dropout=0 emit no dropout specs."""
+    import jax
+
+    from waveformml_tpu.models.sparse_blocks import (
+        SparseConv2DBlock, SparseConv2DPreserve)
+    from waveformml_tpu.ops.sparse import SparseBatch, pad_sparse
+
+    specs = SparseConv2DBlock.schedule(4, 8, 2, dropout=0.5)
+    assert ("dropout", 0.5) in specs
+    assert all(s[0] != "dropout"
+               for s in SparseConv2DBlock.schedule(4, 8, 2))
+    assert ("dropout", 0.25) in SparseConv2DPreserve.schedule(
+        4, 8, n_contraction=2, version=1, dropout=0.25)
+
+    rng = np.random.default_rng(0)
+    coords = np.array([[1, 1, 0], [2, 2, 0], [5, 5, 1]], dtype=np.int32)
+    feats = rng.random((3, 4)).astype(np.float32) + 1.0
+    c, f, m = pad_sparse(coords, feats, 8)
+    b = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), 2)
+
+    model = SparseConv2DPreserve(4, 8, n_contraction=2, version=1, dropout=0.5)
+    variables = model.init(jax.random.PRNGKey(0), b)
+    eval1 = model.apply(variables, b, train=False)
+    eval2 = model.apply(variables, b, train=False)
+    np.testing.assert_array_equal(np.asarray(eval1.features),
+                                  np.asarray(eval2.features))
+    tr1, _ = model.apply(variables, b, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(1)},
+                         mutable=["batch_stats"])
+    tr2, _ = model.apply(variables, b, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])
+    # different dropout rngs give different activations; eval differs too
+    assert np.abs(np.asarray(tr1.features) - np.asarray(tr2.features)).max() > 0

@@ -48,8 +48,10 @@ log = logging.getLogger(__name__)
 def shard_loader_round_robin(loader, n_proc: int, proc: int):
     """Round-robin view of `loader` for process `proc` of `n_proc`, padded to
     ceil(len/P) batches per process by wrapping to the head of the loader —
-    torch DistributedSampler semantics (no batch is silently dropped; up to
-    P-1 head batches are seen twice per epoch when len % P != 0)."""
+    torch DistributedSampler semantics (no batch is silently dropped; when
+    len % P != 0 the pad slots replay the leading batches, cycling them if
+    the pad exceeds len — e.g. a 1-batch loader on 8 processes trains that
+    batch once per process, 8 times per epoch)."""
     n = -(-len(loader) // n_proc)  # ceil
     pad = n * n_proc - len(loader)
     if pad and proc == 0:

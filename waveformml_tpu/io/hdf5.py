@@ -160,12 +160,9 @@ class ParallelGzipAppender:
             self.ds[self.row0:self.row0 + tail.shape[0]] = tail
 
     def finalize(self) -> None:
-        self.drain()
-        if self.buffered:
-            tail = np.concatenate(self.buf) if len(self.buf) > 1 else self.buf[0]
-            self.ds[self.row0:self.row0 + tail.shape[0]] = tail
-            self.row0 += tail.shape[0]
-            self.buf, self.buffered = [], 0
+        self.checkpoint()
+        self.row0 += self.buffered
+        self.buf, self.buffered = [], 0
 
 
 class H5FileHandler(h5py.File):
@@ -339,8 +336,12 @@ class H5Output(H5Base):
         self.tables.pop(name)
 
     def flush(self, table: Optional[str] = None) -> None:
-        apps = ([self._appenders[table]] if table in self._appenders
-                else self._appenders.values())
+        if table is not None:
+            # scoped flush: a table without a live appender (plain table, or
+            # appender already retired) has nothing extra to checkpoint
+            apps = [self._appenders[table]] if table in self._appenders else []
+        else:
+            apps = list(self._appenders.values())
         for app in apps:
             app.checkpoint()  # incl. the buffered partial chunk
         self.h5f.flush()

@@ -22,8 +22,8 @@ import flax.linen as nn
 import jax
 
 from waveformml_tpu.ops.sparse_conv import (
-    MaskedBatchNorm, SparseActivation, SparseConv2d, SparseGrid, SparseReLU,
-    SparseSequential, SubMConv2d, ToDense)
+    MaskedBatchNorm, SparseActivation, SparseConv2d, SparseDropout,
+    SparseGrid, SparseReLU, SparseSequential, SubMConv2d, ToDense)
 from waveformml_tpu.registry import registry
 
 
@@ -104,6 +104,8 @@ _SPARSE_TRANSLATIONS = {
         lambda x: jax.nn.leaky_relu(x, s)),
     "nn.Sigmoid": lambda *a, **k: SparseActivation(jax.nn.sigmoid),
     "nn.Tanh": lambda *a, **k: SparseActivation(jax.numpy.tanh),
+    "nn.Dropout": lambda r=0.5, *a, **k: SparseDropout(float(r)),
+    "Dropout": lambda r=0.5, *a, **k: SparseDropout(float(r)),
 }
 
 
@@ -155,7 +157,10 @@ def dsl_to_row_specs(spec: Sequence[Any]) -> Optional[List[Tuple]]:
             cin, cout, k = int(args[0]), int(args[1]), int(args[2])
             stride = int(args[3]) if len(args) > 3 else 1
             dilation = int(args[5]) if len(args) > 5 else 1
-            if stride != 1 or dilation != 1:
+            # the row-conv custom VJP assumes a symmetric (odd-k) offset
+            # window (row_conv.py flips the kernel for d_feats); even k would
+            # silently produce wrong input gradients — use the grid path
+            if stride != 1 or dilation != 1 or k % 2 != 1:
                 return None
             specs.append(("subm", cin, cout, k, (k - 1) // 2, f"subm{k}"))
         elif short in ("BatchNorm1d",):

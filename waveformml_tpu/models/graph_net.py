@@ -51,10 +51,8 @@ def _make_conv(index: int, nin: int, nout: int, graph_params: Dict,
         return cls(_GraphMLP((mod * nin, nout)), name=name)
     if index == 10:  # GMMConv positional (dim, kernel) (ref: GraphNet.py:262-267)
         return cls(nin, nout, dim=2, kernel_size=kernel, name=name)
-    if index == 5:
+    if index == 5:  # TransformerConv: window rel-coord attrs are 2-dim
         params.setdefault("edge_dim", 2)
-        params.pop("edge_dim", None)
-        return cls(nin, nout, name=name)
     known = {k: v for k, v in params.items() if k in cls.__dataclass_fields__}
     return cls(nin, nout, name=name, **known)
 
@@ -64,7 +62,11 @@ def _cartesian(pos, edges, local: bool = False, norm: bool = True,
     """Device-side Cartesian edge attributes (ref: GraphNet.py:148-158)."""
     rel = pos[edges[1]] - pos[edges[0]]
     if local:
-        scale = jnp.maximum(jnp.abs(rel).max(axis=0), 1e-9)
+        # PyG LocalCartesian: each edge is scaled by the max |rel| over its
+        # TARGET node's incoming edges (scalar per node), not a global max
+        amax = jnp.abs(rel).max(axis=1)
+        per_node = segment_max(amax[:, None], edges[1], pos.shape[0])[:, 0]
+        scale = jnp.maximum(per_node[edges[1]], 1e-9)[:, None]
         return rel / (2 * scale) + 0.5
     if norm:
         mv = max_value if max_value is not None else \

@@ -98,7 +98,9 @@ class SPConvNet(nn.Module):
         else:
             wf, sparse, linear = split_algorithm(net_config.algorithm)
             if wf:
-                self.waveform_layers = build_sparse_instances(wf)
+                # dense per-row stack on [N, S, 2] arrays — the sparse
+                # translations (SparseReLU etc.) only apply to the grid middle
+                self.waveform_layers = registry.create_class_instances(list(wf))
                 self._has_wf = True
             self.sparse_model = SparseSequential(build_sparse_instances(sparse))
             from waveformml_tpu.registry import Registry  # local: build dense head
@@ -189,7 +191,9 @@ class SCNet(nn.Module):
         wf, sparse, linear = split_algorithm(net_config.algorithm)
         self._has_wf = bool(wf)
         if wf:
-            self.waveform_layers = build_sparse_instances(wf)
+            # dense per-row stack (see SPConvNet.setup): [N, S, 2] arrays,
+            # not SparseGrids — don't run the sparse translation table
+            self.waveform_layers = registry.create_class_instances(list(wf))
             self.waveform_out_len = sparse[1][1] if len(sparse) > 1 else None
         # pure-SubM 2D DSL stacks run the row-space gather-GEMM fast path.
         # 3D stays on the dense grid: measured on v5e, K³=27 gathers over the

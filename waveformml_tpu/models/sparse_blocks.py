@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from waveformml_tpu.models.schedules import (
     get_frame_contraction, get_frame_expansion)
 from waveformml_tpu.ops.sparse_conv import (
-    MaskedBatchNorm, SparseConv2d, SparseGrid, SparseInverseConv2d,
-    SparseReLU, SparseSequential, SubMConv2d, ToDense)
+    MaskedBatchNorm, SparseConv2d, SparseDropout, SparseGrid,
+    SparseInverseConv2d, SparseReLU, SparseSequential, SubMConv2d, ToDense)
 
 
 # layer-spec ops: ("conv", cin, cout, k, s, p, d) / ("subm", cin, cout, k, p, key)
@@ -47,6 +47,8 @@ def _build(specs: Sequence[Tuple], name_prefix: str = "") -> List[Any]:
             layers.append(MaskedBatchNorm(spec[1], name=nm))
         elif op == "relu":
             layers.append(SparseReLU(name=nm))
+        elif op == "dropout":
+            layers.append(SparseDropout(spec[1], name=nm))
         elif op == "todense":
             layers.append(ToDense(name=nm))
         else:
@@ -80,7 +82,8 @@ class RowSubMConv2d(nn.Module):
 
 def _row_compatible(specs: Sequence[Tuple]) -> bool:
     """True when every layer has a row-space equivalent (pure SubM stacks)."""
-    return all(s[0] in ("subm", "bn", "relu", "todense") for s in specs)
+    return all(s[0] in ("subm", "bn", "relu", "dropout", "todense")
+               for s in specs)
 
 
 class _SpecNet(nn.Module):
@@ -154,6 +157,9 @@ class _SpecNet(nn.Module):
                 x = jnp.where(mask[:, None], x, 0)
             elif spec[0] == "relu":
                 x = jax.nn.relu(x)
+            elif spec[0] == "dropout":
+                x = nn.Dropout(spec[1], deterministic=not train,
+                               name=nm)(x)
             elif spec[0] == "todense":
                 to_dense = True
         if return_rows:
@@ -402,6 +408,8 @@ class ExtractedFeatureConv(_SpecNet):
             specs.append(("conv", nframes[i], nframes[i + 1], fs, st, pd, dil))
             specs.append(("bn", nframes[i + 1]))
             specs.append(("relu",))
+            if dropout:
+                specs.append(("dropout", float(dropout)))
         specs.append(("todense",))
         return specs
 
@@ -505,6 +513,8 @@ class SparseConv2DBlock(_SpecNet):
             specs.append(("conv", nframes[i], nframes[i + 1], fs, st, pd, dil))
             specs.append(("bn", nframes[i + 1]))
             specs.append(("relu",))
+            if dropout:
+                specs.append(("dropout", float(dropout)))
         if to_dense:
             specs.append(("todense",))
         return specs
@@ -591,6 +601,8 @@ class SparseConv2DPreserve(_SpecNet):
                 specs.append(("inv", nframes[i + 1], nframes[i + 1], fs, key))
                 specs.append(("bn", nframes[i + 1]))
                 specs.append(("relu",))
+                if dropout:
+                    specs.append(("dropout", float(dropout)))
             return specs
 
         # versions 1, 2: SubM chains (ref :835-948)
@@ -637,6 +649,8 @@ class SparseConv2DPreserve(_SpecNet):
             specs.append(("subm", nframes[i], nframes[i + 1], fs, pd, key))
             specs.append(("bn", nframes[i + 1]))
             specs.append(("relu",))
+            if dropout:
+                specs.append(("dropout", float(dropout)))
         return specs
 
     @nn.compact
@@ -666,6 +680,8 @@ class SparseConv2DPreserve(_SpecNet):
                 layer = MaskedBatchNorm(spec[1], name=nm)
             elif spec[0] == "relu":
                 layer = SparseReLU(name=nm)
+            elif spec[0] == "dropout":
+                layer = SparseDropout(spec[1], name=nm)
             else:
                 raise ValueError(spec)
             out = layer(out, train=train)

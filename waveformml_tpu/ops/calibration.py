@@ -86,8 +86,12 @@ def peak_to_z_parts(wf, m0, m1, x, y, cal: CalibrationTables, n_samples: int
         E0 = (L[0] + L[1]) / lin_interp(cal.light_sum_curves[x, y], 0.0)
         return 0.0, E0, tpos, 0.0
     PE = [L[0] * cal.eres[x, y, 0], L[1] * cal.eres[x, y, 1]]
-    R = log(L[1] / L[0])
-    validratio = R == R
+    # a culled window summing negative (baseline noise) makes the ratio
+    # non-positive; the reference's numba np.log yields NaN caught by its
+    # R == R guard, but math.log RAISES — guard before taking the log
+    ratio = L[1] / L[0]
+    validratio = ratio > 0
+    R = log(ratio) if validratio else 0.0
     dR = sqrt(1.0 / max(PE[0], 1.0) + 1.0 / max(PE[1], 1.0))
     Rpos = lin_interp(cal.light_pos_curves[x, y], R) if validratio else 0.0
     dRpos = abs(lin_interp(cal.light_pos_curves[x, y], R + 0.5 * dR)
@@ -118,8 +122,9 @@ def z_from_total_light(wf, x, y, cal: CalibrationTables, n_samples: int
         return 0.0, 1.0 / 100000.0, \
             (L[0] + L[1]) / lin_interp(cal.light_sum_curves[x, y], 0.0)
     PE = [L[0] * cal.eres[x, y, 0], L[1] * cal.eres[x, y, 1]]
-    R = log(L[1] / L[0])
-    validratio = R == R
+    ratio = L[1] / L[0]  # see peak_to_z_parts: math.log raises on <= 0
+    validratio = ratio > 0
+    R = log(ratio) if validratio else 0.0
     z = lin_interp(cal.light_pos_curves[x, y], R) if validratio else 0.0
     z = max(-650.0, min(650.0, z))
     dR = sqrt(1.0 / max(PE[0], 1.0) + 1.0 / max(PE[1], 1.0))
@@ -279,8 +284,10 @@ def E_basic_prediction(coo, E, PE0, PE1, z, seg_status, light_pos_curves,
 
 
 def z_basic_prediction(coo: np.ndarray, feat: np.ndarray, pred: np.ndarray) -> None:
-    """Fill unknown (0.5) per-row z with the mean of diagonal-neighbor rows in
-    the same event (ref :1124-1154)."""
+    """Fill unknown (0.5) per-row z with the mean of |dx|<=1, |dy|<=1
+    neighbor rows (orthogonal AND diagonal — the reference's sparse variant,
+    ref :1124-1154, deliberately differs from its strictly-diagonal dense
+    twin :1079-1121; both quirks reproduced) in the same event."""
     ev = coo[:, 2]
     for i in range(coo.shape[0]):
         if feat[i] != 0.5:

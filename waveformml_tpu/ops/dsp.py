@@ -76,10 +76,9 @@ def get_bin_index(val: np.ndarray, low: float, high: float, nbins: int) -> np.nd
     nbins+1 (ref :139-154: boundary values promote to the next bin)."""
     val = np.asarray(val, dtype=np.float64)
     bw = (high - low) / nbins
+    # floor + 1 already reproduces the reference's strict `>` scan, including
+    # its boundary promotion: a value exactly on bin edge k lands in bin k+1
     idx = np.floor((val - low) / bw).astype(np.int64) + 1
-    # exact multiples land in the higher bin (reference's strict `>` scan)
-    exact = (val - low) / bw == np.floor((val - low) / bw)
-    idx = np.where(exact, idx, idx)
     idx = np.clip(idx, 1, nbins)
     idx = np.where(val < low, 0, idx)
     idx = np.where(val >= high, nbins + 1, idx)
@@ -355,7 +354,11 @@ def find_peaks(v: np.ndarray, sep: int, max_peaks: int = 5
 
 def cull_peaks(peaks: np.ndarray, wf: np.ndarray, max_loc: int) -> np.ndarray:
     """Keep peaks with amplitude > 30 ADC (normalized ×MAX_RANGE), or the
-    global max above a smaller threshold (ref :930-938). Returns -1-padded."""
+    global max above a smaller threshold (ref :930-938). Returns -1-padded.
+
+    The global-max branch compares the NORMALIZED amplitude against 15
+    exactly like the reference (`wf[p] > 15` on [0,1] data, ref :933) —
+    unreachable in practice, reproduced verbatim for baseline parity."""
     out = np.full_like(peaks, -1)
     i = 0
     for p in peaks:
@@ -420,7 +423,14 @@ def get_residual(baseline: float) -> float:
 
 
 def calc_size(data: np.ndarray, peak_ind: int) -> float:
-    """Window sum around a peak, [-3, +25] samples (ref :727-735)."""
+    """Window sum around a peak, [-3, +25] samples (ref :727-735).
+
+    The residual term reproduces the reference VERBATIM, quirks included:
+    its baseline is pinned to 0 (find_baseline call commented out upstream)
+    so get_residual(0.0) == 0.0 and the term vanishes, and its n has the
+    reference's sign error (start - stop + 1 == -27). Kept bit-identical
+    for baseline parity; fix both together if the residual path is ever
+    re-enabled."""
     start, stop = peak_ind - 3, peak_ind + 25
     n = start - stop + 1
     residual_adjust = get_residual(0.0)

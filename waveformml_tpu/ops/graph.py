@@ -218,7 +218,11 @@ def cartesian_edge_attr(pos: np.ndarray, edges: np.ndarray,
     positions, optionally normalized to [0, 1] (ref: GraphNet.py:148-158)."""
     rel = pos[edges[1]] - pos[edges[0]]
     if local:
-        scale = np.abs(rel).max(axis=0, initial=1e-9)
+        # PyG LocalCartesian: per-target-node scalar max over incoming edges
+        amax = np.abs(rel).max(axis=1) if rel.size else np.zeros(0)
+        per_node = np.zeros(pos.shape[0])
+        np.maximum.at(per_node, edges[1], amax)
+        scale = np.maximum(per_node[edges[1]], 1e-9)[:, None]
         return rel / (2 * scale) + 0.5
     if norm:
         mv = max_value if max_value is not None else np.abs(rel).max(initial=1e-9)

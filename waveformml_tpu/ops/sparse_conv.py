@@ -304,6 +304,19 @@ class SparseReLU(nn.Module):
         return g.with_features(jax.nn.relu(g.features))
 
 
+class SparseDropout(nn.Module):
+    """nn.Dropout over grid features (ref: SPConvBlocks.py nn.Dropout after
+    each bn+relu). Zeroing/rescaling preserves padding-site zeros, so no
+    re-mask is needed."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, g: SparseGrid, train: bool = False) -> SparseGrid:
+        return g.with_features(
+            nn.Dropout(self.rate, deterministic=not train)(g.features))
+
+
 class SparseActivation(nn.Module):
     """Wrap any elementwise activation over a SparseGrid, re-masking after
     (activations with f(0) != 0 must not activate padding sites)."""
