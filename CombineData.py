@@ -50,18 +50,23 @@ def main(argv=None) -> int:
 
     setup_logger(args.verbosity)
     shuffled_size = args.shuffled_size
+    chunk_size = None
     if args.config:
         from waveformml_tpu.config import load_config
 
         dc = load_config(args.config, validate=False).dataset_config
         shuffled_size = int(getattr(dc, "shuffled_size", shuffled_size))
+        chunk_size = getattr(dc, "chunk_size", None)  # documented override
+    dataset_config = {"base_path": args.base_path, "paths": list(args.dirs),
+                      "data_prep": "shuffle",
+                      "shuffled_size": shuffled_size,
+                      "dataset_params": {}}
+    if chunk_size is not None:
+        dataset_config["chunk_size"] = int(chunk_size)
     config = Config({
         "system_config": {"model_name": "combine", "model_base_path": "./model",
                           "n_samples": 0, "type_names": [os.path.basename(d) for d in args.dirs]},
-        "dataset_config": {"base_path": args.base_path, "paths": list(args.dirs),
-                           "data_prep": "shuffle",
-                           "shuffled_size": shuffled_size,
-                           "dataset_params": {}},
+        "dataset_config": dataset_config,
     })
     cls = retrieve_class(TYPE_MAP[args.type])
     kwargs = {}

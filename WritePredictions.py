@@ -52,7 +52,12 @@ def main(argv=None) -> int:
 
     input_path = expanduser(args.input_path)
     if args.datatype == "PhysPulse":
-        output = input_path[: input_path.rfind("_")] + "_Phys.h5"
+        # strip the P2X type suffix from the BASENAME (the reference's
+        # full-path rfind('_'), WritePredictions.py:31, mangles paths whose
+        # directories contain underscores)
+        base = basename(input_path)
+        stem = base[:base.rfind("_")] if "_" in base else base[:-3]
+        output = join(os.path.dirname(input_path), stem + "_Phys.h5")
     else:
         output = input_path[:-3] + "ModelOut.h5"
     if args.output is not None:

@@ -144,9 +144,14 @@ def main(argv=None) -> int:
         import numpy as _np
         from jax.experimental import multihost_utils as _mh
 
-        buf = _np.zeros(512, _np.uint8)
+        buf = _np.zeros(4096, _np.uint8)
         if rank0:
-            raw = log_dir.encode()[:512]
+            raw = log_dir.encode()
+            if len(raw) > buf.size:  # never truncate silently: a clipped
+                # path would send every rank to a different directory
+                raise IOError(
+                    f"run directory path is {len(raw)} bytes, exceeding the "
+                    f"{buf.size}-byte multihost broadcast buffer: {log_dir}")
             buf[:len(raw)] = _np.frombuffer(raw, _np.uint8)
         buf = _np.asarray(_mh.broadcast_one_to_all(buf))
         log_dir = bytes(buf[buf != 0]).decode()
@@ -171,6 +176,10 @@ def main(argv=None) -> int:
     ckpt = args.load_checkpoint
     if args.load_best and not ckpt:
         ckpt = retrieve_best_checkpoint(model_folder)
+        if ckpt is None:  # an explicit load request must not silently
+            # fall through to training from random init
+            raise IOError(
+                f"--load_best: no checkpoint found under {model_folder}")
         log.info("best checkpoint: %s", ckpt)
     if ckpt:
         data_module.setup("fit")

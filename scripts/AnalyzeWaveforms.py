@@ -76,6 +76,10 @@ def analyze_dir(d: str, file_mask: str, table: str, field: str, n_max: int):
         acc.add(wfs)
         pairs.append(wfs)
         seen += wfs.shape[0]
+    if acc is None:
+        raise IOError(
+            f"no waveforms read: none of the matched files contain table "
+            f"'{table}' (or n_max <= 0)")
     mean, err = acc.compute()
     all_wfs = np.concatenate(pairs) if pairs else np.zeros((0, acc.n_samples))
     features = {}

@@ -36,6 +36,10 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     sim = CalibrationDB(args.sim_db, args.sim_calname).get_curves()
     ref = CalibrationDB(args.ref_db, args.ref_calname).get_curves()
+    if sim is None:
+        raise IOError(f"calgroup {args.sim_calname!r} not found in {args.sim_db}")
+    if ref is None:
+        raise IOError(f"calgroup {args.ref_calname!r} not found in {args.ref_db}")
     sim_atten, sim_time = sim[0], sim[2]
     ref_atten, ref_time = ref[0], ref[2]
     chans = sorted(set(sim_atten) & set(ref_atten))

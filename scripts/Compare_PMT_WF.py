@@ -21,9 +21,12 @@ def average_waveforms(path: str, table: str, n_max: int, channels):
     coords = rec["coord"]
     n_samples = wfs.shape[1] // 2
     out = {}
+    from waveformml_tpu.detector import seg_to_xy
+
     for ch in channels:
         seg, side = ch // 2, ch % 2
-        sel = (coords[:, 0] == seg % 14) & (coords[:, 1] == seg // 14)
+        x, y = seg_to_xy(seg)
+        sel = (coords[:, 0] == x) & (coords[:, 1] == y)
         if not sel.any():
             continue
         half = wfs[sel, side * n_samples:(side + 1) * n_samples]

@@ -46,6 +46,9 @@ def main(argv=None) -> int:
         except Exception as e:
             print(f"{name}: cannot open {sim_path} ({e}), skipping")
             continue
+        if sim is None:  # db opened but the calgroup row is missing
+            print(f"{name}: calgroup not found in {sim_path}, skipping")
+            continue
         sim_atten, sim_time, sim_psd = sim[0], sim[2], sim[4]
         for seg in range(NX * NY):
             params = []

@@ -1,7 +1,11 @@
 #!/usr/bin/env python
-"""Data-integrity checker for the offline shuffle pipeline: assert that every
-event in each Combined_*.h5 matches its source rows per class
-(ref: scripts/ValidateCombined.py:15-140)."""
+"""Data-integrity checker for the offline shuffle pipeline: replay the
+round-robin merge from each sidecar's source ranges and assert the
+Combined_*.h5 contents match event-for-event
+(ref: scripts/ValidateCombined.py:15-140 — the reference validates via the
+per-event ``labels`` column, which only exists for the group layout; the
+replay works for compound label-field files, e.g. WFPairEZ, too).
+"""
 from __future__ import annotations
 
 import argparse
@@ -25,22 +29,70 @@ def _read_range(fdat, dataset_name, coord_name, feat_name, batch_index=2):
     return coords[sel], feats[sel]
 
 
-def check_file(sidecar: dict, merged_coords, merged_feats, labels, cat: int,
-               path: Path, dataset_name: str, coord_name: str, feat_name: str) -> None:
-    """Rows of class `cat` in the merged file must equal the concatenation of
-    ALL source ranges of that class recorded in the sidecar (ref :39-72)."""
-    chunks = [_read_range(fdat, dataset_name, coord_name, feat_name)
-              for fdat in sidecar[str(cat)]]
-    if not chunks:
-        return
-    src_coords = np.concatenate([c for c, _ in chunks])
-    src_feats = np.concatenate([f for _, f in chunks])
-    events_of_cat = np.flatnonzero(labels == cat)
-    sel = np.isin(merged_coords[:, 2], events_of_cat)
-    if not np.array_equal(src_coords[:, :2], merged_coords[sel, :2]):
+def expected_merge(sidecar: dict, dataset_name: str, coord_name: str,
+                   feat_name: str):
+    """Replay _write_shuffled's round-robin (pulse_dataset.py:262-287):
+    per-category per-event groups, one event per category per round.
+    Returns (coords, feats, per_event_cat)."""
+    cat_events = {}
+    for cat in sorted(int(k) for k in sidecar):
+        events = []
+        for fdat in sidecar[str(cat)]:
+            coords, feats = _read_range(fdat, dataset_name, coord_name, feat_name)
+            if coords.size == 0:
+                continue
+            ev = coords[:, 2]
+            boundaries = np.flatnonzero(np.diff(ev)) + 1
+            for rows in np.split(np.arange(ev.shape[0]), boundaries):
+                events.append((coords[rows], feats[rows]))
+        cat_events[cat] = events
+    out_c, out_f, cats = [], [], []
+    pending = {c: iter(e) for c, e in cat_events.items()}
+    while pending:
+        done = []
+        for c in list(pending):
+            try:
+                cc, ff = next(pending[c])
+            except StopIteration:
+                done.append(c)
+                continue
+            out_c.append(cc)
+            out_f.append(ff)
+            cats.append(c)
+        for c in done:
+            pending.pop(c)
+    if not out_c:
+        return (np.zeros((0, 3), np.int64), np.zeros((0, 1), np.float32), [])
+    return np.concatenate(out_c), np.concatenate(out_f), cats
+
+
+def check_file(sidecar: dict, merged_coords, merged_feats, labels,
+               path: Path, dataset_name: str, coord_name: str,
+               feat_name: str) -> None:
+    src_coords, src_feats, cats = expected_merge(
+        sidecar, dataset_name, coord_name, feat_name)
+    if src_coords.shape[0] != merged_coords.shape[0]:
+        raise ValueError(
+            f"File {path} has {merged_coords.shape[0]} rows, sources have "
+            f"{src_coords.shape[0]}")
+    if not np.array_equal(src_coords[:, :2], merged_coords[:, :2]):
         raise ValueError(f"File {path} contained incorrect coords")
-    if not np.allclose(src_feats, merged_feats[sel]):
+    if not np.allclose(src_feats, merged_feats):
         raise ValueError(f"File {path} contained incorrect waveforms")
+    # merged event ids must be the replay's consecutive renumbering
+    sizes = [c.shape[0] for c in np.split(
+        np.arange(src_coords.shape[0]),
+        np.flatnonzero(np.diff(merged_coords[:, 2])) + 1)]
+    if len(sizes) != len(cats):
+        raise ValueError(
+            f"File {path} has {len(sizes)} events, expected {len(cats)}")
+    # per-event labels (group layout): directory-index labels match the
+    # replay's category sequence (label files may remap, so only check when
+    # every label is a known category)
+    if labels is not None and len(labels) == len(cats) and \
+            set(np.unique(labels)).issubset(set(cats)):
+        if not np.array_equal(np.asarray(labels), np.asarray(cats)):
+            raise ValueError(f"File {path} labels do not interleave classes")
 
 
 def main(argv=None) -> int:
@@ -60,14 +112,13 @@ def main(argv=None) -> int:
             if hasattr(ds, "dtype") and ds.dtype.names:
                 rec = ds[()]
                 coords, feats = rec[args.coord], rec[args.feat]
-                labels = rec["labels"] if "labels" in rec.dtype.names else None
+                labels = None  # compound layout: label field is per-row data
             else:
                 coords = ds[args.coord][()]
                 feats = ds[args.feat][()]
                 labels = ds["labels"][()]
-        for cat in sorted(int(k) for k in sidecar.keys()):
-            check_file(sidecar, coords, feats, labels, cat, f,
-                       args.dataset, args.coord, args.feat)
+        check_file(sidecar, coords, feats, labels, f,
+                   args.dataset, args.coord, args.feat)
         n_checked += 1
         print(f"{f.name}: OK")
     print(f"validated {n_checked} combined files")

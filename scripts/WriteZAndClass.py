@@ -29,20 +29,27 @@ def main(argv=None) -> int:
     from waveformml_tpu.inference.prediction_writer import ZAndClassWriter
 
     input_path = expanduser(args.input_path)
-    output = input_path[: input_path.rfind("_")] + "_Phys.h5"
+    # strip the P2X type suffix from the BASENAME only (the reference's
+    # full-path rfind('_'), WriteZAndClass.py:32, mangles paths whose
+    # directories contain underscores)
+    _base = basename(input_path)
+    _stem = _base[:_base.rfind("_")] if "_" in _base else _base[:-3]
+    output = join(os.path.dirname(input_path), _stem + "_Phys.h5")
     if args.output:
         out = expanduser(args.output)
         if out.endswith(".h5"):
             output = out
         elif isdir(out):
-            fname = basename(input_path)
-            output = join(out, fname[: fname.rfind("_")] + "_Phys.h5")
+            output = join(out, _stem + "_Phys.h5")
         else:
             raise IOError(f"Output path {args.output} not valid")
     print(f"Writing phys pulse output to {output}")
+    if not args.calgroup and "_" not in _base:
+        raise IOError(
+            "cannot infer a calibration group from the filename (no P2X "
+            "'<calgroup>_<Type>.h5' pattern) — pass --calgroup explicitly")
     pw_args = {"n_buffer_rows": args.buffer_size, "n_rows_per_read": args.read_size,
-               "calgroup": args.calgroup or
-               os.path.basename(input_path[: input_path.rfind("_")])}
+               "calgroup": args.calgroup or _stem}
     if args.scale_factor_z:
         pw_args["scale_factor_z"] = args.scale_factor_z
     if args.scale_factor_class:

@@ -329,3 +329,74 @@ def test_hpo_end_to_end_via_main(tmp_path):
     top = reader.get_top_trials(10)
     reader.close()
     assert len(top) == 5                          # 3 + 2 resumed trials
+
+
+def test_modify_config_colliding_leaf_names(tmp_path):
+    """Two hyperparameter paths sharing a leaf must sample independently
+    (the reference keys suggestions by leaf alone and collapses them)."""
+    from waveformml_tpu.optimization.hpo import ModelOptimization
+
+    cfg = Config({
+        "run_config": {"exp_name": "c", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "c", "n_samples": 8, "n_type": 2,
+                          "type_names": ["a"], "model_base_path": str(tmp_path),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"dropout": 0.0, "imports": []},
+        "optimize_config": {"dropout": 0.0, "lr": 0.01, "imports": [],
+                            "total_epoch": 1, "validation_freq": 1,
+                            "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 2},
+    })
+    opt = Config({"hyperparameters": {
+        "/net_config/dropout": [0.0, 0.1],
+        "/optimize_config/dropout": [0.8, 0.9],
+    }})
+    mo = ModelOptimization(opt, cfg, str(tmp_path / "model"))
+    study = create_study(sampler=RandomSampler(seed=0))
+    trial = Trial(study, 0)
+    mo.modify_config(trial)
+    assert 0.0 <= cfg.net_config.dropout <= 0.1
+    assert 0.8 <= cfg.optimize_config.dropout <= 0.9
+    assert set(trial.params) == {"/net_config/dropout",
+                                 "/optimize_config/dropout"}
+
+
+def test_sqlite_storage_isolates_studies(tmp_path):
+    """Two studies sharing one sqlite file must not overwrite each other's
+    trials (composite (study_name, number) key)."""
+    db = f"sqlite:///{tmp_path}/shared.db"
+    a = create_study(study_name="A", storage=db, load_if_exists=True)
+    b = create_study(study_name="B", storage=db, load_if_exists=True)
+    a.optimize(lambda t: 1.25 + t.suggest_float("x", 0, 1) * 0, n_trials=1)
+    b.optimize(lambda t: 2.5 + t.suggest_float("x", 0, 1) * 0, n_trials=1)
+    a2 = create_study(study_name="A", storage=db, load_if_exists=True)
+    b2 = create_study(study_name="B", storage=db, load_if_exists=True)
+    assert [t.value for t in a2.get_trials()] == [1.25]
+    assert [t.value for t in b2.get_trials()] == [2.5]
+
+
+def test_sqlite_storage_migrates_old_schema(tmp_path):
+    """A study.db created before the composite primary key must migrate in
+    place and keep its trials readable."""
+    import sqlite3
+
+    path = str(tmp_path / "old.db")
+    conn = sqlite3.connect(path)
+    conn.execute(
+        """CREATE TABLE trials (
+               number INTEGER PRIMARY KEY, study_name TEXT, state TEXT,
+               value REAL, params TEXT, intermediate TEXT,
+               datetime_start TEXT, datetime_complete TEXT)""")
+    conn.execute("INSERT INTO trials VALUES (0, 'old', 'COMPLETE', 3.5, "
+                 "'{}', '{}', NULL, NULL)")
+    conn.commit()
+    conn.close()
+    s = create_study(study_name="old", storage=f"sqlite:///{path}",
+                     load_if_exists=True)
+    trials = s.get_trials()
+    assert len(trials) == 1 and trials[0].value == 3.5
+    s.optimize(lambda t: 1.0 + t.suggest_float("x", 0, 1) * 0, n_trials=1)
+    assert sorted(t.value for t in s.get_trials()) == [1.0, 3.5]

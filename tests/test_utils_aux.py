@@ -223,3 +223,51 @@ def test_graph_dataset_cache_invalidates_on_change(tmp_path, rng):
     os.utime(src, (time.time() + 10, time.time() + 10))
     g4 = GraphDataset(ds, edge_specs=[("knn", 5, False)])
     assert os.path.getmtime(g4.processed_file_names[0]) > mt1
+
+
+def test_retrieve_best_checkpoint_fallback_and_nan(tmp_path):
+    """Checkpoints without a parseable val_loss must still be retrievable
+    (float('inf')-1 == inf made the old sentinel unselectable), and a
+    metric-bearing name always beats the fallback."""
+    from waveformml_tpu.utils.util import retrieve_best_checkpoint
+
+    only_last = tmp_path / "a"
+    only_last.mkdir()
+    (only_last / "last.ckpt").mkdir()
+    assert retrieve_best_checkpoint(str(only_last)).endswith("last.ckpt")
+
+    mixed = tmp_path / "b"
+    mixed.mkdir()
+    (mixed / "last.ckpt").mkdir()
+    (mixed / "epoch=3-val_loss=0.50.ckpt").mkdir()
+    (mixed / "epoch=5-val_loss=0.25.ckpt").mkdir()
+    assert retrieve_best_checkpoint(str(mixed)).endswith(
+        "epoch=5-val_loss=0.25.ckpt")
+
+
+def test_hist_collators_weighted_fractional_counts():
+    from waveformml_tpu.utils.hist import Hist2DCollator, HistCollator
+
+    h = HistCollator(bins=2, range=(0.0, 2.0))
+    h.add(np.array([0.5, 0.5, 1.5]), weights=np.array([0.4, 0.4, 0.25]))
+    np.testing.assert_allclose(h.counts, [0.8, 0.25])
+
+    h2 = Hist2DCollator(bins=(2, 2), range=((0.0, 2.0), (0.0, 2.0)))
+    h2.add(np.array([0.5]), np.array([1.5]), weights=np.array([0.3]))
+    np.testing.assert_allclose(h2.counts, [[0.0, 0.3], [0.0, 0.0]])
+
+
+def test_parallel_chunk_reader_empty_table(tmp_path):
+    import h5py
+
+    from waveformml_tpu.io.hdf5 import ParallelChunkReader
+
+    dt = np.dtype([("a", np.float32)])
+    p = tmp_path / "empty.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("T", shape=(0,), maxshape=(None,), dtype=dt,
+                         chunks=(64,), compression="gzip")
+    with h5py.File(p) as f:
+        pr = ParallelChunkReader(f["T"])
+        out = pr.read(0, 0)
+        assert out.shape == (0,) and out.dtype == dt

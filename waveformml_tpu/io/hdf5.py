@@ -93,6 +93,8 @@ class ParallelChunkReader:
 
     def read(self, lo: int, hi: int) -> np.ndarray:
         hi = min(hi, self.n)
+        if hi <= lo:  # empty table / empty request: no chunk 0 to decode
+            return np.empty((0,), dtype=self.ds.dtype)
         c0, c1 = lo // self.chunk, max(lo, hi - 1) // self.chunk
         for ci in range(c0, min(c1 + 1 + self.readahead, self.n_chunks)):
             self._ensure(ci)

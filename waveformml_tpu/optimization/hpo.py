@@ -231,16 +231,41 @@ class Study:
         self._mem_trials: List[FrozenTrial] = []
 
     def _init_db(self) -> None:
+        # composite key: `number` alone would let two studies sharing one
+        # sqlite file upsert over each other's trials
         self._conn.execute(
             """CREATE TABLE IF NOT EXISTS trials (
-                   number INTEGER PRIMARY KEY,
+                   number INTEGER,
                    study_name TEXT,
                    state TEXT,
                    value REAL,
                    params TEXT,
                    intermediate TEXT,
                    datetime_start TEXT,
-                   datetime_complete TEXT)""")
+                   datetime_complete TEXT,
+                   PRIMARY KEY (study_name, number))""")
+        # migrate pre-composite-PK databases (number INTEGER PRIMARY KEY):
+        # sqlite cannot alter a PK in place, so rebuild the table once
+        cur = self._conn.execute(
+            "SELECT sql FROM sqlite_master WHERE type='table' AND name='trials'")
+        row = cur.fetchone()
+        if row and "PRIMARY KEY (study_name, number)" not in (row[0] or ""):
+            self._conn.executescript(
+                """BEGIN;
+                   ALTER TABLE trials RENAME TO trials_old;
+                   CREATE TABLE trials (
+                       number INTEGER,
+                       study_name TEXT,
+                       state TEXT,
+                       value REAL,
+                       params TEXT,
+                       intermediate TEXT,
+                       datetime_start TEXT,
+                       datetime_complete TEXT,
+                       PRIMARY KEY (study_name, number));
+                   INSERT INTO trials SELECT * FROM trials_old;
+                   DROP TABLE trials_old;
+                   COMMIT;""")
         self._conn.commit()
 
     def _count(self) -> int:
@@ -270,7 +295,7 @@ class Study:
             """INSERT INTO trials (number, study_name, state, value, params,
                                    intermediate, datetime_start, datetime_complete)
                VALUES (?,?,?,?,?,?,?,?)
-               ON CONFLICT(number) DO UPDATE SET
+               ON CONFLICT(study_name, number) DO UPDATE SET
                    state=excluded.state, value=excluded.value,
                    params=excluded.params, intermediate=excluded.intermediate,
                    datetime_complete=excluded.datetime_complete""",
@@ -415,8 +440,14 @@ class ModelOptimization:
     def modify_config(self, trial: Trial) -> None:
         """Apply suggest_* values onto the live config
         (ref: ModelOptimization.py:150-179)."""
+        leaves = [h.split("/")[-1] for h in self.hyperparameters]
         for hp, parent in self.hyperparameters.items():
-            name = hp.split("/")[-1]
+            leaf = hp.split("/")[-1]
+            # reference-compatible leaf naming, UNLESS two paths share a leaf
+            # (e.g. /net_config/dropout and /head_config/dropout): those must
+            # be distinct parameters, not one cached suggestion — the
+            # reference (ModelOptimization.py:150-179) silently collapses them
+            name = hp if leaves.count(leaf) > 1 else leaf
             bounds = self.hyperparameters_bounds[hp]
             if isinstance(bounds, bool):
                 value = trial.suggest_int(name, 0, 1) == 1
@@ -436,7 +467,7 @@ class ModelOptimization:
                 lo, hi = float(bounds[0]), float(bounds[1])
                 use_log = lo != 0 and hi != 0 and (hi / lo > 100 or lo / hi > 100)
                 value = trial.suggest_float(name, lo, hi, log=use_log)
-            setattr(parent, name, value)
+            setattr(parent, leaf, value)
             self.log.info("setting %s to %s", hp, value)
 
     def objective(self, trial: Trial) -> Optional[float]:

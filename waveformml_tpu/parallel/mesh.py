@@ -80,8 +80,11 @@ def split_block_for_devices(block: FileBlock, n_devices: int) -> List[FileBlock]
     if block.coords.ndim == 2:
         ev = block.coords[:, -1]
         n_events = int(ev[-1]) + 1 if len(ev) else 0
-        # balanced split: first (n % D) devices get one extra event, so no
-        # device is left empty (empty shards would skew pmean'd BN statistics)
+        # balanced split: first (n % D) devices get one extra event. When
+        # n_events < D the trailing devices necessarily get EMPTY shards —
+        # safe, because BN and the loss aggregate mask-weighted SUMS via
+        # psum (MaskedBatchNorm counts, loss_sum/weight), so an empty shard
+        # contributes zeros, not a skewed per-shard mean
         base, extra = divmod(n_events, n_devices)
         bounds = [0]
         for d in range(n_devices):

@@ -9,12 +9,35 @@ the host-side collators used by analysis scripts.
 """
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+log = logging.getLogger(__name__)
 
-class HistCollator:
+
+class _DropWarnMixin:
+    """Auto-ranged collators freeze their edges on the first add(); later
+    batches can fall outside and np.histogram silently excludes them — log
+    the loss once so cross-file collation isn't silently undercounted."""
+
+    _warned_drop = False
+
+    def _warn_dropped(self, v: np.ndarray, edges: np.ndarray) -> None:
+        if self._warned_drop or v.size == 0:
+            return
+        n_out = int((v < edges[0]).sum() + (v > edges[-1]).sum())
+        if n_out:
+            self._warned_drop = True
+            log.warning(
+                "%s: %d sample(s) outside the fixed range [%g, %g] were "
+                "dropped (auto-range freezes on the first batch; pass an "
+                "explicit range to cover all files)",
+                type(self).__name__, n_out, edges[0], edges[-1])
+
+
+class HistCollator(_DropWarnMixin):
     """Fixed-bin 1D histogram accumulator: add raw samples or pre-binned
     counts from any number of sources, read out (counts, edges)."""
 
@@ -22,7 +45,7 @@ class HistCollator:
                  range: Optional[Tuple[float, float]] = None):
         self.bins = int(bins)
         self.range = range
-        self.counts = np.zeros(self.bins, dtype=np.int64)
+        self.counts = np.zeros(self.bins, dtype=np.float64)
         self._edges: Optional[np.ndarray] = None
         if range is not None:
             self._edges = np.linspace(range[0], range[1], self.bins + 1)
@@ -41,13 +64,16 @@ class HistCollator:
                 hi = lo + 1.0
             self._edges = np.linspace(lo, hi, self.bins + 1)
         c, _ = np.histogram(values, bins=self._edges, weights=weights)
-        self.counts += c.astype(np.int64)
+        # float accumulator: weighted histograms produce fractional bin sums
+        # that an int64 astype would silently floor
+        self.counts += c.astype(np.float64)
+        self._warn_dropped(values, self._edges)
 
     def add_histogram(self, counts: np.ndarray) -> None:
         counts = np.asarray(counts)
         if counts.shape != self.counts.shape:
             raise ValueError(f"histogram shape {counts.shape} != {self.counts.shape}")
-        self.counts += counts.astype(np.int64)
+        self.counts += counts.astype(np.float64)
 
     def merge(self, other: "HistCollator") -> None:
         if other.bins != self.bins:
@@ -62,13 +88,13 @@ class HistCollator:
         self.counts[:] = 0
 
 
-class Hist2DCollator:
+class Hist2DCollator(_DropWarnMixin):
     """Fixed-bin 2D histogram accumulator."""
 
     def __init__(self, bins: Sequence[int] = (100, 100),
                  range: Optional[Sequence[Tuple[float, float]]] = None):
         self.bins = (int(bins[0]), int(bins[1]))
-        self.counts = np.zeros(self.bins, dtype=np.int64)
+        self.counts = np.zeros(self.bins, dtype=np.float64)
         self._edges = None
         if range is not None:
             self._edges = (np.linspace(range[0][0], range[0][1], self.bins[0] + 1),
@@ -81,7 +107,9 @@ class Hist2DCollator:
             self._edges = (self._auto_edges(x, self.bins[0]),
                            self._auto_edges(y, self.bins[1]))
         c, _, _ = np.histogram2d(x, y, bins=self._edges, weights=weights)
-        self.counts += c.astype(np.int64)
+        self.counts += c.astype(np.float64)
+        self._warn_dropped(x, self._edges[0])
+        self._warn_dropped(y, self._edges[1])
 
     @staticmethod
     def _auto_edges(v: np.ndarray, bins: int) -> np.ndarray:
@@ -94,7 +122,7 @@ class Hist2DCollator:
         counts = np.asarray(counts)
         if counts.shape != self.counts.shape:
             raise ValueError(f"histogram shape {counts.shape} != {self.counts.shape}")
-        self.counts += counts.astype(np.int64)
+        self.counts += counts.astype(np.float64)
 
     @property
     def edges(self):

@@ -111,7 +111,11 @@ class ModelValidation:
         if PAD in match and not output[PAD]:
             output[PAD] = [0] * 4
         if DIL in match and not output[DIL]:
-            output[DIL] = [0] * 4
+            # neutral dilation is 1 (torch's default), NOT the reference's
+            # [0]*4 (ModelValidation.py:116) whose d=0 makes the size formula
+            # add (k-1) and spuriously reject valid same-convs that omit the
+            # dilation argument
+            output[DIL] = [1] * 4
         return output
 
     @staticmethod

@@ -192,7 +192,7 @@ def plot_n_contour(X, Y, Zs: Sequence[np.ndarray], xlabel: str = "",
     n = len(Zs)
     ncols = min(3, n)
     nrows = -(-n // ncols)
-    fig, axes = plt.subplots(nrows, ncols, figsize=(4.0 * 3.9, 4.0 * nrows),
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3.9 * ncols, 4.0 * nrows),
                              squeeze=False)
     if suptitle:
         fig.suptitle(suptitle)

@@ -146,13 +146,22 @@ def retrieve_best_checkpoint(model_folder: str) -> Optional[str]:
     Our checkpoints are orbax directories named ``epoch=E-val_loss=V.ckpt``.
     """
     candidates = glob.glob(os.path.join(model_folder, "**", "*.ckpt"), recursive=True)
-    best, best_metric = None, float("inf")
+    best, best_metric = None, None
+    fallback, fallback_mtime = None, -1.0
     for c in candidates:
         m = _CKPT_METRIC_RE.search(os.path.basename(c))
-        metric = float(m.group(1)) if m else float("inf") - 1
-        if metric < best_metric:
-            best, best_metric = c, metric
-    return best
+        if m:
+            metric = float(m.group(1))
+            if metric == metric and (best_metric is None or metric < best_metric):
+                best, best_metric = c, metric
+        else:
+            # no parseable metric (e.g. last.ckpt): newest-mtime fallback,
+            # used only when NO checkpoint carries a metric (float('inf')-1
+            # == inf, so the old sentinel could never be selected)
+            mt = os.path.getmtime(c)
+            if mt > fallback_mtime:
+                fallback, fallback_mtime = c, mt
+    return best if best is not None else fallback
 
 
 # ---------------------------------------------------------------------------------
@@ -228,30 +237,46 @@ def safe_divide(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def prefetch_iter(iterable, depth: int = 2):
     """Run an iterator in a background thread with a bounded queue — overlaps
     host IO (HDF5 chunk decode) with downstream compute. Exceptions re-raise
-    in the consumer."""
+    in the consumer; abandoning the generator (consumer raises / breaks)
+    stops the worker instead of leaving it blocked in q.put holding the
+    source iterator's file handles."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def put_or_stop(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
-            q.put(_END)
+                if not put_or_stop(item):
+                    return
+            put_or_stop(_END)
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
-            q.put(e)
+            put_or_stop(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def enable_compilation_cache(path: Optional[str] = None) -> None:
