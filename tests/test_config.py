@@ -68,3 +68,27 @@ def test_missing_required_raises():
                   "dataset_config": {"n_train": 1, "n_validate": 1}})
     with pytest.raises(ValueError, match="paths"):
         validate_config(cfg)
+
+
+def test_config_method_names_do_not_shadow_keys():
+    """Membership and .get must consult the stored keys, not Config's own
+    method names ('keys' in cfg was always True before)."""
+    cfg = Config({"a": 1})
+    assert "a" in cfg
+    for name in ("keys", "items", "get", "copy", "setdefault", "to_dict"):
+        assert name not in cfg
+        assert cfg.get(name, "missing") == "missing"
+    cfg.setdefault("keys_field", 2)
+    assert cfg.keys_field == 2
+
+
+def test_zero_valued_template_keys_are_required():
+    """Reference semantics (util.py:294-338): a numeric 0 in the requirements
+    template marks a REQUIRED key, not a usable default of 0."""
+    cfg = Config({"run_config": {"exp_name": "t", "run_class": "LitPSD"},
+                  "system_config": {"model_name": "m", "type_names": ["a"]},
+                  "net_config": {}, "optimize_config": {},
+                  "dataset_config": {"paths": ["p"], "n_train": 1,
+                                     "n_validate": 1}})
+    with pytest.raises(ValueError, match="n_samples"):
+        validate_config(cfg)

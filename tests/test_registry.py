@@ -44,3 +44,76 @@ def test_lazy_registration():
     r.register_lazy("OrderedDict", "collections:OrderedDict")
     import collections
     assert r.retrieve_class("OrderedDict") is collections.OrderedDict
+
+
+def test_lazy_registration_survives_failed_import():
+    """A failed lazy import must not erase the registration: the next lookup
+    should retry (and re-raise the real error), not a misleading KeyError."""
+    from waveformml_tpu.registry import Registry
+
+    r = Registry()
+    r.register_lazy("Ghost", "no_such_module_xyz:Ghost")
+    with pytest.raises(ModuleNotFoundError):
+        r.retrieve_class("Ghost")
+    # second attempt: SAME root-cause error, not "no registered class"
+    with pytest.raises(ModuleNotFoundError):
+        r.retrieve_class("Ghost")
+
+
+def test_cross_entropy_class_weights():
+    """criterion_params class weights must be honored (torch semantics:
+    weighted mean divides by the sum of selected weights), and unsupported
+    params must raise instead of being silently dropped."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from waveformml_tpu.nn.functional import CrossEntropyLoss
+
+    logits = np.array([[2.0, 0.5, -1.0], [0.1, 1.5, 0.3], [0.0, 0.2, 2.2]],
+                      dtype=np.float32)
+    target = np.array([0, 2, 1])
+    w = [1.0, 5.0, 0.5]
+    ours = CrossEntropyLoss(w)(jnp.asarray(logits), jnp.asarray(target))
+    theirs = torch.nn.CrossEntropyLoss(weight=torch.tensor(w))(
+        torch.tensor(logits), torch.tensor(target))
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-6)
+
+    unweighted = CrossEntropyLoss()(jnp.asarray(logits), jnp.asarray(target))
+    ref_unweighted = torch.nn.CrossEntropyLoss()(torch.tensor(logits),
+                                                 torch.tensor(target))
+    np.testing.assert_allclose(float(unweighted), float(ref_unweighted),
+                               rtol=1e-6)
+
+    with pytest.raises(ValueError, match="unsupported"):
+        from waveformml_tpu.nn.functional import MSELoss
+        MSELoss([1.0, 2.0])
+
+
+def test_softmax_dim_translation_matches_torch():
+    """nn.Softmax(dim) configs use torch's channels-first axis numbering;
+    on our channels-last tensors the axis must be translated."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from waveformml_tpu.nn.layers import LayerNorm, Softmax
+
+    x_t = torch.randn(2, 3, 5)          # [B, C, L] torch layout
+    x_j = jnp.asarray(np.transpose(x_t.numpy(), (0, 2, 1)))  # [B, L, C]
+    for dim in (1, 2, -1, 0):
+        ours = Softmax(dim=dim).apply({}, x_j)
+        theirs = torch.nn.Softmax(dim=dim)(x_t).numpy()
+        np.testing.assert_allclose(np.transpose(np.asarray(ours), (0, 2, 1)),
+                                   theirs, rtol=1e-5, atol=1e-6)
+
+    # LayerNorm over the trailing TWO axes (torch normalized_shape=[L, C]
+    # on our layout): statistics span both axes, params match their shape
+    import jax
+
+    ln = LayerNorm(normalized_shape=[5, 3])
+    vs = ln.init(jax.random.PRNGKey(0), x_j)
+    out = ln.apply(vs, x_j)
+    theirs_ln = torch.nn.LayerNorm([3, 5])(x_t).detach().numpy()
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 2, 1)),
+                               theirs_ln, rtol=1e-4, atol=1e-5)

@@ -49,15 +49,17 @@ class Config:
         object.__setattr__(self, key, _wrap(value))
 
     def __contains__(self, key: str) -> bool:
-        return hasattr(self, key)
+        # __dict__, not hasattr: method names (keys/items/get/...) must not
+        # shadow key lookups — 'keys' in cfg was always True before
+        return key in self.__dict__
 
     def get(self, key: str, default: Any = None) -> Any:
-        return getattr(self, key, default)
+        return self.__dict__.get(key, default)
 
     def setdefault(self, key: str, default: Any = None) -> Any:
-        if not hasattr(self, key):
+        if key not in self.__dict__:
             setattr(self, key, _wrap(default))
-        return getattr(self, key)
+        return self.__dict__[key]
 
     def keys(self):
         return self.__dict__.keys()
@@ -226,7 +228,7 @@ def validate_config(config: Config, requirements: Optional[Dict[str, Any]] = Non
             here = f"{path}/{key}" if path else key
             if isinstance(default, dict) and not path:
                 # top-level config sections recurse per-property
-                if not hasattr(node, key):
+                if key not in node.__dict__:
                     setattr(node, key, Config({}))
                 sub = getattr(node, key)
                 if not isinstance(sub, Config):
@@ -237,25 +239,32 @@ def validate_config(config: Config, requirements: Optional[Dict[str, Any]] = Non
                 # filled wholesale when the key is absent, never merged per-key
                 # into a present value (e.g. optimizer_params={} with Adam must
                 # NOT inherit the SGD momentum default)
-                if not hasattr(node, key):
+                if key not in node.__dict__:
                     setattr(node, key, _wrap(copy.deepcopy(default)))
                 elif not isinstance(getattr(node, key), Config):
                     raise ValueError(f"config key {here} must be a dict")
             else:
-                if not hasattr(node, key):
+                if key not in node.__dict__:
                     if _has_default(default):
                         setattr(node, key, _wrap(copy.deepcopy(default)))
                     else:
                         raise ValueError(f"required config key missing: {here}")
 
     def _has_default(v: Any) -> bool:
+        # reference semantics (util.py:294-338): "" / 0 / [""] / [{}] / {}
+        # mark REQUIRED keys, anything else is a usable default. One lenient
+        # divergence: a bare [] fills as an empty list (the reference treats
+        # it as required) — strictly more permissive, so any config that
+        # passes reference validation passes here too.
         if isinstance(v, str):
             return v != ""
+        if isinstance(v, (bool, int, float)):
+            return v != 0
         if isinstance(v, list):
-            # empty list is a usable default; a list of empty strings marks a
-            # required key (e.g. paths: [""], type_names: [""])
-            return len(v) == 0 or any(_has_default(x) for x in v)
-        return True  # numbers/bools are always usable defaults
+            return len(v) == 0 or (v != [""] and v != [{}])
+        if isinstance(v, dict):
+            return len(v) > 0
+        return True
 
     _apply(config, req, "")
     return config

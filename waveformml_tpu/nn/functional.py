@@ -36,6 +36,13 @@ class _Criterion:
 
     def __init__(self, *args, reduction: str = "mean", **kwargs):
         self.reduction = reduction
+        if args or kwargs:
+            # silently discarding config criterion_params (the torch classes
+            # would have honored them) trains a different objective than the
+            # user asked for — refuse loudly instead
+            raise ValueError(
+                f"{type(self).__name__}: unsupported criterion params "
+                f"args={args!r} kwargs={kwargs!r}")
 
     def __call__(self, pred: jax.Array, target: jax.Array,
                  where: Optional[jax.Array] = None) -> jax.Array:
@@ -45,21 +52,51 @@ class _Criterion:
         raise NotImplementedError
 
 
-@registry.register("CrossEntropyLoss", aliases=("nn.CrossEntropyLoss",))
-class CrossEntropyLoss(_Criterion):
-    """Softmax cross entropy on logits [N, C] with int targets [N]."""
+class _WeightedNLLBase(_Criterion):
+    """Shared per-class-weight handling (torch's first positional arg)."""
+
+    def __init__(self, weight=None, *args, reduction: str = "mean", **kwargs):
+        super().__init__(*args, reduction=reduction, **kwargs)
+        self.weight = None if weight is None else \
+            jnp.asarray(weight, jnp.float32)
+
+    def _logp(self, pred):
+        raise NotImplementedError
 
     def elementwise(self, pred, target):
-        logp = jax.nn.log_softmax(pred, axis=-1)
-        return -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        t = target[..., None].astype(jnp.int32)
+        nll = -jnp.take_along_axis(self._logp(pred), t, axis=-1)[..., 0]
+        if self.weight is not None:
+            nll = nll * self.weight[t[..., 0]]
+        return nll
+
+    def __call__(self, pred, target, where=None):
+        x = self.elementwise(pred, target)
+        if self.weight is not None and self.reduction == "mean":
+            # torch divides a weighted mean by Σ weights, not the count
+            w = self.weight[target.astype(jnp.int32)]
+            if where is not None:
+                x = jnp.where(where, x, 0)
+                w = jnp.where(where, w, 0)
+            return jnp.sum(x) / jnp.maximum(jnp.sum(w), 1e-12)
+        return _reduce(x, self.reduction, where)
+
+
+@registry.register("CrossEntropyLoss", aliases=("nn.CrossEntropyLoss",))
+class CrossEntropyLoss(_WeightedNLLBase):
+    """Softmax cross entropy on logits [N, C] with int targets [N];
+    optional per-class ``weight`` (torch positional convention)."""
+
+    def _logp(self, pred):
+        return jax.nn.log_softmax(pred, axis=-1)
 
 
 @registry.register("NLLLoss", aliases=("nn.NLLLoss",))
-class NLLLoss(_Criterion):
+class NLLLoss(_WeightedNLLBase):
     """Negative log likelihood on log-probabilities [N, C]."""
 
-    def elementwise(self, pred, target):
-        return -jnp.take_along_axis(pred, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    def _logp(self, pred):
+        return pred
 
 
 @registry.register("L1Loss", aliases=("nn.L1Loss",))

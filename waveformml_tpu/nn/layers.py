@@ -118,12 +118,26 @@ class LeakyReLU(nn.Module):
         return jax.nn.leaky_relu(x, self.negative_slope)
 
 
+def _torch_dim_to_axis(dim: int, ndim: int) -> int:
+    """Map a torch-convention `dim` (channels-first [B, C, *S]) onto the
+    channels-last layout these layers run on ([B, *S, C]). Identity for
+    2-D inputs, where both layouts agree."""
+    if ndim <= 2:
+        return dim
+    d = dim if dim >= 0 else dim + ndim
+    if d == 0:
+        return 0
+    if d == 1:           # torch channel axis -> last
+        return ndim - 1
+    return d - 1         # torch spatial axes shift left by one
+
+
 @registry.register("Softmax", aliases=("nn.Softmax",))
 class Softmax(nn.Module):
     dim: int = -1
 
     def __call__(self, x, train: bool = False):
-        return jax.nn.softmax(x, axis=self.dim)
+        return jax.nn.softmax(x, axis=_torch_dim_to_axis(self.dim, x.ndim))
 
 
 @registry.register("LogSoftmax", aliases=("nn.LogSoftmax",))
@@ -131,7 +145,7 @@ class LogSoftmax(nn.Module):
     dim: int = -1
 
     def __call__(self, x, train: bool = False):
-        return jax.nn.log_softmax(x, axis=self.dim)
+        return jax.nn.log_softmax(x, axis=_torch_dim_to_axis(self.dim, x.ndim))
 
 
 @registry.register("Dropout", aliases=("nn.Dropout",))
@@ -176,12 +190,20 @@ class BatchNorm2d(BatchNorm1d):
 
 @registry.register("LayerNorm", aliases=("nn.LayerNorm",))
 class LayerNorm(nn.Module):
+    """torch nn.LayerNorm(normalized_shape): normalizes (and carries affine
+    params) over the trailing len(normalized_shape) axes, not only the last."""
+
     normalized_shape: Any = None
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.LayerNorm(epsilon=self.eps, dtype=x.dtype)(x)
+        shape = self.normalized_shape
+        n_axes = 1 if shape is None or isinstance(shape, int) \
+            else max(1, len(tuple(shape)))
+        axes = tuple(range(-n_axes, 0))
+        return nn.LayerNorm(epsilon=self.eps, dtype=x.dtype,
+                            reduction_axes=axes, feature_axes=axes)(x)
 
 
 # -- pooling -----------------------------------------------------------------------

@@ -41,6 +41,11 @@ def build_neighbor_plan(batch: SparseBatch, kernel_size: int,
     """Neighbor row indices [N, K²] for a centered K×K window; -1 where the
     neighbor site is inactive or out of bounds."""
     k = kernel_size
+    if k % 2 != 1:
+        # the custom VJP flips the kernel and reuses this plan for d_feats,
+        # which is only valid for a negation-symmetric (odd-k) window;
+        # even k would produce silently wrong input gradients
+        raise ValueError(f"row-space SubM conv requires an odd kernel size, got {k}")
     if lut is None:
         lut = build_site_lookup(batch)
     half = (k - 1) // 2

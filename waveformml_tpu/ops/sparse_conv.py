@@ -33,12 +33,6 @@ import jax.numpy as jnp
 from waveformml_tpu.registry import registry
 
 
-def _pair(v) -> Tuple[int, int]:
-    if isinstance(v, (list, tuple)):
-        return (int(v[0]), int(v[1]))
-    return (int(v), int(v))
-
-
 def _ntuple(v, n: int) -> Tuple[int, ...]:
     if isinstance(v, (list, tuple)):
         assert len(v) == n, f"expected {n}-tuple, got {v}"

@@ -16,6 +16,7 @@ Resolution order for a name like "A.B.C":
 from __future__ import annotations
 
 import importlib
+import logging
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 
@@ -42,9 +43,13 @@ class Registry:
             self._lazy[n] = target
 
     def _materialize(self, key: str) -> Any:
-        target = self._lazy.pop(key)
+        target = self._lazy[key]
         mod_name, attr = target.split(":")
+        # import BEFORE popping: a failed (possibly transient) import must
+        # not erase the registration, or every later lookup masks the real
+        # error behind a "no registered class" KeyError
         obj = getattr(importlib.import_module(mod_name), attr)
+        self._lazy.pop(key, None)
         self._by_name[key] = obj
         return obj
 
@@ -130,8 +135,13 @@ def _ensure_builtin_registrations() -> None:
     ):
         try:
             importlib.import_module(mod)
-        except ImportError:
-            pass
+        except ImportError as e:
+            # keep going (partial registries are usable) but surface the
+            # root cause: a later "no registered class" KeyError otherwise
+            # sends the user debugging the registry, not the environment
+            logging.getLogger(__name__).warning(
+                "failed to import %s (its classes will be unavailable): %s",
+                mod, e)
 
 
 def retrieve_class(name: str) -> Any:
