@@ -331,3 +331,39 @@ def test_full_z_model_parity(rng):
     want = _torch_mirror_specs(specs, inner, bs, x, occ).numpy()
 
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_waveform_conv1d_stack_torch_parity(rng):
+    """The leading nn.Conv1d waveform stack (ref SCNet.py:69-72: reshape to
+    (N, 2, nsamples), torch Conv1d, flatten back in (N, C, L) order) must
+    match torch numerically with copied weights."""
+    import torch.nn as tnn
+
+    from waveformml_tpu.models.nets import _apply_waveform_layer
+    from waveformml_tpu.registry import registry as _reg
+
+    N, S = 6, 16
+    feats = np.asarray(rng.normal(size=(N, 2 * S)), dtype=np.float32)
+
+    tconv = tnn.Conv1d(2, 4, 3, 1, 1)
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(feats).reshape(N, 2, S))
+        ref = torch.relu(ref).reshape(N, -1).numpy()
+
+    conv = _reg.retrieve_class("nn.Conv1d")(2, 4, 3, 1, 1, 1)
+    relu = _reg.retrieve_class("nn.ReLU")()
+    x0 = jnp.asarray(feats.reshape(N, 2, S).transpose(0, 2, 1))
+    params = conv.init(jax.random.PRNGKey(0), x0)
+    # torch kernel [out, in, k] -> flax [k, in, out]
+    params = {"params": {"conv": {
+        "kernel": jnp.asarray(
+            tconv.weight.detach().numpy().transpose(2, 1, 0)),
+        "bias": jnp.asarray(tconv.bias.detach().numpy())}}}
+
+    class _Bound:
+        def __call__(self, x, train=False):
+            return conv.apply(params, x, train=train)
+
+    out = _apply_waveform_layer([_Bound(), lambda x, train=False: jax.nn.relu(x)],
+                                jnp.asarray(feats), S, train=False)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
