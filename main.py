@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="coordinator address host:port (multi-host)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    # merge the full Trainer kwarg surface, the reference's
+    # `Trainer.add_argparse_args(parser)` (ref: main.py:74) — adds
+    # --terminate_on_nan/--early_stopping_patience/--steps_per_dispatch/
+    # --parallel/--tp and any future Trainer kwargs automatically
+    from waveformml_tpu.engineering.trainer import Trainer
+    Trainer.add_argparse_args(p)
     return p
 
 
@@ -73,10 +79,17 @@ def choose_data_module(config):
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    if args.num_threads:
+    # --num_threads must hit the environment BEFORE anything imports jax,
+    # and build_parser() imports the Trainer for its argparse bridge — so
+    # pre-scan just that flag first
+    argv = sys.argv[1:] if argv is None else list(argv)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--num_threads", "-nt", type=int, default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+    if pre_args.num_threads:
         os.environ.setdefault("XLA_FLAGS", "")
-        os.environ["XLA_FLAGS"] += f" --xla_cpu_multi_thread_eigen={args.num_threads > 1}"
+        os.environ["XLA_FLAGS"] += f" --xla_cpu_multi_thread_eigen={pre_args.num_threads > 1}"
+    args = build_parser().parse_args(argv)
 
     from waveformml_tpu.config import load_config
     from waveformml_tpu.engineering.trainer import Trainer
@@ -121,8 +134,7 @@ def main(argv=None) -> int:
 
         opt_config = _lc(args.optuna_config, validate=False)
         mo = ModelOptimization(opt_config, config, model_folder,
-                               trainer_args={"max_epochs": args.max_epochs,
-                                             "seed": args.seed})
+                               trainer_args=Trainer.kwargs_from_args(args))
         mo.run_study(pruning=args.pruning)
         return 0
 
@@ -163,14 +175,7 @@ def main(argv=None) -> int:
     task_cls = retrieve_class(config.run_config.run_class)
     task = task_cls(config)
     trainer = Trainer(config, task, logger=logger, checkpoint_dir=log_dir,
-                      max_epochs=args.max_epochs,
-                      limit_train_batches=args.limit_train_batches,
-                      limit_val_batches=args.limit_val_batches,
-                      limit_test_batches=args.limit_test_batches,
-                      overfit_batches=args.overfit_batches,
-                      gradient_clip_val=args.gradient_clip_val,
-                      accumulate_grad_batches=args.accumulate_grad_batches,
-                      profiler=args.profiler, seed=args.seed)
+                      **Trainer.kwargs_from_args(args))
     data_module = choose_data_module(config)
 
     ckpt = args.load_checkpoint

@@ -124,3 +124,44 @@ def test_main_name_override_and_custom_validation(cli_setup, tmp_path, capsys):
     assert "fit:" in capsys.readouterr().out
     assert os.path.isdir(os.path.join(str(tmp / "model" / "m"), "runs",
                                       "renamed"))
+
+
+def test_trainer_argparse_bridge(cli_setup, capsys):
+    """Trainer.add_argparse_args exposes every scalar Trainer kwarg as a CLI
+    flag (the reference merges Lightning's full Trainer surface, ref
+    main.py:74): flags the driver never spelled out — --terminate_on_nan,
+    --early_stopping_patience, --steps_per_dispatch, --tp — parse and reach
+    the Trainer."""
+    import argparse
+
+    import main
+    from waveformml_tpu.engineering.trainer import Trainer
+
+    parser = main.build_parser()
+    dests = {a.dest for a in parser._actions}
+    for flag in ("terminate_on_nan", "early_stopping_patience",
+                 "steps_per_dispatch", "parallel", "tp"):
+        assert flag in dests, flag
+
+    args = parser.parse_args(["cfg", "--terminate_on_nan", "false",
+                              "--early_stopping_patience", "3",
+                              "--steps_per_dispatch", "2"])
+    kw = Trainer.kwargs_from_args(args)
+    assert kw["terminate_on_nan"] is False
+    assert kw["early_stopping_patience"] == 3
+    assert kw["steps_per_dispatch"] == 2
+    # object-wired ctor params never become flags
+    for banned in ("config", "task", "logger", "mesh", "checkpoint_dir"):
+        assert banned not in kw
+
+    # end-to-end: an auto-generated flag changes Trainer behavior
+    tmp, config_path = cli_setup
+    rc = main.main([config_path, "--max_epochs", "1",
+                    "--steps_per_dispatch", "2",
+                    "--early_stopping_patience", "2", "-v", "2"])
+    assert rc == 0
+    assert "fit:" in capsys.readouterr().out
+
+    # kwargs_from_args tolerates a namespace missing trainer flags
+    ns = argparse.Namespace(seed=7)
+    assert Trainer.kwargs_from_args(ns) == {"seed": 7}

@@ -195,6 +195,52 @@ class Trainer:
         self._step_times: List[float] = []
         self._step_rows: List[float] = []
 
+    # -- argparse bridge ----------------------------------------------------------------
+
+    # ctor params that are objects wired by the driver, not user flags
+    _NON_FLAG_PARAMS = ("self", "config", "task", "logger", "callbacks",
+                        "checkpoint_dir", "mesh")
+
+    @classmethod
+    def add_argparse_args(cls, parser) -> None:
+        """Expose every scalar ``Trainer.__init__`` kwarg as a CLI flag — the
+        equivalent of Lightning's ``Trainer.add_argparse_args`` the reference
+        merges into its driver (ref: main.py:74). Flags a driver already
+        defines (e.g. ``--max_epochs``) are left untouched; new Trainer
+        kwargs become flags automatically."""
+        import inspect
+
+        existing = {a.dest for a in parser._actions}
+        sig = inspect.signature(cls.__init__)
+        for name, p in sig.parameters.items():
+            if name in cls._NON_FLAG_PARAMS or name in existing:
+                continue
+            ann = str(p.annotation)
+            if p.default is None:
+                ty = (float if "float" in ann else
+                      int if "int" in ann else str)
+            elif isinstance(p.default, bool):
+                # bools take explicit true/false so defaults-True flags
+                # (--terminate_on_nan) can be switched off
+                ty = lambda s: s.lower() in ("1", "true", "yes", "on")  # noqa: E731
+            else:
+                ty = type(p.default)
+            parser.add_argument(f"--{name}", type=ty,
+                                default=p.default if p.default
+                                is not inspect.Parameter.empty else None,
+                                help=f"Trainer kwarg (default: {p.default})")
+
+    @classmethod
+    def kwargs_from_args(cls, args) -> Dict[str, Any]:
+        """Collect Trainer kwargs from a parsed argparse namespace —
+        Lightning's ``from_argparse_args`` counterpart."""
+        import inspect
+
+        sig = inspect.signature(cls.__init__)
+        return {name: getattr(args, name)
+                for name in sig.parameters
+                if name not in cls._NON_FLAG_PARAMS and hasattr(args, name)}
+
     # -- step functions ---------------------------------------------------------------
 
     def _build_steps(self):

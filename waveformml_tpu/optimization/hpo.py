@@ -485,12 +485,13 @@ class ModelOptimization:
         patience = 5 if self.config.run_config.run_class.endswith("LitZ") else 4
         task = retrieve_class(self.config.run_config.run_class)(self.config, trial)
         args = dict(self.trainer_args)
-        args.pop("seed", None)
+        seed = args.pop("seed", 0) or 0
+        # the study fixes its own per-task patience (ref :207-210)
+        args.pop("early_stopping_patience", None)
         trainer = Trainer(self.config, task, logger=logger,
                           checkpoint_dir=trial_dir,
                           early_stopping_patience=patience,
-                          seed=self.trainer_args.get("seed", 0) or 0,
-                          max_epochs=args.get("max_epochs"))
+                          seed=seed, **args)
         from main import choose_data_module
 
         data_module = choose_data_module(self.config)
