@@ -999,6 +999,13 @@ def main() -> int:
                     entry = json.loads(line)
                 except json.JSONDecodeError:
                     continue
+                # latest measurement wins: a salvaged timed-out attempt
+                # followed by a successful retry must not leave two
+                # conflicting entries for the same metric in RESULTS /
+                # bench_results.json
+                metric = entry.get("metric")
+                RESULTS[:] = [e for e in RESULTS
+                              if e.get("metric") != metric]
                 RESULTS.append(entry)
                 if "sparse_psd" in name.split(",") and \
                         entry.get("metric", "").startswith("sparse PSD train"):

@@ -17,60 +17,72 @@ import h5py
 import numpy as np
 
 
-def _read_range(fdat, dataset_name, coord_name, feat_name, batch_index=2):
+def _read_range(fdat, dataset_name, coord_name, feat_name, batch_index=2,
+                label_name=None):
     with h5py.File(fdat[0], "r") as h5:
         ds = h5[dataset_name]
         if hasattr(ds, "dtype") and ds.dtype.names:
             rec = ds[()]
             coords, feats = rec[coord_name], rec[feat_name]
+            labels = (rec[label_name]
+                      if label_name and label_name in rec.dtype.names else None)
         else:
             coords, feats = ds[coord_name][()], ds[feat_name][()]
+            labels = (ds[label_name][()]
+                      if label_name and label_name in ds else None)
     sel = (coords[:, batch_index] >= fdat[1][0]) & (coords[:, batch_index] <= fdat[1][1])
-    return coords[sel], feats[sel]
+    return coords[sel], feats[sel], labels[sel] if labels is not None else None
 
 
 def expected_merge(sidecar: dict, dataset_name: str, coord_name: str,
-                   feat_name: str):
+                   feat_name: str, label_name=None):
     """Replay _write_shuffled's round-robin (pulse_dataset.py:262-287):
     per-category per-event groups, one event per category per round.
-    Returns (coords, feats, per_event_cat)."""
+    Returns (coords, feats, per_event_cat, per_row_labels_or_None)."""
     cat_events = {}
     for cat in sorted(int(k) for k in sidecar):
         events = []
         for fdat in sidecar[str(cat)]:
-            coords, feats = _read_range(fdat, dataset_name, coord_name, feat_name)
+            coords, feats, labels = _read_range(
+                fdat, dataset_name, coord_name, feat_name,
+                label_name=label_name)
             if coords.size == 0:
                 continue
             ev = coords[:, 2]
             boundaries = np.flatnonzero(np.diff(ev)) + 1
             for rows in np.split(np.arange(ev.shape[0]), boundaries):
-                events.append((coords[rows], feats[rows]))
+                events.append((coords[rows], feats[rows],
+                               labels[rows] if labels is not None else None))
         cat_events[cat] = events
-    out_c, out_f, cats = [], [], []
+    out_c, out_f, out_l, cats = [], [], [], []
     pending = {c: iter(e) for c, e in cat_events.items()}
     while pending:
         done = []
         for c in list(pending):
             try:
-                cc, ff = next(pending[c])
+                cc, ff, ll = next(pending[c])
             except StopIteration:
                 done.append(c)
                 continue
             out_c.append(cc)
             out_f.append(ff)
+            if ll is not None:
+                out_l.append(ll)
             cats.append(c)
         for c in done:
             pending.pop(c)
     if not out_c:
-        return (np.zeros((0, 3), np.int64), np.zeros((0, 1), np.float32), [])
-    return np.concatenate(out_c), np.concatenate(out_f), cats
+        return (np.zeros((0, 3), np.int64), np.zeros((0, 1), np.float32),
+                [], None)
+    rows = np.concatenate(out_l) if len(out_l) == len(out_c) else None
+    return np.concatenate(out_c), np.concatenate(out_f), cats, rows
 
 
 def check_file(sidecar: dict, merged_coords, merged_feats, labels,
                path: Path, dataset_name: str, coord_name: str,
-               feat_name: str) -> None:
-    src_coords, src_feats, cats = expected_merge(
-        sidecar, dataset_name, coord_name, feat_name)
+               feat_name: str, label_name=None, row_labels=None) -> None:
+    src_coords, src_feats, cats, src_rows = expected_merge(
+        sidecar, dataset_name, coord_name, feat_name, label_name=label_name)
     if src_coords.shape[0] != merged_coords.shape[0]:
         raise ValueError(
             f"File {path} has {merged_coords.shape[0]} rows, sources have "
@@ -93,6 +105,14 @@ def check_file(sidecar: dict, merged_coords, merged_feats, labels,
             set(np.unique(labels)).issubset(set(cats)):
         if not np.array_equal(np.asarray(labels), np.asarray(cats)):
             raise ValueError(f"File {path} labels do not interleave classes")
+    # per-row label column (compound layout): must replay exactly — a
+    # mis-ordered or corrupted label field is data corruption even when
+    # coords/feats line up
+    if row_labels is not None and src_rows is not None:
+        a = np.asarray(row_labels).reshape(len(row_labels), -1)
+        b = np.asarray(src_rows).reshape(len(src_rows), -1)
+        if a.shape != b.shape or not np.allclose(a, b, equal_nan=True):
+            raise ValueError(f"File {path} contained incorrect labels")
 
 
 def main(argv=None) -> int:
@@ -101,6 +121,9 @@ def main(argv=None) -> int:
     parser.add_argument("--dataset", default="WaveformPairs")
     parser.add_argument("--coord", default="coord")
     parser.add_argument("--feat", default="waveform")
+    parser.add_argument("--label", default=None,
+                        help="per-row label field for compound layouts "
+                             "(auto-detected as the remaining field)")
     args = parser.parse_args(argv)
     n_checked = 0
     for f in sorted(Path(args.dir).glob("Combined_*.h5")):
@@ -112,13 +135,21 @@ def main(argv=None) -> int:
             if hasattr(ds, "dtype") and ds.dtype.names:
                 rec = ds[()]
                 coords, feats = rec[args.coord], rec[args.feat]
-                labels = None  # compound layout: label field is per-row data
+                labels = None  # per-event class labels: group layout only
+                # compound layout: the label column is the third field
+                # (_to_hdf writes exactly coord/feat/label)
+                label_name = args.label or next(
+                    (n for n in rec.dtype.names
+                     if n not in (args.coord, args.feat)), None)
+                row_labels = rec[label_name] if label_name else None
             else:
                 coords = ds[args.coord][()]
                 feats = ds[args.feat][()]
                 labels = ds["labels"][()]
+                label_name, row_labels = None, None
         check_file(sidecar, coords, feats, labels, f,
-                   args.dataset, args.coord, args.feat)
+                   args.dataset, args.coord, args.feat,
+                   label_name=label_name, row_labels=row_labels)
         n_checked += 1
         print(f"{f.name}: OK")
     print(f"validated {n_checked} combined files")

@@ -298,16 +298,24 @@ def test_superset_rejects_unknown_source_file(tmp_path):
         {0: [["a.h5", [0, 5], 123.0], ["b.h5", [0, 5], 50.0]]}, str(sidecar))
 
 
-def test_shuffle_preserves_label_map(data_dirs, tmp_path):
-    """Combined files store raw label values; the post-shuffle re-init must
-    keep label_map so __getitem__ still remaps them."""
+def test_shuffle_dir_index_labels_not_double_mapped(data_dirs, tmp_path):
+    """Group-layout combined files store FINAL class indices (the directory
+    index), and the unshuffled path never applies label_map to
+    directory-index labels — so the post-shuffle re-init must drop
+    label_map, or training after a shuffle silently remaps/swaps classes
+    relative to training without one."""
     cfg = _config(tmp_path, n_train=40, data_prep="shuffle", shuffled_size=20)
+    unshuffled = PulseDataset2D(_config(tmp_path, n_train=40), "train", 40)
+    unshuffled.info["label_map"] = {0: 1, 1: 0}
+    before = set(np.unique(unshuffled[0].labels))
+    assert before <= {0, 1}  # dir-index labels ignore label_map unshuffled
+
     ds = PulseDataset2D(cfg, "train", 40)
-    ds.info["label_map"] = {0: 5, 1: 6}  # as if label_map had been configured
+    ds.info["label_map"] = {0: 1, 1: 0}  # as if label_map had been configured
     ds.write_shuffled()
-    assert ds.info["label_map"] == {0: 5, 1: 6}
-    block = ds[0]
-    assert set(np.unique(block.labels)) == {5, 6}
+    assert ds.info["label_map"] is None  # dropped: labels already final
+    labels = np.concatenate([ds[i].labels for i in range(len(ds))])
+    assert set(np.unique(labels)) == {0, 1}
 
 
 def test_sort_pattern_mixed_names():

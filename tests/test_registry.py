@@ -117,3 +117,36 @@ def test_softmax_dim_translation_matches_torch():
     theirs_ln = torch.nn.LayerNorm([3, 5])(x_t).detach().numpy()
     np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 2, 1)),
                                theirs_ln, rtol=1e-4, atol=1e-5)
+
+
+def test_layernorm_partial_trailing_axes_match_torch():
+    """torch normalized_shape names trailing axes of the CHANNELS-FIRST
+    activation: LayerNorm(L) on [B, C, L] normalizes samples. On our
+    channels-last [B, L, C] that is axis -2, NOT the trailing channel axis
+    — and LayerNorm([H, W]) on 4D is (-3, -2), not (W, C)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from waveformml_tpu.nn.layers import LayerNorm
+
+    torch.manual_seed(0)
+    x_t = torch.randn(2, 3, 5)                                # [B, C, L]
+    x_j = jnp.asarray(np.transpose(x_t.numpy(), (0, 2, 1)))   # [B, L, C]
+    ln = LayerNorm(normalized_shape=5)
+    vs = ln.init(jax.random.PRNGKey(0), x_j)
+    ours = ln.apply(vs, x_j)
+    theirs = torch.nn.LayerNorm(5)(x_t).detach().numpy()
+    np.testing.assert_allclose(np.transpose(np.asarray(ours), (0, 2, 1)),
+                               theirs, rtol=1e-4, atol=1e-5)
+
+    x4_t = torch.randn(2, 3, 4, 6)                              # [B, C, H, W]
+    x4_j = jnp.asarray(np.transpose(x4_t.numpy(), (0, 2, 3, 1)))  # [B,H,W,C]
+    ln2 = LayerNorm(normalized_shape=[4, 6])
+    vs2 = ln2.init(jax.random.PRNGKey(0), x4_j)
+    ours2 = ln2.apply(vs2, x4_j)
+    theirs2 = torch.nn.LayerNorm([4, 6])(x4_t).detach().numpy()
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours2), (0, 3, 1, 2)), theirs2,
+        rtol=1e-4, atol=1e-5)

@@ -423,3 +423,59 @@ def test_analyze_waveforms_det_type(tmp_path):
              "--type", "det", "-o", str(out))
     assert r.returncode == 0, r.stderr + r.stdout
     assert list(out.glob("*.npz")), r.stdout
+
+
+def test_validate_combined_checks_compound_label_column(tmp_path, rng):
+    """Compound-layout combined files carry the per-row label field; the
+    validator must replay it from the sources and fail on corruption
+    (ref ValidateCombined asserts the merged contents match the sources)."""
+    import h5py
+
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.registry import retrieve_class
+
+    n, n_samples = 30, 8
+    dt = np.dtype([("coord", np.int32, (3,)),
+                   ("waveform", np.float32, (2 * n_samples,)),
+                   ("z", np.float32)])
+    for i, name in enumerate(["A", "B"]):
+        d = tmp_path / "data" / name
+        os.makedirs(d)
+        rec = np.zeros(n, dtype=dt)
+        rec["coord"][:, 0] = rng.integers(0, 14, n)
+        rec["coord"][:, 1] = rng.integers(0, 11, n)
+        rec["coord"][:, 2] = np.sort(rng.integers(0, 10, n))
+        rec["waveform"] = rng.random((n, 2 * n_samples), dtype=np.float32)
+        rec["z"] = rng.random(n, dtype=np.float32) * (i + 1)
+        with h5py.File(str(d / f"f{i}_WaveformPairZSim.h5"), "w") as h5:
+            h5.create_dataset("WaveformPairsWithZ", data=rec)
+            h5["WaveformPairsWithZ"].attrs.create("nevents", np.array([10.0]))
+
+    cfg = Config({
+        "system_config": {"model_name": "m", "n_samples": n_samples,
+                          "model_base_path": str(tmp_path / "model"),
+                          "type_names": ["A", "B"]},
+        "dataset_config": {"base_path": str(tmp_path / "data"),
+                           "paths": ["A", "B"], "data_prep": "shuffle",
+                           "shuffled_size": 10, "dataset_params": {}},
+    })
+    ds = retrieve_class("PulseDataset2DWithZ")(cfg, "train", 20)
+    ds.write_shuffled()
+    r = _run("ValidateCombined.py", ds.data_dir, "--dataset",
+             "WaveformPairsWithZ", "--coord", "coord", "--feat", "waveform")
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "OK" in r.stdout
+
+    # corrupt ONLY the label column of one combined file: must now fail
+    from pathlib import Path
+
+    combined = sorted(Path(ds.data_dir).glob("Combined_*.h5"))[0]
+    with h5py.File(combined, "r+") as h5:
+        rec = h5["WaveformPairsWithZ"][()]
+        rec["z"] = rec["z"][::-1].copy()
+        del h5["WaveformPairsWithZ"]
+        h5.create_dataset("WaveformPairsWithZ", data=rec)
+    r2 = _run("ValidateCombined.py", ds.data_dir, "--dataset",
+              "WaveformPairsWithZ", "--coord", "coord", "--feat", "waveform")
+    assert r2.returncode != 0
+    assert "incorrect labels" in (r2.stderr + r2.stdout)

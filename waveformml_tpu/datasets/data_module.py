@@ -14,8 +14,6 @@ numpy until the trainer pads them to bucketed static shapes and device_puts.
 from __future__ import annotations
 
 import logging
-import queue
-import threading
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -24,6 +22,7 @@ from waveformml_tpu.config import to_dict
 from waveformml_tpu.datasets.hdf5_dataset import FileBlock, HDF5Dataset
 from waveformml_tpu.ops.sparse import consecutive_event_index
 from waveformml_tpu.registry import registry
+from waveformml_tpu.utils.util import prefetch_iter
 
 
 def collate_blocks(blocks: Sequence[FileBlock]) -> FileBlock:
@@ -96,47 +95,11 @@ class DataLoaderLite:
             for b in batches:
                 yield self._load(b)
             return
-        # background-thread prefetch (HDF5 decode overlaps device compute)
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
-        stop = threading.Event()
-
-        def put_or_stop(item) -> bool:
-            # bounded-wait put: a consumer that abandons the iterator (early
-            # stop, exception) sets `stop` but no longer drains the queue; a
-            # plain q.put would block this thread forever, leaking it and its
-            # buffered blocks
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def worker():
-            try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    if not put_or_stop(self._load(b)):
-                        return
-            except BaseException as e:  # propagate into consumer
-                put_or_stop(e)
-            finally:
-                put_or_stop(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+        # background-thread prefetch (HDF5 decode overlaps device compute);
+        # shares util.prefetch_iter's bounded-put worker so the shutdown /
+        # exception-propagation logic lives in exactly one place
+        yield from prefetch_iter((self._load(b) for b in batches),
+                                 depth=self.prefetch_depth)
 
 
 @registry.register("PSDDataModule", aliases=("PSDDataModule.PSDDataModule",))

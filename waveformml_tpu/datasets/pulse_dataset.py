@@ -337,12 +337,15 @@ class PulseDataset(HDF5Dataset):
             fname = f"Combined_{shuffle_length - 1}_{suffix}"
             self._write_shuffled(self.shuffle_queue.pop(), os.path.join(self.data_dir, fname))
         self.log.info("Shuffling finished; re-rooting dataset at %s", self.data_dir)
-        # carry normalize AND label_map through the re-init — the combined
-        # files store raw-scale features and raw (unmapped) label values
-        # (the reference drops both here, PulseDataset.py:530-538, silently
-        # training unnormalized/unmapped after a shuffle; preserved
-        # deliberately as a fix)
-        label_map = self.info.get("label_map")
+        # carry normalize through the re-init — the reference drops it here
+        # (PulseDataset.py:530-538), silently training unnormalized after a
+        # shuffle; preserved deliberately as a fix. label_map carries ONLY
+        # when the combined files store the raw per-row label field
+        # (compound layout): group-layout files store FINAL class indices
+        # (directory index or _get_label output), and re-mapping those would
+        # double-apply the map.
+        raw_labels = bool(self.info["label_name"]) and not self.label_file_pattern
+        label_map = self.info.get("label_map") if raw_labels else None
         if self.info.get("additional_fields"):
             # _write_shuffled emits only coord/feat/label columns, so extras
             # cannot survive a shuffle (same loss in the reference)
@@ -355,7 +358,10 @@ class PulseDataset(HDF5Dataset):
                              self.info["data_name"], self.info["coord_name"],
                              self.info["feat_name"],
                              self.info["events_per_dir"] * self.n_paths,
-                             label_name="labels" if not self.info["label_name"] else self.info["label_name"],
+                             # group-layout combined files always store the
+                             # class index under "labels", whatever the
+                             # source label column was called
+                             label_name=self.info["label_name"] if raw_labels else "labels",
                              data_cache_size=self.info["data_cache_size"],
                              normalize=self.normalize,
                              label_map=label_map,

@@ -199,9 +199,19 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         shape = self.normalized_shape
-        n_axes = 1 if shape is None or isinstance(shape, int) \
+        k = 1 if shape is None or isinstance(shape, int) \
             else max(1, len(tuple(shape)))
-        axes = tuple(range(-n_axes, 0))
+        # torch's normalized_shape names the trailing k axes of the
+        # CHANNELS-FIRST activation [B, C, *S]; these layers run
+        # channels-last [B, *S, C], so translate:
+        #   k == ndim-1 → every non-batch axis (C and all spatial)
+        #   k <  ndim-1 → the last k SPATIAL axes, i.e. skip the trailing
+        #                 channel axis (e.g. LayerNorm(L) after Conv1d
+        #                 normalizes samples, not channels)
+        if k >= x.ndim - 1:
+            axes = tuple(range(-(x.ndim - 1), 0))
+        else:
+            axes = tuple(range(-1 - k, -1))
         return nn.LayerNorm(epsilon=self.eps, dtype=x.dtype,
                             reduction_axes=axes, feature_axes=axes)(x)
 
