@@ -279,3 +279,351 @@ def test_sgconv_golden():
 
     np.testing.assert_allclose(_apply(layer, v, X, e, mask), expect,
                                rtol=0, atol=1e-5)
+
+
+# -- round-3 extension: golden tests for the REMAINING conv indices ------------------
+# (ref: src/models/GraphNet.py:279-315 — indices 2,4,5,6,7,8,11,13,14,15,17
+# plus GINE; every selectable conv type now has a pinned-value oracle)
+
+
+def _leaky(v, slope=0.2):
+    return np.where(v > 0, v, slope * v)
+
+
+def test_graphconv_golden():
+    """PyG GraphConv docs: x'_i = W1 x_i + W2 Σ_{j∈N(i)} e_ji · x_j
+    (aggr='add'; lin_rel carries the bias, lin_root is bias-free)."""
+    from waveformml_tpu.models.graph_layers import GraphConv
+
+    layer = GraphConv(F_IN, F_OUT)
+    e, mask, attr = _with_junk(EDGES, EDGE_ATTR)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask),
+                        edge_attr=jnp.asarray(attr)))
+    Wrel = np.asarray(v["params"]["lin_rel"]["kernel"])
+    brel = np.asarray(v["params"]["lin_rel"]["bias"])
+    Wroot = np.asarray(v["params"]["lin_root"]["kernel"])
+
+    w = EDGE_ATTR[:, 0]
+    expect = np.zeros((N, F_OUT))
+    for i in range(N):
+        agg = np.zeros(F_IN)
+        for k in range(EDGES.shape[1]):
+            if int(EDGES[1, k]) == i:
+                agg += w[k] * X[int(EDGES[0, k])]
+        expect[i] = agg @ Wrel + brel + X[i] @ Wroot
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask, attr), expect,
+                               rtol=0, atol=1e-5)
+
+
+def test_gatv2_golden():
+    """PyG GATv2Conv docs (heads=1): self-loops by default,
+    α_ij = softmax_j a·LeakyReLU(W_l x_j + W_r x_i),
+    x'_i = Σ_{j∈N(i)∪{i}} α_ij W_l x_j + b; unlike GAT, the linears carry
+    biases and the attention vector is applied AFTER the nonlinearity."""
+    from waveformml_tpu.models.graph_layers import GATv2Conv
+
+    layer = GATv2Conv(F_IN, F_OUT)
+    e, mask, _ = _with_junk(EDGES)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask)))
+    Wl = np.asarray(v["params"]["lin_l"]["kernel"])
+    bl = np.asarray(v["params"]["lin_l"]["bias"])
+    Wr = np.asarray(v["params"]["lin_r"]["kernel"])
+    br = np.asarray(v["params"]["lin_r"]["bias"])
+    att = np.asarray(v["params"]["att"]).reshape(F_OUT)
+    bias = np.asarray(v["params"]["bias"])
+
+    hl = X @ Wl + bl
+    hr = X @ Wr + br
+    expect = np.zeros((N, F_OUT))
+    for i in range(N):
+        nbrs = _incoming(i, EDGES) + [i]  # self-loop
+        logits = np.array([_leaky(hl[j] + hr[i]) @ att for j in nbrs])
+        alpha = np.exp(logits - logits.max())
+        alpha /= alpha.sum()
+        expect[i] = sum(a * hl[j] for a, j in zip(alpha, nbrs)) + bias
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask), expect,
+                               rtol=0, atol=1e-5)
+
+
+def test_transformer_golden():
+    """PyG TransformerConv docs (heads=1): α_ij = softmax_j
+    (W_q x_i)·(W_k x_j + W_e e_ij)/√d, x'_i = W_skip x_i +
+    Σ_j α_ij (W_v x_j + W_e e_ij) (root_weight=True default; edge
+    projection added to BOTH key and value)."""
+    from waveformml_tpu.models.graph_layers import TransformerConv
+
+    layer = TransformerConv(F_IN, F_OUT, edge_dim=2)
+    e, mask, attr = _with_junk(EDGES, EDGE_ATTR)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask),
+                        edge_attr=jnp.asarray(attr)))
+    P = v["params"]
+    q = X @ np.asarray(P["q"]["kernel"]) + np.asarray(P["q"]["bias"])
+    k = X @ np.asarray(P["k"]["kernel"]) + np.asarray(P["k"]["bias"])
+    val = X @ np.asarray(P["v"]["kernel"]) + np.asarray(P["v"]["bias"])
+    eproj = EDGE_ATTR @ np.asarray(P["edge"]["kernel"]) + \
+        np.asarray(P["edge"]["bias"])
+    skip = X @ np.asarray(P["skip"]["kernel"]) + np.asarray(P["skip"]["bias"])
+
+    expect = np.zeros((N, F_OUT))
+    for i in range(N):
+        eids = [kk for kk in range(EDGES.shape[1]) if int(EDGES[1, kk]) == i]
+        if not eids:
+            expect[i] = skip[i]
+            continue
+        logits = np.array([q[i] @ (k[int(EDGES[0, kk])] + eproj[kk])
+                           for kk in eids]) / np.sqrt(F_OUT)
+        alpha = np.exp(logits - logits.max())
+        alpha /= alpha.sum()
+        expect[i] = skip[i] + sum(
+            a * (val[int(EDGES[0, kk])] + eproj[kk])
+            for a, kk in zip(alpha, eids))
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask, attr), expect,
+                               rtol=0, atol=1e-5)
+
+
+def test_tag_golden():
+    """PyG TAGConv docs: X' = Σ_{k=0}^K (D^{-1/2} A D^{-1/2})^k X Θ_k + b
+    (gcn_norm WITHOUT self-loops — the k=0 term is the identity; bias-free
+    per-hop linears plus one shared bias)."""
+    from waveformml_tpu.models.graph_layers import TAGConv
+
+    layer = TAGConv(F_IN, F_OUT, K=2)
+    e, mask, _ = _with_junk(EDGES)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask)))
+    P = v["params"]
+
+    A = np.zeros((N, N))
+    for s, d in zip(EDGES[0], EDGES[1]):
+        A[int(d), int(s)] += 1.0
+    deg = A.sum(1)  # in-degree, the impl's segment_sum over targets
+    dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    norm = A * dinv[:, None] * dinv[None, :]
+    expect = X @ np.asarray(P["lin_0"]["kernel"])
+    h = X
+    for kk in (1, 2):
+        h = norm @ h
+        expect = expect + h @ np.asarray(P[f"lin_{kk}"]["kernel"])
+    expect = expect + np.asarray(P["bias"])
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask), expect,
+                               rtol=0, atol=1e-5)
+
+
+class _Lin2(nn.Module):
+    feat: int
+
+    @nn.compact
+    def __call__(self, z, train=False):
+        return nn.Dense(self.feat, name="d")(z)
+
+
+def test_gin_golden():
+    """PyG GINConv docs: x'_i = h_Θ((1 + ε) x_i + Σ_{j∈N(i)} x_j)."""
+    from waveformml_tpu.models.graph_layers import GINConv
+
+    layer = GINConv(net=_Lin2(F_OUT), eps=0.3)
+    e, mask, _ = _with_junk(EDGES)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask)))
+    W = np.asarray(v["params"]["net"]["d"]["kernel"])
+    b = np.asarray(v["params"]["net"]["d"]["bias"])
+
+    expect = np.zeros((N, F_OUT))
+    for i in range(N):
+        agg = sum((X[j] for j in _incoming(i, EDGES)), np.zeros(F_IN))
+        expect[i] = (1.3 * X[i] + agg) @ W + b
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask), expect,
+                               rtol=0, atol=1e-5)
+
+
+def test_gine_golden():
+    """PyG GINEConv docs: x'_i = h_Θ((1 + ε) x_i +
+    Σ_{j∈N(i)} ReLU(x_j + W_e e_ij)) — edge attrs projected to the node
+    width then added before the ReLU."""
+    from waveformml_tpu.models.graph_layers import GINEConv
+
+    layer = GINEConv(net=_Lin2(F_OUT), edge_dim=2, eps=0.1)
+    e, mask, attr = _with_junk(EDGES, EDGE_ATTR)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask),
+                        edge_attr=jnp.asarray(attr)))
+    We = np.asarray(v["params"]["edge_proj"]["kernel"])
+    be = np.asarray(v["params"]["edge_proj"]["bias"])
+    W = np.asarray(v["params"]["net"]["d"]["kernel"])
+    b = np.asarray(v["params"]["net"]["d"]["bias"])
+
+    expect = np.zeros((N, F_OUT))
+    for i in range(N):
+        agg = np.zeros(F_IN)
+        for kk in range(EDGES.shape[1]):
+            if int(EDGES[1, kk]) == i:
+                agg += np.maximum(X[int(EDGES[0, kk])]
+                                  + EDGE_ATTR[kk] @ We + be, 0)
+        expect[i] = (1.1 * X[i] + agg) @ W + b
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask, attr), expect,
+                               rtol=0, atol=1e-5)
+
+
+def test_arma_golden():
+    """PyG ARMAConv docs (num_stacks=1, num_layers=1): x' =
+    σ(L̂ x V + x W) with L̂ = D^{-1/2} A D^{-1/2} (no self-loops),
+    σ = ReLU default."""
+    from waveformml_tpu.models.graph_layers import ARMAConv
+
+    layer = ARMAConv(F_IN, F_OUT, num_layers=1)
+    e, mask, _ = _with_junk(EDGES)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask)))
+    P = v["params"]
+    A = np.zeros((N, N))
+    for s, d in zip(EDGES[0], EDGES[1]):
+        A[int(d), int(s)] += 1.0
+    deg = A.sum(1)
+    dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    norm = A * dinv[:, None] * dinv[None, :]
+    prop = norm @ X
+    expect = np.maximum(
+        prop @ np.asarray(P["V_0"]["kernel"]) + np.asarray(P["V_0"]["bias"])
+        + X @ np.asarray(P["W_0"]["kernel"]) + np.asarray(P["W_0"]["bias"]),
+        0)
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask), expect,
+                               rtol=0, atol=1e-5)
+
+
+def test_film_golden():
+    """PyG FiLMConv docs (num_relations=1): x'_i =
+    σ(γ_s,i ⊙ W_s x_i + β_s,i) + mean_{j∈N(i)} σ(γ_i ⊙ W x_j + β_i)
+    with (β, γ) = g(x_i) split in that order, σ = ReLU, bias-free W."""
+    from waveformml_tpu.models.graph_layers import FiLMConv
+
+    layer = FiLMConv(F_IN, F_OUT)
+    e, mask, _ = _with_junk(EDGES)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask)))
+    P = v["params"]
+    fb = X @ np.asarray(P["film"]["kernel"]) + np.asarray(P["film"]["bias"])
+    beta, gamma = fb[:, :F_OUT], fb[:, F_OUT:]
+    msg = X @ np.asarray(P["lin"]["kernel"])
+    fs = X @ np.asarray(P["film_skip"]["kernel"]) + \
+        np.asarray(P["film_skip"]["bias"])
+    beta_s, gamma_s = fs[:, :F_OUT], fs[:, F_OUT:]
+    skip = np.maximum(gamma_s * (X @ np.asarray(P["lin_skip"]["kernel"]))
+                      + beta_s, 0)
+
+    expect = np.zeros((N, F_OUT))
+    for i in range(N):
+        nbrs = _incoming(i, EDGES)
+        mod = [np.maximum(gamma[i] * msg[j] + beta[i], 0) for j in nbrs]
+        expect[i] = (np.mean(mod, axis=0) if mod else 0) + skip[i]
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask), expect,
+                               rtol=0, atol=1e-5)
+
+
+def test_feast_golden():
+    """PyG FeaStConv docs: x'_i = 1/|N(i)| Σ_{j∈N(i)} Σ_h q_h W_h x_j with
+    q = softmax(u(x_j − x_i) + c), self-loops added by default
+    (add_self_loops=True; for them q = softmax(c))."""
+    from waveformml_tpu.models.graph_layers import FeaStConv
+
+    H = 2
+    layer = FeaStConv(F_IN, F_OUT, heads=H)
+    e, mask, _ = _with_junk(EDGES)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask)))
+    P = v["params"]
+    Wu = np.asarray(P["u"]["kernel"])
+    bu = np.asarray(P["u"]["bias"])
+    Wl = np.asarray(P["lin"]["kernel"]).reshape(F_IN, H, F_OUT)
+    bias = np.asarray(P["bias"])
+
+    def softmax(z):
+        z = np.exp(z - z.max())
+        return z / z.sum()
+
+    expect = np.zeros((N, F_OUT))
+    for i in range(N):
+        nbrs = _incoming(i, EDGES) + [i]  # self-loop
+        acc = np.zeros(F_OUT)
+        for j in nbrs:
+            q = softmax((X[j] - X[i]) @ Wu + bu)
+            hj = np.einsum("f,fhc->hc", X[j], Wl)
+            acc += (q[:, None] * hj).sum(0)
+        expect[i] = acc / len(nbrs) + bias
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask), expect,
+                               rtol=0, atol=1e-5)
+
+
+def test_le_golden():
+    """PyG LEConv docs: x'_i = W1 x_i + Σ_{j∈N(i)} e_ji (W2 x_i − W3 x_j)
+    (aggr='add')."""
+    from waveformml_tpu.models.graph_layers import LEConv
+
+    layer = LEConv(F_IN, F_OUT)
+    e, mask, attr = _with_junk(EDGES, EDGE_ATTR)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask),
+                        edge_attr=jnp.asarray(attr)))
+    P = v["params"]
+    h1 = X @ np.asarray(P["lin1"]["kernel"]) + np.asarray(P["lin1"]["bias"])
+    h2 = X @ np.asarray(P["lin2"]["kernel"]) + np.asarray(P["lin2"]["bias"])
+    h3 = X @ np.asarray(P["lin3"]["kernel"]) + np.asarray(P["lin3"]["bias"])
+
+    w = EDGE_ATTR[:, 0]
+    expect = h1.copy()
+    for kk in range(EDGES.shape[1]):
+        s, d = int(EDGES[0, kk]), int(EDGES[1, kk])
+        expect[d] += w[kk] * (h2[d] - h3[s])
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask, attr), expect,
+                               rtol=0, atol=1e-5)
+
+
+def test_clustergcn_golden():
+    """PyG ClusterGCNConv docs: X' = (Ã + λ diag(Ã)) X W, Ã = D̂^{-1} Â,
+    Â = A + I — out_i = [Σ_{j∈N(i)} x_j + (1 + λ) x_i] / (deg_i + 1)."""
+    from waveformml_tpu.models.graph_layers import ClusterGCNConv
+
+    lam = 0.7
+    layer = ClusterGCNConv(F_IN, F_OUT, diag_lambda=lam)
+    e, mask, _ = _with_junk(EDGES)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask)))
+    W = np.asarray(v["params"]["lin"]["kernel"])
+    b = np.asarray(v["params"]["lin"]["bias"])
+
+    expect = np.zeros((N, F_OUT))
+    for i in range(N):
+        nbrs = _incoming(i, EDGES)
+        agg = (sum((X[j] for j in nbrs), np.zeros(F_IN))
+               + (1 + lam) * X[i]) / (len(nbrs) + 1)
+        expect[i] = agg @ W + b
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask), expect,
+                               rtol=0, atol=1e-5)
+
+
+def test_supergat_inference_matches_gat():
+    """PyG SuperGATConv: the self-supervised attention loss only exists at
+    training; the inference-time propagation rule is GATConv's (ref
+    GraphNet.py selects index 17 for eval too)."""
+    from waveformml_tpu.models.graph_layers import GATConv, SuperGATConv
+
+    e, mask, _ = _with_junk(EDGES)
+    sg = SuperGATConv(F_IN, F_OUT)
+    v = _pin(sg.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                     jnp.asarray(e), jnp.asarray(mask)))
+    gat = GATConv(F_IN, F_OUT)
+    np.testing.assert_allclose(_apply(sg, v, X, e, mask),
+                               _apply(gat, v, X, e, mask), rtol=0, atol=0)

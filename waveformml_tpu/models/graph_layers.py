@@ -131,8 +131,10 @@ class GraphConv(nn.Module):
             ew = edge_attr if edge_attr.ndim == 1 else edge_attr[:, 0]
             msg = msg * ew[:, None]
         agg = segment_sum(msg, edges[1], n, edge_mask)
+        # PyG GraphConv: lin_rel (neighbors) carries the bias, lin_root is
+        # bias-free
         return nn.Dense(self.out_channels, name="lin_rel")(agg) + \
-            nn.Dense(self.out_channels, name="lin_root")(x)
+            nn.Dense(self.out_channels, use_bias=False, name="lin_root")(x)
 
 
 class GATConv(nn.Module):
@@ -177,8 +179,9 @@ class GATv2Conv(nn.Module):
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
         n = x.shape[0]
         H, C = self.heads, self.out_channels
-        hl = nn.Dense(H * C, use_bias=False, name="lin_l")(x).reshape(n, H, C)
-        hr = nn.Dense(H * C, use_bias=False, name="lin_r")(x).reshape(n, H, C)
+        # unlike GATConv, PyG's GATv2Conv linear layers carry biases
+        hl = nn.Dense(H * C, name="lin_l")(x).reshape(n, H, C)
+        hr = nn.Dense(H * C, name="lin_r")(x).reshape(n, H, C)
         if self.with_self_loops:
             edges, edge_mask, _ = add_self_loops(edges, edge_mask, n)
         att = self.param("att", nn.initializers.glorot_uniform(), (H, C))
@@ -229,12 +232,17 @@ class TAGConv(nn.Module):
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
         n = x.shape[0]
         coeff = _sym_norm(edges, edge_mask, n)
-        out = nn.Dense(self.out_channels, name="lin_0")(x)
+        # PyG TAGConv: K+1 bias-free linears over the powers of the
+        # normalized adjacency (no self-loops: the k=0 term is the
+        # identity), plus ONE shared output bias
+        out = nn.Dense(self.out_channels, use_bias=False, name="lin_0")(x)
         h = x
         for k in range(1, self.K + 1):
             h = segment_sum(h[edges[0]] * coeff[:, None], edges[1], n, edge_mask)
-            out = out + nn.Dense(self.out_channels, name=f"lin_{k}")(h)
-        return out
+            out = out + nn.Dense(self.out_channels, use_bias=False,
+                                 name=f"lin_{k}")(h)
+        return out + self.param("bias", nn.initializers.zeros,
+                                (self.out_channels,))
 
 
 class GINConv(nn.Module):
@@ -346,7 +354,11 @@ class GMMConv(nn.Module):
 
 
 class FiLMConv(nn.Module):
-    """(index 11) feature-wise linear modulation of messages by the target."""
+    """(index 11) PyG FiLMConv (num_relations=1): messages are FiLM-modulated
+    by the target, x'_i = σ(γ_s,i ⊙ W_s x_i + β_s,i)
+    + mean_{j∈N(i)} σ(γ_i ⊙ W x_j + β_i), where (β, γ) = g(x_i) and the skip
+    ("self") relation is modulated by its own film_skip — not a plain linear.
+    σ = ReLU (PyG default act); film splits (β, γ) in PyG's order."""
 
     in_channels: int
     out_channels: int
@@ -354,12 +366,17 @@ class FiLMConv(nn.Module):
     @nn.compact
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
         n = x.shape[0]
-        gamma_beta = nn.Dense(2 * self.out_channels, name="film")(x)
-        gamma, beta = jnp.split(gamma_beta, 2, axis=-1)
+        beta, gamma = jnp.split(
+            nn.Dense(2 * self.out_channels, name="film")(x), 2, axis=-1)
         msg = nn.Dense(self.out_channels, use_bias=False, name="lin")(x)
         mod = jax.nn.relu(gamma[edges[1]] * msg[edges[0]] + beta[edges[1]])
         agg = segment_mean(mod, edges[1], n, edge_mask)
-        return agg + nn.Dense(self.out_channels, name="lin_skip")(x)
+        beta_s, gamma_s = jnp.split(
+            nn.Dense(2 * self.out_channels, name="film_skip")(x), 2, axis=-1)
+        skip = jax.nn.relu(
+            gamma_s * nn.Dense(self.out_channels, use_bias=False,
+                               name="lin_skip")(x) + beta_s)
+        return agg + skip
 
 
 class EdgeConv(nn.Module):
@@ -377,16 +394,21 @@ class EdgeConv(nn.Module):
 
 
 class FeaStConv(nn.Module):
-    """(index 13) feature-steered conv: soft assignment over H weight heads."""
+    """(index 13) PyG FeaStConv: x'_i = 1/|N(i)| Σ_{j∈N(i)} Σ_h
+    q_h(x_i, x_j) W_h x_j with q = softmax(u(x_j − x_i) + c); self-loops
+    added by default (add_self_loops=True), where q reduces to softmax(c)."""
 
     in_channels: int
     out_channels: int
     heads: int = 4
+    with_self_loops: bool = True
 
     @nn.compact
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
         n = x.shape[0]
         H = self.heads
+        if self.with_self_loops:
+            edges, edge_mask, _ = add_self_loops(edges, edge_mask, n)
         u = nn.Dense(H, name="u")
         q = jax.nn.softmax(u(x[edges[0]] - x[edges[1]]), axis=-1)     # [E, H]
         h = nn.Dense(H * self.out_channels, use_bias=False,
@@ -416,7 +438,9 @@ class LEConv(nn.Module):
 
 
 class ClusterGCNConv(nn.Module):
-    """(index 15) D^-1(A + λ·diag) aggregation."""
+    """(index 15) Cluster-GCN normalization (PyG ClusterGCNConv):
+    X' = (Ã + λ diag(Ã)) X W with Ã = D̂^{-1} Â, Â = A + I — i.e.
+    out_i = [Σ_{j∈N(i)} x_j + (1 + λ) x_i] / (deg_i + 1), then lin."""
 
     in_channels: int
     out_channels: int
@@ -425,8 +449,12 @@ class ClusterGCNConv(nn.Module):
     @nn.compact
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
         n = x.shape[0]
+        edges, edge_mask, _ = add_self_loops(edges, edge_mask, n)
         agg = segment_mean(x[edges[0]], edges[1], n, edge_mask)
-        agg = agg + self.diag_lambda * x
+        # diag(Ã)_ii = 1/deĝ_i: recover it from the mean's own denominator
+        deg = segment_sum(jnp.ones((edges.shape[1], 1), x.dtype), edges[1],
+                          n, edge_mask)
+        agg = agg + self.diag_lambda * x / jnp.maximum(deg, 1)
         return nn.Dense(self.out_channels, name="lin")(agg)
 
 
