@@ -582,3 +582,38 @@ def test_z_evaluator_phys_baseline_fills_single_ended(rng):
     assert out[0, 4, 4] == pytest.approx(0.2)
     assert out[0, 6, 6] == pytest.approx(0.4)
     assert out[0, 5, 5] == pytest.approx(0.3)  # neighbor mean, NOT the 0.5
+
+
+def test_waveform_evaluator_pid_classes_and_any_allz(rng):
+    """With PID classes active, the per-z-bin aggregators use the PID class
+    names but the trailing all-z aggregate is single-category \"any\"
+    (ref WaveformEvaluator.py:45-67) — analyze_wf_z must not crash feeding
+    it, and wf_analysis=False must DISABLE analysis (value check, not the
+    reference's key-presence quirk)."""
+    from waveformml_tpu.evaluation.waveform_eval import WaveformEvaluator
+
+    assert not WaveformEvaluator(
+        FakeLogger(), wf_analysis=False).analyze_waveforms
+
+    logger = FakeLogger()
+    ev = WaveformEvaluator(logger, wf_analysis=True,
+                           additional_field_names=["PID"])
+    assert ev.has_PID
+    N, S = 24, 16
+    wf = np.zeros((N, 2 * S), np.float32)
+    t = np.arange(S)
+    for i in range(N):
+        shape = np.where(t >= 3, np.exp(-(t - 3) / 3.0), 0.0)
+        wf[i, :S] = wf[i, S:] = shape * 0.005
+    c = np.stack([rng.integers(0, NX, N), rng.integers(0, NY, N),
+                  np.arange(N)], axis=1).astype(np.int32)
+    z = rng.uniform(-590, 590, N)
+    # already-mapped class indices including 3 (Ingress) so the
+    # reference-verbatim '3 in raw' heuristic keeps them as-is
+    pid = rng.integers(0, 5, N).astype(np.int64)
+    pid[0] = 3
+    ev.analyze_wf_z(wf, c, z, z + 10.0, additional_fields=[pid])
+    allz = ev.z_binned_metric_pairs[-1].aggregators[0]
+    assert allz.count[0].sum() == 2 * N  # "any" fed both PMT sides
+    ev.dump_wf_z()
+    assert any(k.startswith("allz_") for k in logger.figures)

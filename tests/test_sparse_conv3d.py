@@ -316,3 +316,21 @@ def test_pulse_dataset_3d_trainer_fit(rng, tmp_path):
     metrics = trainer.fit(PSDDataModule(cfg))
     assert math.isfinite(metrics["train_loss"])
     assert "val_loss" in metrics
+
+
+def test_even_kernel_3d_rejected():
+    """The row-space custom VJP reuses a k-reversed plan for d_feats, which
+    is only valid for odd (negation-symmetric) windows; the 3D plan builder
+    must reject even k like the 2D one instead of silently corrupting
+    gradients."""
+    import pytest
+
+    from waveformml_tpu.ops.row_conv import build_neighbor_plan_3d
+    from waveformml_tpu.ops.sparse import SparseBatch
+
+    c = np.array([[0, 0, 0, 0], [1, 1, 1, 0]], np.int32)
+    f = np.ones((2, 3), np.float32)
+    m = np.ones(2, bool)
+    batch = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), 1)
+    with pytest.raises(ValueError, match="odd kernel"):
+        build_neighbor_plan_3d(batch, kernel_size=2, n_t=4)

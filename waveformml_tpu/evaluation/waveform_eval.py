@@ -46,7 +46,9 @@ class WaveformEvaluator(SingleEndedEvaluator):
         self.first_n = np.zeros(N_Z_BINS)
         # z-binned first-sample z-MAE metric pairs (ref :22-67): built only
         # when waveform analysis is requested, as in the reference
-        self.analyze_waveforms = "wf_analysis" in kwargs
+        # truthy VALUE check (the reference tests key presence, ref :23, so
+        # wf_analysis=False would ENABLE analysis there — quirk fixed)
+        self.analyze_waveforms = bool(kwargs.get("wf_analysis"))
         self.has_PID = False
         names = kwargs.get("additional_field_names") or []
         self.additional_field_names = list(names)
@@ -70,9 +72,13 @@ class WaveformEvaluator(SingleEndedEvaluator):
         else:
             class_names = ["any"]
         self.z_binned_metric_pairs = []
-        for _ in range(N_Z_BINS + 3):            # +2 under/over, +1 all-z
+        for zi in range(N_Z_BINS + 3):           # +2 under/over, +1 all-z
+            # the trailing ALL-z aggregate is always single-category "any"
+            # (ref :58-67 builds it with ["any"] even when PID classes are
+            # active; analyze_wf_z feeds it category "any", ref :101-102)
+            names = ["any"] if zi == N_Z_BINS + 2 else class_names
             metrics = [MetricAggregator(
-                f"sample {i}", 1.0e-6, 0.01 * (i + 1), 100, class_names,
+                f"sample {i}", 1.0e-6, 0.01 * (i + 1), 100, names,
                 metric_name="z", metric_unit="mae",
                 parameter_unit="normalized ADC") for i in range(N_FIRST)]
             self.z_binned_metric_pairs.append(MetricPairAggregator(metrics))
@@ -119,6 +125,10 @@ class WaveformEvaluator(SingleEndedEvaluator):
                                                             map_pid)
 
             raw = np.asarray(additional_fields[self.PID_index])
+            # reference-verbatim heuristic (ref :88-93): a batch containing
+            # class 3 (Ingress) is assumed already-mapped; note this can
+            # re-map an already-mapped batch that happens to hold no
+            # Ingress rows — kept for baseline parity
             class_indices = raw if 3 in raw else map_pid(raw)
             cat_of = dict(PID_MAPPED_NAMES)
         else:

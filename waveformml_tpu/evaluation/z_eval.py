@@ -16,6 +16,7 @@ from waveformml_tpu.evaluation.ad1 import SingleEndedEvaluator
 from waveformml_tpu.evaluation.metric_agg import MetricAggregator
 from waveformml_tpu.evaluation.stats import ErrorAggregator
 from waveformml_tpu.ops.calibration import calc_calib_z_E
+from waveformml_tpu.ops.dsp import get_bin_index
 from waveformml_tpu.ops.sparse import consecutive_event_index
 from waveformml_tpu.utils.util import get_bin_midpoints, get_bins, safe_divide
 
@@ -24,15 +25,9 @@ NMULT_REF = 6          # ref ZEvaluatorBase.nmult (ZEvaluator.py:29)
 SAMPLE_SEGS = np.array([[5, 4], [10, 3], [7, 5]], dtype=np.int64)  # ref :93
 
 
-def _bin_index(v: np.ndarray, low: float, high: float, n: int) -> np.ndarray:
-    """Reference binning: 0 = underflow, n+1 = overflow, interior 1..n with
-    exact-edge values going to the upper bin (ref SparseUtils.py:1275-1284)."""
-    bw = (high - low) / n
-    idx = np.floor((np.asarray(v, np.float64) - low) / bw).astype(np.int64) + 1
-    idx = np.clip(idx, 1, n)
-    idx = np.where(v < low, 0, idx)
-    idx = np.where(v >= high, n + 1, idx)
-    return idx
+# reference binning (0 = underflow, n+1 = overflow, exact edges promote):
+# one implementation in ops.dsp, shared here (ref SparseUtils.py:1275-1284)
+_bin_index = get_bin_index
 
 
 class ZDeviationAccumulator:

@@ -26,6 +26,19 @@ from waveformml_tpu.ops.dsp import (
     lin_interp, lin_interp_inverse, match_peaks, strip_sentinel, sum_range)
 
 
+def _fdiv(a: float, b: float) -> float:
+    """C/numba float division: a zero denominator yields ±inf (nan for 0/0)
+    instead of Python's ZeroDivisionError. The reference's numba kernels run
+    nopython with exactly these semantics (SparseUtils.py), so an event at a
+    segment with no calibration curve produces an inf/nan energy that flows
+    into the overflow bins — never a crash that aborts the evaluator."""
+    if b != 0.0:
+        return a / b
+    if a == 0.0:
+        return float("nan")
+    return float("inf") if a > 0 else float("-inf")
+
+
 @dataclass
 class CalibrationTables:
     """Per-segment calibration arrays (see evaluation.calibrator.Calibrator).
@@ -83,7 +96,7 @@ def peak_to_z_parts(wf, m0, m1, x, y, cal: CalibrationTables, n_samples: int
     L = [calc_size(wf[:n_samples], m0) * cal.gain_factors[x, y, 0],
          calc_size(wf[n_samples:], m1) * cal.gain_factors[x, y, 1]]
     if L[0] == 0 or L[1] == 0:
-        E0 = (L[0] + L[1]) / lin_interp(cal.light_sum_curves[x, y], 0.0)
+        E0 = _fdiv(L[0] + L[1], lin_interp(cal.light_sum_curves[x, y], 0.0))
         return 0.0, E0, tpos, 0.0
     PE = [L[0] * cal.eres[x, y, 0], L[1] * cal.eres[x, y, 1]]
     # a culled window summing negative (baseline noise) makes the ratio
@@ -101,7 +114,7 @@ def peak_to_z_parts(wf, m0, m1, x, y, cal: CalibrationTables, n_samples: int
     tweight = 1.0 / (60 * 60)
     z = (Rweight * Rpos + tweight * tpos) / (Rweight + tweight)
     z = max(-650.0, min(650.0, z))
-    E = (PE[0] + PE[1]) / lin_interp(cal.light_sum_curves[x, y], z)
+    E = _fdiv(PE[0] + PE[1], lin_interp(cal.light_sum_curves[x, y], z))
     return z, E, tpos, Rpos
 
 
@@ -120,7 +133,7 @@ def z_from_total_light(wf, x, y, cal: CalibrationTables, n_samples: int
          sum_range(wf[n_samples:], 0, n_samples - 1) * cal.gain_factors[x, y, 1]]
     if L[0] == 0 or L[1] == 0:
         return 0.0, 1.0 / 100000.0, \
-            (L[0] + L[1]) / lin_interp(cal.light_sum_curves[x, y], 0.0)
+            _fdiv(L[0] + L[1], lin_interp(cal.light_sum_curves[x, y], 0.0))
     PE = [L[0] * cal.eres[x, y, 0], L[1] * cal.eres[x, y, 1]]
     ratio = L[1] / L[0]  # see peak_to_z_parts: math.log raises on <= 0
     validratio = ratio > 0
@@ -132,7 +145,7 @@ def z_from_total_light(wf, x, y, cal: CalibrationTables, n_samples: int
                 - lin_interp(cal.light_pos_curves[x, y], R - 0.5 * dR)) \
         if validratio else 0.0
     Rweight = 1.0 / (dRpos * dRpos) if dRpos > 0 else 0.0
-    E = (PE[0] + PE[1]) / lin_interp(cal.light_sum_curves[x, y], z)
+    E = _fdiv(PE[0] + PE[1], lin_interp(cal.light_sum_curves[x, y], z))
     return z, Rweight, E
 
 
@@ -184,7 +197,7 @@ def calc_calib_z_E(coordinates: np.ndarray, waveforms: np.ndarray,
             L = sum_range(wf[n_samples * r: n_samples + n_samples * r],
                           0, n_samples - 1) * cal.gain_factors[x, y, r]
             PE = L * cal.eres[x, y, r]
-            E_out[b, x, y] = PE / lin_interp(cal.light_sum_curves[x, y], 0)
+            E_out[b, x, y] = _fdiv(PE, lin_interp(cal.light_sum_curves[x, y], 0))
             continue
         peaks0 = np.sort(peaks0)
         peaks1 = np.sort(peaks1)
@@ -198,13 +211,13 @@ def calc_calib_z_E(coordinates: np.ndarray, waveforms: np.ndarray,
                 zdt_weighted += pzdt * pE
                 zlight_weighted += pzlight * pE
                 total += pE
-            z_out[b, x, y] = (z_weighted / total) / z_scale + 0.5
+            z_out[b, x, y] = _fdiv(z_weighted, total) / z_scale + 0.5
             E_out[b, x, y] = total
             if sep:
                 z_dt_out[b, x, y] = max(-650.0, min(
-                    650.0, zdt_weighted / total)) / z_scale + 0.5
+                    650.0, _fdiv(zdt_weighted, total))) / z_scale + 0.5
                 z_light_out[b, x, y] = max(-650.0, min(
-                    650.0, zlight_weighted / total)) / z_scale + 0.5
+                    650.0, _fdiv(zlight_weighted, total))) / z_scale + 0.5
         else:
             z_weighted, total = 0.0, 0.0
             if peaks0.shape[0] < peaks1.shape[0]:
@@ -219,7 +232,7 @@ def calc_calib_z_E(coordinates: np.ndarray, waveforms: np.ndarray,
                 pdt, parea = peak_to_dt(wf, m0, m1, x, y, cal, n_samples)
                 z_weighted += pdt * parea
                 total += parea
-            z_dt = z_weighted / total
+            z_dt = _fdiv(z_weighted, total)
             z, E = z_dt_to_z(wf, z_dt, x, y, cal, n_samples)
             z_out[b, x, y] = z / z_scale + 0.5
             E_out[b, x, y] = E
@@ -254,12 +267,12 @@ def E_basic_prediction_dense(E: np.ndarray, z: np.ndarray, blind_detl, blind_det
                     logR = lin_interp_inverse(light_pos_curves[x, y], z[b, x, y])
                     if blind_detl[x, y] == 1:
                         P0 = E[b, 2, x, y] / exp(logR)
-                        pred[b, x, y] = (P0 + E[b, 2, x, y]) / lin_interp(
-                            light_sum_curves[x, y], z[b, x, y])
+                        pred[b, x, y] = _fdiv(P0 + E[b, 2, x, y], lin_interp(
+                            light_sum_curves[x, y], z[b, x, y]))
                     else:
                         P1 = E[b, 1, x, y] * exp(logR)
-                        pred[b, x, y] = (E[b, 1, x, y] + P1) / lin_interp(
-                            light_sum_curves[x, y], z[b, x, y])
+                        pred[b, x, y] = _fdiv(E[b, 1, x, y] + P1, lin_interp(
+                            light_sum_curves[x, y], z[b, x, y]))
                 else:
                     pred[b, x, y] = E[b, 0, x, y]
 
@@ -275,10 +288,10 @@ def E_basic_prediction(coo, E, PE0, PE1, z, seg_status, light_pos_curves,
             logR = lin_interp_inverse(light_pos_curves[x, y], z[i])
             if PE0[i] == 0:
                 P0 = PE1[i] / exp(logR)
-                pred[i] = (P0 + PE1[i]) / lin_interp(light_sum_curves[x, y], z[i])
+                pred[i] = _fdiv(P0 + PE1[i], lin_interp(light_sum_curves[x, y], z[i]))
             else:
                 P1 = PE0[i] * exp(logR)
-                pred[i] = (PE0[i] + P1) / lin_interp(light_sum_curves[x, y], z[i])
+                pred[i] = _fdiv(PE0[i] + P1, lin_interp(light_sum_curves[x, y], z[i]))
         else:
             pred[i] = E[i]
 
@@ -289,16 +302,21 @@ def z_basic_prediction(coo: np.ndarray, feat: np.ndarray, pred: np.ndarray) -> N
     ref :1124-1154, deliberately differs from its strictly-diagonal dense
     twin :1079-1121; both quirks reproduced) in the same event."""
     ev = coo[:, 2]
-    for i in range(coo.shape[0]):
-        if feat[i] != 0.5:
-            pred[i] = feat[i]
-            continue
-        same = np.flatnonzero(ev == ev[i])
-        near = [j for j in same if j != i
-                and abs(coo[j, 0] - coo[i, 0]) <= 1
-                and abs(coo[j, 1] - coo[i, 1]) <= 1
-                and feat[j] != 0.5]
-        pred[i] = float(np.mean([feat[j] for j in near])) if near else 0.5
+    # group rows per event once (rows are event-sorted in practice; the
+    # stable argsort makes no assumption) — a whole-batch `ev == ev[i]` scan
+    # per row would be O(N²) in batch rows
+    order = np.argsort(ev, kind="stable")
+    bounds = np.flatnonzero(np.diff(ev[order])) + 1
+    for grp in np.split(order, bounds):
+        for i in grp:
+            if feat[i] != 0.5:
+                pred[i] = feat[i]
+                continue
+            near = [j for j in grp if j != i
+                    and abs(coo[j, 0] - coo[i, 0]) <= 1
+                    and abs(coo[j, 1] - coo[i, 1]) <= 1
+                    and feat[j] != 0.5]
+            pred[i] = float(np.mean([feat[j] for j in near])) if near else 0.5
 
 
 def z_basic_prediction_dense(coo: np.ndarray, z_pred: np.ndarray,

@@ -155,9 +155,11 @@ def finalize_welford(count: np.ndarray, m2: np.ndarray) -> np.ndarray:
 
 
 def safe_divide(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    out = np.zeros_like(np.asarray(a, dtype=np.float64))
-    np.divide(a, b, out=out, where=np.asarray(b) != 0)
-    return out
+    """Elementwise a/b with 0 where b == 0 (single source of truth in
+    utils.util — this alias keeps the historical ops.dsp import path)."""
+    from waveformml_tpu.utils.util import safe_divide as _sd
+
+    return _sd(a, b)
 
 
 # ---------------------------------------------------------------------------------
@@ -192,8 +194,7 @@ def calc_arrival_batch(wfs: np.ndarray) -> np.ndarray:
         frac = np.where(first == 0,
                         np.where(cur != 0, thresh / np.maximum(cur, 1e-30), 0.0),
                         (thresh - prev) / np.where(cur - prev == 0, 1e-30, cur - prev))
-    return np.where(has, first + np.where(first == 0, 0.0, frac)
-                    + np.where(first == 0, frac, 0.0), 0.0)
+    return np.where(has, first + frac, 0.0)
 
 
 def calc_arrival_from_peak(fdat: np.ndarray, peak_ind: int) -> float:

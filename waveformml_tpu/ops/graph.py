@@ -33,10 +33,15 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native")
 
 def _src_digest() -> str:
     import hashlib
+    import platform
 
     with open(_SRC, "rb") as f:
         h = hashlib.sha256(f.read())
     h.update(b"debug" if os.environ.get("WFML_NATIVE_DEBUG") == "1" else b"opt")
+    # the release build is -march=native: a cache dir that travels to a
+    # different host (NFS home, baked image) must rebuild there, not load a
+    # foreign-microarch binary and SIGILL — key the stamp on the machine too
+    h.update(platform.node().encode() + b"/" + platform.machine().encode())
     return h.hexdigest()
 
 

@@ -76,6 +76,10 @@ def build_neighbor_plan_3d(batch: SparseBatch, kernel_size: int, n_t: int,
     """Neighbor row indices [N, K³] for a centered K×K×K window over
     (x, y, t); -1 where the neighbor site is inactive or out of bounds."""
     k = kernel_size
+    if k % 2 != 1:
+        # same constraint as the 2D plan: the custom VJP reuses a k-reversed
+        # plan for d_feats, valid only for negation-symmetric (odd-k) windows
+        raise ValueError(f"row-space SubM conv requires an odd kernel size, got {k}")
     if lut is None:
         lut = build_site_lookup_3d(batch, n_t)
     half = (k - 1) // 2
