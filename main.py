@@ -44,11 +44,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--validate", action="store_true",
                    help="statically validate the algorithm DSL before training")
     p.add_argument("--profiler", action="store_true")
+    from waveformml_tpu.engineering.trainer import int_or_float
+
+    # int = batch count, float<=1 = fraction (Lightning semantics; a plain
+    # float type would turn `--limit_val_batches 1` into the whole loader)
     p.add_argument("--max_epochs", type=int, default=None)
-    p.add_argument("--overfit_batches", type=float, default=None)
-    p.add_argument("--limit_train_batches", type=float, default=None)
-    p.add_argument("--limit_val_batches", type=float, default=None)
-    p.add_argument("--limit_test_batches", type=float, default=None)
+    p.add_argument("--overfit_batches", type=int_or_float, default=None)
+    p.add_argument("--limit_train_batches", type=int_or_float, default=None)
+    p.add_argument("--limit_val_batches", type=int_or_float, default=None)
+    p.add_argument("--limit_test_batches", type=int_or_float, default=None)
     p.add_argument("--gradient_clip_val", type=float, default=None,
                    help="clip gradients to this global norm (PL Trainer flag)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1,

@@ -544,3 +544,40 @@ def test_gradient_clip_and_accumulation(psd_setup):
     p2, *_ = one_step(trainer, db, srng)
     assert max(jax.tree.leaves(jax.tree.map(
         lambda a, b: float(np.abs(np.asarray(a) - b).max()), p2, p0))) > 0.0
+
+
+def test_empty_padded_shards_do_not_inflate_loss(psd_setup):
+    """A block with fewer events than devices pads empty shards
+    (split_block_for_devices); an empty shard must contribute ZERO to the
+    psum'd loss denominator — clamping per shard would scale the global loss
+    (and gradients) down by n_empty/n_real."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    tmp_path, cfg = psd_setup
+    dm = PSDDataModule(cfg)
+    dm.setup("fit")
+    full = next(iter(dm.train_dataloader()))
+    # slice to 3 events → 5 empty shards on the 8-device mesh
+    ev = full.coords[:, -1]
+    keep = ev < 3
+    block = FileBlock(coords=full.coords[keep], feats=full.feats[keep],
+                      labels=full.labels[:3])
+
+    losses = {}
+    for nd in (1, 8):
+        task = LitPSD(cfg)
+        trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:nd]), seed=0)
+        trainer._ensure_state(block)
+        db = {k: jnp.asarray(v)
+              for k, v in trainer._device_batch(block).items()}
+        _, _, _, loss, metrics = trainer._train_step_fn(
+            trainer.state.params, trainer.state.batch_stats,
+            trainer.state.opt_state, jax.random.PRNGKey(7), db)
+        losses[nd] = float(loss)
+        # the accuracy count must see exactly the 3 real events
+        assert float(metrics["accuracy_count"]) == 3.0
+    assert abs(losses[1] - losses[8]) < 1e-5

@@ -33,6 +33,10 @@ class TaskBase:
 
     #: event-level (True) vs per-segment (False) predictions (ref: LitBase.py:39-43)
     event_predictions = True
+    #: True when prepare_block pads labels alongside ROWS (coords), not
+    #: events — independent of event_predictions (LitWaveform predicts per
+    #: event but its labels are row-aligned)
+    labels_per_row = False
 
     def __init__(self, config, trial=None):
         self.log = logging.getLogger(__name__)
@@ -250,7 +254,9 @@ class TaskBase:
         # zeros at unoccupied sites would otherwise add criterion(0,0)=0 anyway
         # for L1/MSE, but mask explicitly for generality)
         loss_sum = jnp.sum(elem * occf)
-        return loss_sum, jnp.maximum(weight, 1.0), target_dense, preds
+        # raw weight: clamped at the global (psum'd) denominator so empty
+        # padded shards contribute zeros, not phantom counts
+        return loss_sum, weight, target_dense, preds
 
     # -- test-time host outputs ------------------------------------------------------
     def test_outputs(self, outputs, db: Dict[str, jnp.ndarray]) -> Dict[str, Any]:

@@ -68,7 +68,10 @@ class LitPSD(TaskBase):
         ymask = db["label_mask"]
         elem = self.criterion.elementwise(outputs, labels)
         loss_sum = _masked_sum(elem, ymask)
-        weight = jnp.maximum(jnp.sum(ymask), 1)
+        # RAW shard weight: the clamp to >=1 happens at the global
+        # (psum'd) denominator in the trainer — clamping per shard would
+        # inflate the denominator whenever a padded device shard is empty
+        weight = jnp.sum(ymask)
         pred = jnp.argmax(outputs, axis=-1)
         correct = _masked_sum((pred == labels).astype(jnp.float32), ymask)
         # confusion matrix sums [C, C]: rows = target, cols = prediction
@@ -94,6 +97,7 @@ class LitWaveform(TaskBase):
     features (ref :14-27, :70-74)."""
 
     event_predictions = True
+    labels_per_row = True
 
     def __init__(self, config, trial=None):
         self.use_detector_number = bool(getattr(config.net_config, "use_detector_number", False))
@@ -101,7 +105,13 @@ class LitWaveform(TaskBase):
             if not hasattr(config.net_config, "num_detectors"):
                 raise IOError("net config must contain 'num_detectors' if "
                               "'use_detector_number' set to true")
-            config.system_config.n_samples = config.system_config.n_samples + 3
+            # the reference mutates the live config (ref LitWaveform.py:22),
+            # which grows n_samples by 3 on EVERY task construction — an HPO
+            # study rebuilding the task per trial from the same config would
+            # corrupt the model geometry from trial 2 on. Apply once.
+            if not getattr(config.system_config, "_det_coords_applied", False):
+                config.system_config.n_samples = config.system_config.n_samples + 3
+                config.system_config["_det_coords_applied"] = True
             if config.net_config.num_detectors != 308:
                 raise IOError(f"num detectors {config.net_config.num_detectors} not supported")
             self.detector_num_factor_x = 1.0 / (NX - 1)
@@ -193,7 +203,7 @@ class LitWaveform(TaskBase):
         n_out = 1
         for d in elem.shape[len(mask.shape):]:
             n_out *= d
-        weight = jnp.maximum(jnp.sum(mask) * n_out, 1)
+        weight = jnp.sum(mask) * n_out  # raw; clamped globally in the trainer
         metrics = {}
         if self.use_accuracy and p.ndim == 2:
             pred = jnp.argmax(jax.nn.softmax(p, axis=1), axis=1)
@@ -215,6 +225,7 @@ class LitZ(TaskBase):
     """Per-segment Z regression (ref: src/engineering/LitZ.py)."""
 
     event_predictions = False
+    labels_per_row = True
 
     def __init__(self, config, trial=None):
         super().__init__(config, trial)
@@ -304,6 +315,7 @@ class LitEZ(TaskBase):
     channel 0 vs target[:,0] and channel 1 vs target[:,1], losses summed."""
 
     event_predictions = False
+    labels_per_row = True
 
     def __init__(self, config, trial=None):
         super().__init__(config, trial)
@@ -371,6 +383,7 @@ class LitSegClassifier(TaskBase):
     (ref: src/engineering/LitSegClassifier.py)."""
 
     event_predictions = False
+    labels_per_row = True
 
     def __init__(self, config, trial=None):
         super().__init__(config, trial)
@@ -398,7 +411,7 @@ class LitSegClassifier(TaskBase):
             mask = mask & (self.seg_status[x, y] == 0.5)
         elem = self.criterion.elementwise(outputs, labels)
         loss_sum = _masked_sum(elem, mask)
-        weight = jnp.maximum(jnp.sum(mask), 1)
+        weight = jnp.sum(mask)  # raw; clamped globally in the trainer
         pred = jnp.argmax(outputs, axis=-1)
         correct = _masked_sum((pred == labels).astype(jnp.float32), mask)
         onehot_t = jax.nn.one_hot(labels, self.n_type) * mask[:, None]
@@ -422,6 +435,7 @@ class LitSegQuantifier(TaskBase):
     target_index selection from multi-field labels, SE-only option, MSE metric."""
 
     event_predictions = False
+    labels_per_row = True
 
     def __init__(self, config, trial=None):
         super().__init__(config, trial)
@@ -451,7 +465,7 @@ class LitSegQuantifier(TaskBase):
             mask = mask & (self.seg_status[x, y] == 0.5)
         elem = self.criterion.elementwise(p, labels)
         loss_sum = _masked_sum(elem, mask)
-        weight = jnp.maximum(jnp.sum(mask), 1)
+        weight = jnp.sum(mask)  # raw; clamped globally in the trainer
         mse = _masked_sum((p - labels) ** 2, mask)
         return loss_sum, weight, {"mse_sum": mse, "mse_count": jnp.sum(mask)}
 

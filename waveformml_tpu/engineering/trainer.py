@@ -86,6 +86,17 @@ def shard_loader_round_robin(loader, n_proc: int, proc: int):
     return _Sharded()
 
 
+def int_or_float(s: str):
+    """Lightning limit_batches semantics for CLI flags: '2' means exactly 2
+    batches, '0.5' means half the loader — coercing everything to float
+    would turn --limit_val_batches 1 into the WHOLE loader (1.0 = fraction)
+    instead of one batch."""
+    try:
+        return int(s)
+    except ValueError:
+        return float(s)
+
+
 class TrainState:
     """params + batch_stats + optimizer state + bookkeeping (pytree-of-arrays
     held on host between steps)."""
@@ -191,6 +202,7 @@ class Trainer:
         self.last_test_arrays: Dict[str, np.ndarray] = {}
         self._train_step_fn = None
         self._eval_step_fn = None
+        self._val_step_fn = None
         self._replicate_fn = None
         self._step_times: List[float] = []
         self._step_rows: List[float] = []
@@ -217,7 +229,9 @@ class Trainer:
                 continue
             ann = str(p.annotation)
             if p.default is None:
-                ty = (float if "float" in ann else
+                # float-typed Optionals keep int-vs-float CLI semantics
+                # (limit_*_batches / overfit_batches count vs fraction)
+                ty = (int_or_float if "float" in ann else
                       int if "int" in ann else str)
             elif isinstance(p.default, bool):
                 # bools take explicit true/false so defaults-True flags
@@ -267,7 +281,8 @@ class Trainer:
             outputs, new_stats = task.apply_model(
                 variables, db, train=train, rngs={"dropout": rng})
             loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
-            return loss_sum / weight, (new_stats, metrics, loss_sum, weight)
+            return loss_sum / jnp.maximum(weight, 1), \
+                (new_stats, metrics, loss_sum, weight)
 
         def train_step(params, batch_stats, opt_state, rng, db):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -277,20 +292,29 @@ class Trainer:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_stats, new_opt_state, loss, metrics
 
-        def eval_step(params, batch_stats, db):
-            variables = {"params": params}
-            if batch_stats is not None:
-                variables["batch_stats"] = batch_stats
-            outputs, _ = task.apply_model(variables, db, train=False)
-            loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
-            # leading [1] axis: the whole global batch as one "device" shard,
-            # matching the shard_map path's [D, ...] evaluator contract
-            test_out = jax.tree.map(lambda x: x[None], task.test_outputs(outputs, db))
-            return loss_sum, weight, metrics, test_out
+        def make_eval(with_outputs):
+            def eval_step(params, batch_stats, db):
+                variables = {"params": params}
+                if batch_stats is not None:
+                    variables["batch_stats"] = batch_stats
+                outputs, _ = task.apply_model(variables, db, train=False)
+                loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
+                if not with_outputs:
+                    # validation: test_outputs (dense grids / logprobs) are
+                    # discarded — a separate program avoids computing and
+                    # materializing them every val step
+                    return loss_sum, weight, metrics
+                # leading [1] axis: the whole global batch as one "device"
+                # shard, matching the shard_map path's evaluator contract
+                test_out = jax.tree.map(lambda x: x[None],
+                                        task.test_outputs(outputs, db))
+                return loss_sum, weight, metrics, test_out
+            return eval_step
 
         with self.mesh:
             self._train_step_fn = jax.jit(train_step, donate_argnums=(0, 1, 2))
-            self._eval_step_fn = jax.jit(eval_step)
+            self._eval_step_fn = jax.jit(make_eval(True))
+            self._val_step_fn = jax.jit(make_eval(False))
 
     def _build_steps_spmd(self):
         from waveformml_tpu.nn.bn import set_bn_axis
@@ -311,7 +335,9 @@ class Trainer:
             outputs, new_stats = task.apply_model(
                 variables, db, train=train, rngs={"dropout": rng})
             loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
-            total_weight = jax.lax.psum(weight, DATA_AXIS)
+            # clamp AFTER the psum: an empty padded shard must contribute
+            # zero weight, not 1, or the global loss/grads shrink
+            total_weight = jnp.maximum(jax.lax.psum(weight, DATA_AXIS), 1)
             loss = loss_sum / total_weight
             return loss, (new_stats, metrics, loss_sum, weight)
 
@@ -327,22 +353,28 @@ class Trainer:
             if new_stats is not None:
                 new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
             metrics = jax.tree.map(lambda m: jax.lax.psum(m, DATA_AXIS), metrics)
-            loss_total = jax.lax.psum(loss_sum, DATA_AXIS) / jax.lax.psum(weight, DATA_AXIS)
+            loss_total = jax.lax.psum(loss_sum, DATA_AXIS) / \
+                jnp.maximum(jax.lax.psum(weight, DATA_AXIS), 1)
             return new_params, new_stats, new_opt_state, loss_total, metrics
 
-        def eval_step(params, batch_stats, db):
-            db = jax.tree.map(lambda x: x[0], db)
-            variables = {"params": params}
-            if batch_stats is not None:
-                variables["batch_stats"] = batch_stats
-            outputs, _ = task.apply_model(variables, db, train=False)
-            loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
-            metrics = jax.tree.map(lambda m: jax.lax.psum(m, DATA_AXIS), metrics)
-            loss_sum = jax.lax.psum(loss_sum, DATA_AXIS)
-            weight = jax.lax.psum(weight, DATA_AXIS)
-            # keep per-shard outputs separated: [1, ...] per device → [D, ...]
-            test_out = jax.tree.map(lambda x: x[None], task.test_outputs(outputs, db))
-            return loss_sum, weight, metrics, test_out
+        def make_eval(with_outputs):
+            def eval_step(params, batch_stats, db):
+                db = jax.tree.map(lambda x: x[0], db)
+                variables = {"params": params}
+                if batch_stats is not None:
+                    variables["batch_stats"] = batch_stats
+                outputs, _ = task.apply_model(variables, db, train=False)
+                loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
+                metrics = jax.tree.map(lambda m: jax.lax.psum(m, DATA_AXIS), metrics)
+                loss_sum = jax.lax.psum(loss_sum, DATA_AXIS)
+                weight = jax.lax.psum(weight, DATA_AXIS)
+                if not with_outputs:
+                    return loss_sum, weight, metrics  # validation: no outputs
+                # keep per-shard outputs separated: [1, ...] per device → [D, ...]
+                test_out = jax.tree.map(lambda x: x[None],
+                                        task.test_outputs(outputs, db))
+                return loss_sum, weight, metrics, test_out
+            return eval_step
 
         smap_train = shard_map(
             train_step, mesh=mesh,
@@ -350,13 +382,19 @@ class Trainer:
             out_specs=(rep, rep, rep, rep, rep),
             check_vma=False)
         smap_eval = shard_map(
-            eval_step, mesh=mesh,
+            make_eval(True), mesh=mesh,
             in_specs=(rep, rep, dp),
             out_specs=(rep, rep, rep, dp),
+            check_vma=False)
+        smap_val = shard_map(
+            make_eval(False), mesh=mesh,
+            in_specs=(rep, rep, dp),
+            out_specs=(rep, rep, rep),
             check_vma=False)
 
         self._train_step_fn = jax.jit(smap_train, donate_argnums=(0, 1, 2))
         self._eval_step_fn = jax.jit(smap_eval)
+        self._val_step_fn = jax.jit(smap_val)
 
         K = self.steps_per_dispatch
         if K > 1:
@@ -649,10 +687,13 @@ class Trainer:
                 t0 = time.time()
                 train_metrics = self._train_epoch(train_loader)
                 metrics.update(train_metrics)
-                if (self.current_epoch + 1) % self.validation_freq == 0:
+                epoch_metrics = dict(train_metrics)  # freshly measured only
+                val_ran = (self.current_epoch + 1) % self.validation_freq == 0
+                if val_ran:
                     val_metrics = self._eval_epoch(val_loader, "val",
                                                    self.limit_val_batches)
                     metrics.update(val_metrics)
+                    epoch_metrics.update(val_metrics)
                     self._maybe_checkpoint(val_metrics)
                     for cb in self.callbacks:
                         if hasattr(cb, "on_validation_end"):
@@ -663,14 +704,22 @@ class Trainer:
                         log.info("early stopping at epoch %d", self.current_epoch)
                         break
                 if self.scheduler:
-                    new_lr = self.scheduler.step(metrics.get("val_loss"))
+                    # plateau schedulers must only see FRESH measurements:
+                    # feeding the previous validation's loss on non-val
+                    # epochs increments bad_epochs validation_freq× per real
+                    # measurement, cutting the LR early (step(None) advances
+                    # the epoch counter without judging a metric)
+                    new_lr = self.scheduler.step(
+                        metrics.get("val_loss") if val_ran else None)
                     self.state.opt_state = wopt.set_learning_rate(
                         self.state.opt_state, new_lr)
                     if self.logger:
                         self.logger.log_scalar("lr", new_lr, self.current_epoch)
                 if self.logger:
+                    # log only this epoch's measurements — re-emitting stale
+                    # val_* every epoch draws phantom flat segments in TB
                     self.logger.log_scalars(
-                        {k: v for k, v in metrics.items()
+                        {k: v for k, v in epoch_metrics.items()
                          if isinstance(v, (int, float))}, self.current_epoch)
                 log.info("epoch %d done in %.1fs: %s", self.current_epoch,
                          time.time() - t0,
@@ -809,8 +858,13 @@ class Trainer:
             dbj = self._to_device(db)
             if self.simple_profiler:
                 self.simple_profiler.start("evaluation_step")
-            ls, w, metrics, test_out = self._eval_step_fn(
-                self.state.params, self.state.batch_stats, dbj)
+            if collect is None and self._val_step_fn is not None:
+                ls, w, metrics = self._val_step_fn(
+                    self.state.params, self.state.batch_stats, dbj)
+                test_out = None
+            else:
+                ls, w, metrics, test_out = self._eval_step_fn(
+                    self.state.params, self.state.batch_stats, dbj)
             ls = float(ls)
             if self.simple_profiler:
                 self.simple_profiler.stop("evaluation_step")

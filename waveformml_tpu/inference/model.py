@@ -163,11 +163,12 @@ class InferenceModel:
         if self._needs_host_prep:
             from waveformml_tpu.datasets.hdf5_dataset import FileBlock
 
-            # per-row-label tasks (event_predictions=False) pad labels
-            # alongside coords, so the dummies must be row-aligned
-            n_dummy = (max(1, n_events)
-                       if getattr(self.task, "event_predictions", True)
-                       else max(1, n))
+            # tasks whose prepare_block pads labels alongside coords need
+            # row-aligned dummies (labels_per_row — NOT event_predictions:
+            # LitWaveform predicts per event but its labels are per row)
+            n_dummy = (max(1, n)
+                       if getattr(self.task, "labels_per_row", False)
+                       else max(1, n_events))
             block = FileBlock(coords=coords.astype(np.int32),
                               feats=vals,
                               labels=np.zeros((n_dummy,), np.float32))

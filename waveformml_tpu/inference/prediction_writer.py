@@ -196,6 +196,34 @@ class PredictionWriter(P2XTableWriter):
         self.XMLW.write_xml(self.path + ".xml", runtime)
 
 
+def _device_gain_pre(gains_scaled: np.ndarray):
+    """Device-side gain normalization of raw int16 ADC pairs (the host ships
+    half the bytes; ref host kernel SparseUtils.py:1564-1584). One shared
+    kernel for every writer — `gains_scaled` is [NX, NY, 2], already
+    premultiplied by any writer-specific scale factor."""
+    import jax.numpy as jnp
+
+    gains = jnp.asarray(gains_scaled)
+
+    def pre(coords, feats, mask):
+        g = gains[coords[:, 0], coords[:, 1]]  # [N, 2]
+        s = feats.shape[1] // 2
+        f = feats.astype(jnp.float32)
+        return jnp.concatenate([f[:, :s] * g[:, :1], f[:, s:] * g[:, 1:]],
+                               axis=1)
+
+    return pre
+
+
+def _dense_to_row_post():
+    """Gather per-row values from a dense [B, 1, NX, NY] model output (coords
+    are renumbered consecutively on host before dispatch)."""
+    def post(outputs, coords, mask):
+        return outputs[coords[:, -1], 0, coords[:, 0], coords[:, 1]]
+
+    return post
+
+
 def _gain_factors(calgroup: str, scale_factor: Optional[float] = None) -> np.ndarray:
     """690/MAX_RANGE/gain factors (ref: ZPredictionWriter.__init__ :139-146)."""
     gains = get_gains(os.environ["PROSPECT_CALDB"], calgroup)
@@ -231,23 +259,8 @@ class ZPredictionWriter(PredictionWriter):
     def _model_transforms(self):
         if not self._device_norm:
             return None, None
-        import jax.numpy as jnp
-
-        gains = jnp.asarray(self.gains)  # [NX, NY, 2]
-
-        def pre(coords, feats, mask):
-            g = gains[coords[:, 0], coords[:, 1]]  # [N, 2]
-            s = feats.shape[1] // 2
-            f = feats.astype(jnp.float32)
-            return jnp.concatenate([f[:, :s] * g[:, :1], f[:, s:] * g[:, 1:]],
-                                   axis=1)
-
-        def post(outputs, coords, mask):
-            # dense [B, 1, NX, NY] -> per-row z [N] (coords renumbered
-            # consecutively on host before dispatch)
-            return outputs[coords[:, -1], 0, coords[:, 0], coords[:, 1]]
-
-        return pre, post
+        # gains already carry the z scale factor (see __init__)
+        return _device_gain_pre(self.gains), _dense_to_row_post()
 
     def swap_values(self, data: np.ndarray) -> None:
         self.apply_outputs(data, self.model_dispatch(data))
@@ -417,30 +430,12 @@ class ZAndClassWriter(PredictionWriter):
         return "row" if self._device_norm else "event"
 
     def _norm_pre(self, scale_factor: float):
-        """Device-side gain normalization of raw int16 ADC pairs (the host
-        ships half the bytes; ref host kernel SparseUtils.py:1564-1584)."""
-        import jax.numpy as jnp
-
-        gains = jnp.asarray(self.gains * scale_factor)  # [NX, NY, 2]
-
-        def pre(coords, feats, mask):
-            g = gains[coords[:, 0], coords[:, 1]]
-            s = feats.shape[1] // 2
-            f = feats.astype(jnp.float32)
-            return jnp.concatenate([f[:, :s] * g[:, :1], f[:, s:] * g[:, 1:]],
-                                   axis=1)
-
-        return pre
+        return _device_gain_pre(self.gains * scale_factor)
 
     def _model_transforms(self):
         if not self._device_norm:
             return None, None
-        import jax.numpy as jnp
-
-        def post(outputs, coords, mask):
-            return outputs[coords[:, -1], 0, coords[:, 0], coords[:, 1]]
-
-        return self._norm_pre(self.scale_factor_z), post
+        return self._norm_pre(self.scale_factor_z), _dense_to_row_post()
 
     def convert_values(self, data: np.ndarray) -> np.ndarray:
         return self.apply_outputs(data, self.model_dispatch(data))
