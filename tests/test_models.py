@@ -246,3 +246,34 @@ def test_spconvnet_dsl_with_waveform_conv1d_stack(rng):
     variables = model.init(jax.random.PRNGKey(0), b)
     out = model.apply(variables, b)
     assert out.shape == (3, 3)
+
+
+def test_model_validation_pooling_downsample():
+    """Pooling layers must downsample current_dim in the static validator
+    (o = (i - k)//s + 1, stride defaults to kernel_size) — skipping them
+    spuriously rejects valid configs using the registered nn.*Pool layers."""
+    from waveformml_tpu.utils.model_validation import ModelValidation
+    s2 = 2 * N_SAMPLES
+    # 14x11 grid conv → 2x2 max pool → flatten: 7*5*8 features
+    cfg = _base_config(
+        net_type="2DConvolution",
+        algorithm=[
+            "nn.Conv2d", [s2, 8, 3, 1, 1, 1],
+            "nn.MaxPool2d", [2],
+            "nn.Flatten", [],
+            "nn.Linear", [7 * 5 * 8, 3],
+        ])
+    cfg["system_config"] = Config({"n_samples": N_SAMPLES})
+    ModelValidation.validate(cfg)  # no error
+
+    wrong = _base_config(
+        net_type="2DConvolution",
+        algorithm=[
+            "nn.Conv2d", [s2, 8, 3, 1, 1, 1],
+            "nn.MaxPool2d", [2],
+            "nn.Flatten", [],
+            "nn.Linear", [14 * 11 * 8, 3],  # un-pooled size: must fail
+        ])
+    wrong["system_config"] = Config({"n_samples": N_SAMPLES})
+    with pytest.raises(IOError):
+        ModelValidation.validate(wrong)

@@ -30,9 +30,13 @@ def test_calibration_db_reads(caldb_path):
 
 
 def test_unknown_calgroup(caldb_path):
-    db = CalibrationDB(caldb_path, "nope")
-    assert db.calgroup_id is None
-    assert db.get_seg_cal_values() is None
+    """An unknown calgroup fails at construction with the offending name —
+    the old None return surfaced later as an opaque TypeError inside
+    Calibrator/get_gains."""
+    import pytest
+
+    with pytest.raises(KeyError, match="nope"):
+        CalibrationDB(caldb_path, "nope")
 
 
 def test_get_gains_standalone(caldb_path):

@@ -186,8 +186,10 @@ class PSDDataModule:
                 self.log.warning("dataset_config has no n_test; using the "
                                  "validation dataset for testing")
                 self.test_dataset = self.val_dataset
-            if self.test_dataset is None and hasattr(dc, "n_test"):
+            if self.test_dataset is None:
                 if hasattr(dc, "test_config"):
+                    # a saved test-dataset JSON needs no n_test (symmetric
+                    # with the val_config branch above)
                     self.test_dataset = self.dataset_class.retrieve_config(
                         dc.test_config, self.half_precision)
                 else:

@@ -34,8 +34,22 @@ class GraphDataset:
                  use_self_loops: bool = False,
                  edge_specs: Optional[Sequence[Tuple]] = None):
         self.raw_dataset = dataset
-        files = file_list if file_list is not None else dataset.get_file_list()
+        ds_files = list(dataset.get_file_list())
+        files = file_list if file_list is not None else ds_files
         self.source_files = list(files)
+        # each source file maps to ITS block index in the wrapped dataset —
+        # indexing the dataset by file_list POSITION would cache the wrong
+        # file's data when the caller passes a subset/reorder
+        if file_list is None:
+            self._block_index = list(range(len(ds_files)))
+        else:
+            self._block_index = []
+            for f in self.source_files:
+                try:
+                    self._block_index.append(ds_files.index(f))
+                except ValueError:
+                    raise ValueError(
+                        f"{f} is not a file of the wrapped dataset") from None
         root = os.path.dirname(files[0]) if files else "."
         self.processed_dir = os.path.join(root, "processed")
         self.expected_file_names = [
@@ -87,7 +101,7 @@ class GraphDataset:
             if os.path.exists(out_path) and self._cached_signature(out_path) == sig:
                 continue
             self.log.info("creating graph data from block %d", idx)
-            block = self.raw_dataset[idx]
+            block = self.raw_dataset[self._block_index[idx]]
             payload = {"coords": block.coords, "feats": block.feats,
                        "labels": block.labels, "_sig": np.array(sig)}
             for k, v in (block.extras or {}).items():

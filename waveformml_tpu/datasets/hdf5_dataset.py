@@ -91,6 +91,7 @@ class HDF5Dataset:
         self.group_mode = False
         self.ordered_file_set: List[str] = []
         self._cache: "OrderedDict[str, Dict[str, np.ndarray]]" = OrderedDict()
+        self._peeked: Dict[str, Tuple[int, bool]] = {}
 
         self.info: Dict[str, Any] = {
             "file_paths": self.file_paths,
@@ -107,6 +108,12 @@ class HDF5Dataset:
             "additional_fields": list(additional_fields) if additional_fields else None,
             "label_map": {int(k): v for k, v in label_map.items()} if label_map else None,
         }
+        if label_file_pattern and not label_name:
+            # the reference reads label files via h5[label_name]
+            # (HDF5Dataset.py:414-417); without a name the read is h5[None]
+            raise ValueError(
+                "label_file_pattern requires label_name (the dataset name "
+                "inside the label files)")
 
         # -- file discovery (ref: HDF5Dataset.py:136-183) --------------------------
         excludes = set(str(Path(f).resolve()) for f in (file_excludes or []))
@@ -168,6 +175,7 @@ class HDF5Dataset:
         self.group_mode = info.get("group_mode", False)
         self.ordered_file_set = [di["file_path"] for di in info["data_info"]]
         self._cache = OrderedDict()
+        self._peeked = {}
         if info.get("label_map"):
             self.info["label_map"] = {int(k): v for k, v in info["label_map"].items()}
         return self
@@ -185,18 +193,28 @@ class HDF5Dataset:
     def _peek_event_num(self, fp: str, data_name: str, event_based: bool) -> int:
         with H5FileHandler(fp, "r") as h5:
             node = h5[data_name]
+            group_mode = isinstance(node, h5py.Group)
             if event_based:
-                return int(node.attrs.get("nevents")[0])
-            return int(node.shape[0] if hasattr(node, "shape") else 0)
+                n = int(node.attrs.get("nevents")[0])
+            elif group_mode:
+                n = int(node[self.info["coord_name"]].shape[0])
+            else:
+                n = int(node.shape[0] if hasattr(node, "shape") else 0)
+        # memoize for _add_data_info: discovery otherwise opens every file
+        # twice (once for round-robin ordering, once for data_info)
+        self._peeked[fp] = (n, group_mode)
+        return n
 
     def _add_data_info(self, fp: str, dir_index: int) -> None:
-        with H5FileHandler(fp, "r") as h5:
-            node = h5[self.info["data_name"]]
-            self.group_mode = isinstance(node, h5py.Group)
-            if self.info["event_based"]:
-                n_file_events = int(node.attrs.get("nevents")[0])
-            else:
-                if self.group_mode:
+        if fp in self._peeked:
+            n_file_events, self.group_mode = self._peeked[fp]
+        else:
+            with H5FileHandler(fp, "r") as h5:
+                node = h5[self.info["data_name"]]
+                self.group_mode = isinstance(node, h5py.Group)
+                if self.info["event_based"]:
+                    n_file_events = int(node.attrs.get("nevents")[0])
+                elif self.group_mode:
                     n_file_events = int(node[self.info["coord_name"]].shape[0])
                 else:
                     n_file_events = int(node.shape[0])
@@ -321,6 +339,13 @@ class HDF5Dataset:
             else:
                 y = data["labels"][first:last]
             y = self.convert_label(np.asarray(y))
+            if y.ndim == 2 and y.shape[1] == 1:
+                # scalar label fields round-trip through the combined-file
+                # compound dtype as (1,)-subarrays (the reference's
+                # H5CompoundType stores every field as (l,), ref
+                # H5CompoundTypes.py:38) — normalize so labels keep the same
+                # (N,) shape before and after a shuffle
+                y = y[:, 0]
             if np.issubdtype(y.dtype, np.integer):
                 y = y.astype(np.int64, copy=False)
             else:

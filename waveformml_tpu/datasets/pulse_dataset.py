@@ -170,6 +170,20 @@ class PulseDataset(HDF5Dataset):
                         [fp, copy(di["event_range"]), di["modified"]])
                     current_total[cat] += n_events
                 else:
+                    if n_per_category == current_total[cat]:
+                        # this output file's quota is exactly full: advance
+                        # to the next output file instead of emitting a
+                        # degenerate [lo, -1] zero-event chunk (wasted reads
+                        # + a junk sidecar entry that defeats superset-skip)
+                        cur_file += 1
+                        current_total[cat] = 0
+                        while len(self.shuffle_queue) <= cur_file:
+                            self.shuffle_queue.append({c: [] for c in by_cat})
+                        if n_events <= n_per_category:
+                            self.shuffle_queue[cur_file][cat].append(
+                                [fp, copy(di["event_range"]), di["modified"]])
+                            current_total[cat] += n_events
+                            continue
                     subrange = [di["event_range"][0], n_per_category - 1 - current_total[cat]]
                     while subrange[1] < di["event_range"][1]:
                         while len(self.shuffle_queue) <= cur_file:
@@ -216,7 +230,14 @@ class PulseDataset(HDF5Dataset):
         if "labels" not in out and self.label_file_pattern:
             lf = self._label_file_for(fp)
             with h5py.File(lf, "r") as h5:
-                d = h5["Label"]["label"][()]
+                # same layout contract as HDF5Dataset._decode_file (and the
+                # reference, HDF5Dataset.py:404-425): label_name names the
+                # dataset in the label file; compound records use the first
+                # field
+                node = h5[self.info["label_name"]]
+                d = node[()]
+                if d.dtype.names:
+                    d = np.ascontiguousarray(d[d.dtype.names[0]])
                 out["event_labels"] = d[lo:hi + 1]
         return out
 

@@ -118,6 +118,11 @@ class CalibrationDB(SQLiteBase):
                             (calgroup,))
         if row:
             self.calgroup_id = row[0]
+        else:
+            # fail HERE with the offending name — downstream get_gains()[0]
+            # on a None return is an opaque TypeError far from the cause
+            raise KeyError(
+                f"calibration group {calgroup!r} not found in {path}")
 
     def get_gains(self) -> np.ndarray:
         return self.get_seg_cal_values()[0]

@@ -58,6 +58,8 @@ class HistCollator(_DropWarnMixin):
 
     def add(self, values: np.ndarray, weights: Optional[np.ndarray] = None) -> None:
         values = np.asarray(values).ravel()
+        if values.size == 0:
+            return  # nothing to bin; auto-range must wait for real samples
         if self._edges is None:
             lo, hi = float(values.min()), float(values.max())
             if lo == hi:
@@ -103,6 +105,8 @@ class Hist2DCollator(_DropWarnMixin):
     def add(self, x: np.ndarray, y: np.ndarray,
             weights: Optional[np.ndarray] = None) -> None:
         x, y = np.asarray(x).ravel(), np.asarray(y).ravel()
+        if x.size == 0:
+            return  # nothing to bin; auto-range must wait for real samples
         if self._edges is None:
             self._edges = (self._auto_edges(x, self.bins[0]),
                            self._auto_edges(y, self.bins[1]))

@@ -74,6 +74,25 @@ class ModelValidation:
                     ndim = ModelValidation._get_conv_dim(current_alg, inputs)
                     current_dim = ModelValidation.calc_output_size(
                         inputs, current_dim, current_alg, prev_alg, ndim)
+                elif algtype == "pooling":
+                    # nn.MaxPoolNd/AvgPoolNd(kernel_size, stride=kernel_size):
+                    # downsample the spatial axes, o = ⌊(i − k)/s⌋ + 1 —
+                    # skipping these leaves current_dim un-pooled and the
+                    # flatten/linear check below spuriously rejects the config
+                    nd = ModelValidation._get_conv_dim(current_alg, list(alg))
+                    k = alg[0] if len(alg) > 0 else 1
+                    s = alg[1] if len(alg) > 1 and alg[1] else k
+                    ks = list(k) if isinstance(k, (list, tuple)) else [k] * nd
+                    ss = list(s) if isinstance(s, (list, tuple)) else [s] * nd
+                    if nd == 1 and len(current_dim) == 3:
+                        # 1D pool over per-site channel data (matches the 1D
+                        # conv path above): pool the trailing axis
+                        current_dim = [current_dim[0], current_dim[1],
+                                       int((current_dim[2] - ks[0]) // ss[0] + 1)]
+                    else:
+                        for i in range(min(nd, len(current_dim) - 1)):
+                            current_dim[i] = int(
+                                (current_dim[i] - ks[i]) // ss[i] + 1)
                 elif algtype == "flatten":
                     newdim = 1
                     for d in current_dim:
@@ -171,6 +190,8 @@ class ModelValidation:
             return "linear"
         if name == "flatten":
             return "flatten"
+        if "pool" in name:
+            return "pooling"
         return "other"
 
     @staticmethod

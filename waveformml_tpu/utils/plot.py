@@ -123,7 +123,9 @@ def plot_roc_curve(fpr_per_class: Sequence[np.ndarray],
                    class_names: Sequence[str], title: str = "ROC"):
     fig, ax = plt.subplots()
     for fpr, tpr, name in zip(fpr_per_class, tpr_per_class, class_names):
-        auc = float(np.trapezoid(tpr, fpr)) if len(fpr) > 1 else 0.0
+        # np.trapezoid is numpy>=2 only; fall back on 1.x's np.trapz
+        _trap = getattr(np, "trapezoid", None) or np.trapz
+        auc = float(_trap(tpr, fpr)) if len(fpr) > 1 else 0.0
         ax.plot(fpr, tpr, label=f"{name} (AUC={abs(auc):.3f})")
     ax.plot([0, 1], [0, 1], "k--", lw=0.8)
     ax.set(xlabel="False positive rate", ylabel="True positive rate", title=title)
