@@ -195,3 +195,56 @@ def test_make_conv_transformer_params_propagate():
 
     c = _make_conv(5, 4, 8, {"heads": 4})
     assert c.heads == 4 and c.edge_dim == 2
+
+
+def test_graphnet_multi_head_attention_builds_and_runs(rng, tmp_path):
+    """graph_params heads>1: attention convs output heads*C (PyG
+    concat=True); the norm widths, next-layer inputs, and the pooled linear
+    head must all follow (the reference's nn_input_modifier corrects only
+    SuperGAT; this generalizes it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu.datasets.data_module import PSDDataModule
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    write_classification_dirs(str(tmp_path / "data"), ["A", "B"], n_files=2,
+                              events_per_file=20, n_samples=N_SAMPLES, seed=5)
+    cfg = _graph_cfg(tmp_path, graph_index=3)  # GATConv
+    cfg.net_config.hparams["graph_params"] = {"heads": 2}
+    task = LitPSD(cfg)
+    dm = PSDDataModule(cfg)
+    dm.setup("fit")
+    block = next(iter(dm.train_dataloader()))
+    rb, eb = task.row_bucket(block), task.event_bucket(block)
+    db = {k: jnp.asarray(v)
+          for k, v in task.prepare_block(block, rb, eb).items()}
+    variables = task.model.init(jax.random.PRNGKey(0), db)
+    out = task.model.apply(variables, db)
+    assert out.shape == (eb, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_self_loops_not_doubled():
+    """An input graph that ALREADY contains (i, i) edges must produce the
+    same GCN output as one without them: the layer masks pre-existing loops
+    before appending its own (PyG add_remaining_self_loops semantics — a
+    naive append computes A + 2I)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu.models.graph_layers import GCNConv
+
+    x = np.array([[1.0, 2.0], [3.0, -1.0], [0.5, 0.5]], np.float32)
+    plain = np.array([[0, 1, 1, 2], [1, 0, 2, 1]], np.int32)
+    with_loops = np.concatenate(
+        [plain, np.array([[0, 1, 2], [0, 1, 2]], np.int32)], axis=1)
+    layer = GCNConv(2, 2)
+    v = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(plain),
+                   jnp.ones(plain.shape[1], bool))
+    a = layer.apply(v, jnp.asarray(x), jnp.asarray(plain),
+                    jnp.ones(plain.shape[1], bool))
+    b = layer.apply(v, jnp.asarray(x), jnp.asarray(with_loops),
+                    jnp.ones(with_loops.shape[1], bool))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

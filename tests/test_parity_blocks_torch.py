@@ -506,13 +506,17 @@ def test_gcn_parity(rng):
     W = rng.normal(size=(out, f)).astype(np.float32)
     b = rng.normal(size=(out,)).astype(np.float32)
 
-    # torch mirror of PyG GCNConv: self-loops added (Â = A + I), h = xW^T,
-    # deg over destinations incl. loops, out_j = Σ_e h_src·d^-1/2_src·d^-1/2_dst
+    # torch mirror of PyG GCNConv: gcn_norm uses add_REMAINING_self_loops,
+    # so a pre-existing (i, i) edge counts exactly once — drop chance loops
+    # from the random graph before appending one per node (Â = A + I)
     tx = torch.from_numpy(x)
     h = tx @ torch.from_numpy(W.T)
     loops = torch.arange(n, dtype=torch.int64)
-    src = torch.cat([torch.from_numpy(edges[0][mask].astype(np.int64)), loops])
-    dst = torch.cat([torch.from_numpy(edges[1][mask].astype(np.int64)), loops])
+    s0 = torch.from_numpy(edges[0][mask].astype(np.int64))
+    d0 = torch.from_numpy(edges[1][mask].astype(np.int64))
+    keep = s0 != d0
+    src = torch.cat([s0[keep], loops])
+    dst = torch.cat([d0[keep], loops])
     deg = torch.zeros(n).index_add_(0, dst, torch.ones(len(dst)))
     dinv = deg.pow(-0.5)
     dinv[torch.isinf(dinv)] = 0  # PyG masked_fill of inf
@@ -535,12 +539,16 @@ def test_gat_parity(rng):
     a_src = rng.normal(size=(1, out)).astype(np.float32)
     a_dst = rng.normal(size=(1, out)).astype(np.float32)
 
-    # torch mirror of PyG GATConv: self-loops added before attention
+    # torch mirror of PyG GATConv: remove_self_loops + add_self_loops —
+    # exactly one loop per node, so drop the random graph's chance loops
     tx = torch.from_numpy(x)
     h = tx @ torch.from_numpy(W.T)
     loops = torch.arange(n, dtype=torch.int64)
-    src = torch.cat([torch.from_numpy(edges[0][mask].astype(np.int64)), loops])
-    dst = torch.cat([torch.from_numpy(edges[1][mask].astype(np.int64)), loops])
+    s0 = torch.from_numpy(edges[0][mask].astype(np.int64))
+    d0 = torch.from_numpy(edges[1][mask].astype(np.int64))
+    keep = s0 != d0
+    src = torch.cat([s0[keep], loops])
+    dst = torch.cat([d0[keep], loops])
     logits = (h[src] * torch.from_numpy(a_src[0])).sum(-1) + \
              (h[dst] * torch.from_numpy(a_dst[0])).sum(-1)
     logits = tnn.functional.leaky_relu(logits, 0.2)

@@ -581,3 +581,32 @@ def test_empty_padded_shards_do_not_inflate_loss(psd_setup):
         # the accuracy count must see exactly the 3 real events
         assert float(metrics["accuracy_count"]) == 3.0
     assert abs(losses[1] - losses[8]) < 1e-5
+
+
+def test_split_block_renumbers_event_column_4col():
+    """3D blocks carry coords [N, 4] = (x, y, t, event): the device split
+    must renumber the LAST column (event), not column 2 (time)."""
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.parallel.mesh import split_block_for_devices
+
+    rng = np.random.default_rng(0)
+    n_events = 8
+    rows = []
+    for e in range(n_events):
+        for _ in range(3):
+            rows.append([rng.integers(0, 14), rng.integers(0, 11),
+                         rng.integers(0, 16), e])
+    coords = np.asarray(rows, np.int32)
+    block = FileBlock(coords=coords,
+                      feats=rng.random((coords.shape[0], 4), np.float32).astype(np.float32),
+                      labels=np.arange(n_events, dtype=np.int64))
+    shards = split_block_for_devices(block, 4)
+    assert len(shards) == 4
+    for d, sh in enumerate(shards):
+        # events renumbered to 0..k-1 per shard
+        assert sh.coords[:, -1].min() == 0
+        assert sh.coords[:, -1].max() == 1
+        # the TIME column matches the source rows exactly (not decremented)
+        src = coords[coords[:, -1] // 2 == d]
+        np.testing.assert_array_equal(sh.coords[:, 2], src[:, 2])
+        np.testing.assert_array_equal(sh.labels, block.labels[2 * d:2 * d + 2])

@@ -79,6 +79,13 @@ def split_algorithm(algorithm: Sequence[Any]) -> Tuple[List[Any], List[Any], Lis
             continue
         if has_wf:
             if isinstance(f, str):
+                if f == "nn.Linear":
+                    # the linear head starts HERE even with no sparse middle
+                    # (a Conv1d stack straight into a Linear): absorbing it
+                    # into the waveform section leaves linear_funcs empty and
+                    # the nets crash indexing the head args
+                    linear_funcs = list(algorithm[i:])
+                    break
                 if f.startswith("nn."):
                     waveform_funcs.append(f)
                 else:

@@ -64,14 +64,20 @@ def _sym_norm(edges, edge_mask, n_nodes, edge_weight=None):
 
 def add_self_loops(edges, edge_mask, n_nodes, edge_weight=None,
                    fill_value: float = 1.0):
-    """Append one (i, i) edge per node — PyG's torch_geometric.utils
-    .add_self_loops, which GCNConv / GATConv / SGConv apply by default.
-    Static-shape friendly: always appends exactly n_nodes edges."""
+    """Append exactly ONE live (i, i) edge per node. Pre-existing self-loops
+    in the input are masked out first, so graphs built with self_loop=True
+    on the host do not end up with doubled loops (A + 2I) — matching PyG's
+    remove_self_loops + add_self_loops (GAT) / add_remaining_self_loops
+    (gcn_norm) semantics, which guarantee one loop per node. (Unlike
+    add_remaining_self_loops, a pre-existing loop's edge weight is replaced
+    by fill_value — host-built loops here always carry the fill weight
+    anyway.) Static-shape friendly: always appends exactly n_nodes edges."""
+    loop_free = edges[0] != edges[1]
+    edge_mask = loop_free if edge_mask is None else (edge_mask & loop_free)
     loops = jnp.arange(n_nodes, dtype=edges.dtype)
     edges = jnp.concatenate([edges, jnp.stack([loops, loops])], axis=1)
-    if edge_mask is not None:
-        edge_mask = jnp.concatenate(
-            [edge_mask, jnp.ones(n_nodes, edge_mask.dtype)])
+    edge_mask = jnp.concatenate(
+        [edge_mask, jnp.ones(n_nodes, edge_mask.dtype)])
     if edge_weight is not None:
         edge_weight = jnp.concatenate(
             [edge_weight, jnp.full(n_nodes, fill_value, edge_weight.dtype)])
@@ -231,7 +237,11 @@ class TAGConv(nn.Module):
     @nn.compact
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
         n = x.shape[0]
-        coeff = _sym_norm(edges, edge_mask, n)
+        # PyG TAGConv applies edge_weight inside gcn_norm — GraphZ feeds
+        # distance weights through edge_attr
+        ew = edge_attr[:, 0] if edge_attr is not None and edge_attr.ndim == 2 \
+            else edge_attr
+        coeff = _sym_norm(edges, edge_mask, n, ew)
         # PyG TAGConv: K+1 bias-free linears over the powers of the
         # normalized adjacency (no self-loops: the k=0 term is the
         # identity), plus ONE shared output bias
@@ -286,7 +296,10 @@ class ARMAConv(nn.Module):
     @nn.compact
     def __call__(self, x, edges, edge_mask, edge_attr=None, train=False):
         n = x.shape[0]
-        coeff = _sym_norm(edges, edge_mask, n)
+        # PyG ARMAConv normalizes with edge_weight (GraphZ distance weights)
+        ew = edge_attr[:, 0] if edge_attr is not None and edge_attr.ndim == 2 \
+            else edge_attr
+        coeff = _sym_norm(edges, edge_mask, n, ew)
         h = x
         for layer in range(self.num_layers):
             prop = segment_sum(h[edges[0]] * coeff[:, None], edges[1], n, edge_mask)

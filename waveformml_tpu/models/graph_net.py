@@ -49,8 +49,13 @@ def _make_conv(index: int, nin: int, nout: int, graph_params: Dict,
     if class_needs_nn(index):
         mod = nn_input_modifier(index, 0, params)
         return cls(_GraphMLP((mod * nin, nout)), name=name)
-    if index == 10:  # GMMConv positional (dim, kernel) (ref: GraphNet.py:262-267)
-        return cls(nin, nout, dim=2, kernel_size=kernel, name=name)
+    if index == 10:  # GMMConv (dim, kernel_size) (ref: GraphNet.py:262-267);
+        # graph_params may override both
+        known = {k: v for k, v in params.items()
+                 if k in cls.__dataclass_fields__}
+        known.setdefault("dim", 2)
+        known.setdefault("kernel_size", kernel)
+        return cls(nin, nout, name=name, **known)
     if index == 5:  # TransformerConv: window rel-coord attrs are 2-dim
         params.setdefault("edge_dim", 2)
     known = {k: v for k, v in params.items() if k in cls.__dataclass_fields__}
@@ -143,13 +148,21 @@ class GraphNet(nn.Module):
         planes = _graph_planes(self.feat_size, self.n_graph, self.n_expansion,
                                self.expansion_factor, self.graph_out, reduction)
         self.uses_edge_attr = needs_edge_attr(self.graph_index)
+        # multi-head attention convs (GAT/GATv2/Transformer/SuperGAT) output
+        # heads*C (PyG concat=True default): widen the next layer's input and
+        # the norm accordingly (superset of the reference's nn_input_modifier,
+        # which corrects only index 17, GraphNet.py:249-254)
+        heads = int(self.graph_params.get("heads", 1) or 1)
+        hmul = heads if self.graph_index in (3, 4, 5, 17) else 1
         layers, norms = [], []
         for i in range(self.n_graph):
-            nin = planes[i]
+            nin = planes[i] if i == 0 else planes[i] * hmul
             layers.append(_make_conv(self.graph_index, nin, planes[i + 1],
                                      self.graph_params, name=f"gconv_{i}"))
             if self.final_norm:
-                norms.append(MaskedArrayBatchNorm(planes[i + 1], name=f"norm_{i}"))
+                norms.append(MaskedArrayBatchNorm(planes[i + 1] * hmul,
+                                                  name=f"norm_{i}"))
+        self.head_multiplier = hmul
         self.layers = layers
         self.norms = norms
         n_lin = getattr(hp, "n_lin", 0)
@@ -160,7 +173,7 @@ class GraphNet(nn.Module):
                 getattr(self.config.net_config, "n_out", None)
             if lin_outputs is None:
                 raise IOError("Need system_config.n_type or net_config.n_out")
-            self.linear = LinearBlock(self.graph_out, lin_outputs, n_lin)
+            self.linear = LinearBlock(self.graph_out * hmul, lin_outputs, n_lin)
 
     @nn.nowrap
     def edge_requirements(self) -> List[Tuple]:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from waveformml_tpu.config import to_dict
 from waveformml_tpu.detector import NX, NY
 from waveformml_tpu.models.algorithm import build_sparse_instances, split_algorithm
-from waveformml_tpu.models.blocks import Conv2DBlock, LinearBlock, TemporalConvNet
+from waveformml_tpu.models.blocks import Conv2DBlock, LinearBlock, MaskedArrayBatchNorm, TemporalConvNet
 from waveformml_tpu.models.sparse_blocks import (
     ExtractedFeatureConv, Pointwise2DForZ, SparseConv2DBlock, SparseConv2DForEZ,
     SparseConv2DForZ, SparseConv2DPreserve)
@@ -53,14 +53,28 @@ def batch_to_grid_3d(batch: SparseBatch, n_t: int, feats=None) -> SparseGrid:
     return SparseGrid(dense, occ)
 
 
-def _apply_waveform_layer(layers: Sequence[Any], feats, n_samples: int, train: bool):
+# padded-row-aware substitutions for the waveform DSL section: a plain
+# BatchNorm1d would fold the bucket's zero padding rows into its training
+# statistics (numerics would change with bucket size — SURVEY §7.3)
+_WAVEFORM_TRANSLATIONS = {
+    "nn.BatchNorm1d": lambda c, *a, **k: MaskedArrayBatchNorm(c),
+    "BatchNorm1d": lambda c, *a, **k: MaskedArrayBatchNorm(c),
+}
+
+
+def _apply_waveform_layer(layers: Sequence[Any], feats, n_samples: int,
+                          train: bool, mask=None):
     """Run the leading nn.Conv1d stack per waveform pair: [N, 2S] is reshaped
     to [N, S, 2] (2 channels of S samples — ref: SCNet.py:69-72 reshapes to
-    (N, 2, nsamples)), processed, and flattened back."""
+    (N, 2, nsamples)), processed, and flattened back. ``mask`` [N] marks the
+    real (non-padding) rows for the masked BatchNorm layers."""
     n = feats.shape[0]
     x = feats.reshape(n, 2, n_samples).transpose(0, 2, 1)  # [N, S, 2]
     for layer in layers:
-        x = layer(x, train=train)
+        if isinstance(layer, MaskedArrayBatchNorm):
+            x = layer(x, mask=mask, train=train)
+        else:
+            x = layer(x, train=train)
     # back to torch (N, C, L) flatten order
     return x.transpose(0, 2, 1).reshape(n, -1)
 
@@ -100,10 +114,10 @@ class SPConvNet(nn.Module):
             if wf:
                 # dense per-row stack on [N, S, 2] arrays — the sparse
                 # translations (SparseReLU etc.) only apply to the grid middle
-                self.waveform_layers = registry.create_class_instances(list(wf))
+                self.waveform_layers = registry.create_class_instances(
+                    list(wf), translations=_WAVEFORM_TRANSLATIONS)
                 self._has_wf = True
             self.sparse_model = SparseSequential(build_sparse_instances(sparse))
-            from waveformml_tpu.registry import Registry  # local: build dense head
             self.linear_layers = registry.create_class_instances(list(linear))
             self.n_linear = linear[1][0]
 
@@ -131,7 +145,7 @@ class SPConvNet(nn.Module):
         log.debug("Flattened size of the sparse network output is %s", flat)
         self.linear_layers = [LinearBlock(flat, n_classes, hparams.n_lin)]
 
-    def _waveform(self, feats, train):
+    def _waveform(self, feats, train, mask=None):
         n = feats.shape[0]
         if self.waveform_layers and isinstance(self.waveform_layers[0], TemporalConvNet):
             # reference: unsqueeze(1) → 1 input channel of 2*nsamples (SPConvNet.py:54-61)
@@ -139,12 +153,13 @@ class SPConvNet(nn.Module):
             for layer in self.waveform_layers:
                 x = layer(x, train=train)
             return x.reshape(n, -1)
-        return _apply_waveform_layer(self.waveform_layers, feats, self.nsamples, train)
+        return _apply_waveform_layer(self.waveform_layers, feats,
+                                     self.nsamples, train, mask=mask)
 
     def __call__(self, batch: SparseBatch, train: bool = False):
         feats = batch.feats
         if self._has_wf:
-            feats = self._waveform(feats, train)
+            feats = self._waveform(feats, train, mask=batch.mask)
         g = batch_to_grid(batch, feats)
         x = self.sparse_model(g, train=train)
         x = x.reshape(batch.n_events, -1)  # ToDense gives [B, C, H, W]
@@ -193,8 +208,8 @@ class SCNet(nn.Module):
         if wf:
             # dense per-row stack (see SPConvNet.setup): [N, S, 2] arrays,
             # not SparseGrids — don't run the sparse translation table
-            self.waveform_layers = registry.create_class_instances(list(wf))
-            self.waveform_out_len = sparse[1][1] if len(sparse) > 1 else None
+            self.waveform_layers = registry.create_class_instances(
+                list(wf), translations=_WAVEFORM_TRANSLATIONS)
         # pure-SubM 2D DSL stacks run the row-space gather-GEMM fast path.
         # 3D stays on the dense grid: measured on v5e, K³=27 gathers over the
         # small early channel counts (8-64 B/row) are vector-lane-starved and
@@ -216,7 +231,8 @@ class SCNet(nn.Module):
         feats = batch.feats
         if self._has_wf:
             feats = _apply_waveform_layer(self.waveform_layers, feats,
-                                          self.nsamples, train)
+                                          self.nsamples, train,
+                                          mask=batch.mask)
         if self._row_path:
             g = batch if feats is batch.feats else \
                 SparseBatch(batch.coords, feats, batch.mask, batch.n_events)

@@ -281,6 +281,37 @@ class Study:
             return cur.fetchone()[0] + 1
         return len(self._mem_trials)
 
+    def _reserve_trial(self) -> "Trial":
+        """Atomically allocate the next trial number. MAX+1 followed by an
+        upsert would let two processes resuming one study claim the same
+        number and silently clobber each other's finished trials; inserting
+        the RUNNING row (no upsert) inside an IMMEDIATE transaction makes
+        the losing claimant retry with the next number."""
+        if self._conn is None:
+            trial = Trial(self, len(self._mem_trials))
+            self._persist_trial(trial)
+            return trial
+        while True:
+            try:
+                self._conn.execute("BEGIN IMMEDIATE")
+                cur = self._conn.execute(
+                    "SELECT COALESCE(MAX(number), -1) FROM trials "
+                    "WHERE study_name=?", (self.study_name,))
+                number = cur.fetchone()[0] + 1
+                self._conn.execute(
+                    "INSERT INTO trials (number, study_name, state, value, "
+                    "params, intermediate, datetime_start, datetime_complete) "
+                    "VALUES (?,?,?,?,?,?,?,NULL)",
+                    (number, self.study_name, "RUNNING", None, "{}", "{}",
+                     time.strftime("%Y-%m-%dT%H:%M:%S")))
+                self._conn.commit()
+                return Trial(self, number)
+            except sqlite3.IntegrityError:
+                self._conn.rollback()  # another process claimed this number
+            except sqlite3.OperationalError:
+                self._conn.rollback()  # database locked: back off and retry
+                time.sleep(0.05)
+
     def _persist_trial(self, trial: Trial) -> None:
         frozen = FrozenTrial(trial.number, trial.state, trial.value,
                              dict(trial.params), dict(trial.intermediate_values))
@@ -337,8 +368,7 @@ class Study:
         for _ in range(n_trials):
             if timeout is not None and time.time() - t_start > timeout:
                 break
-            trial = Trial(self, self._next_number())
-            self._persist_trial(trial)
+            trial = self._reserve_trial()
             try:
                 value = objective(trial)
                 trial.value = None if value is None else float(value)

@@ -95,7 +95,9 @@ def split_block_for_devices(block: FileBlock, n_devices: int) -> List[FileBlock]
             sel = (ev >= lo) & (ev < hi)
             c = block.coords[sel].copy()
             if len(c):
-                c[:, 2] -= lo
+                # the event column is LAST — [x, y, event] or [x, y, t, event]
+                # (column 2 on a 4-column 3D block is the TIME coordinate)
+                c[:, -1] -= lo
             labels = block.labels
             if labels.shape[0] == n_events:      # event-level labels
                 y = labels[lo:hi]

@@ -87,17 +87,21 @@ class Registry:
             )
         return obj
 
-    def create_class_instances(self, spec: List[Any]) -> List[Any]:
+    def create_class_instances(self, spec: List[Any],
+                               translations: Optional[Dict[str, Callable]] = None
+                               ) -> List[Any]:
         """Build a layer list from the config ``algorithm`` DSL: alternating
         class-path strings and positional-arg lists (dict form supported)
-        (ref: util.py:109-137)."""
+        (ref: util.py:109-137). ``translations`` substitutes a factory for
+        specific class names (e.g. masked BatchNorm inside padded-row
+        stacks) before the registry lookup."""
         instances: List[Any] = []
         current: Optional[Callable] = None
         for item in spec:
             if isinstance(item, str):
                 if current is not None:
                     instances.append(current())  # bare class with no args
-                current = self.retrieve_class(item)
+                current = (translations or {}).get(item) or self.retrieve_class(item)
             elif isinstance(item, (list, tuple)):
                 if current is None:
                     raise ValueError(f"algorithm DSL: args {item} with no preceding class")
