@@ -13,6 +13,16 @@ import sys
 
 
 def main(argv=None) -> int:
+    # --num_threads must hit the env BEFORE anything imports jax (the
+    # int_or_float import below pulls the trainer in)
+    argv = sys.argv[1:] if argv is None else list(argv)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--num_threads", "-nt", type=int, default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+    if pre_args.num_threads:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   f" --xla_cpu_multi_thread_eigen="
+                                   f"{pre_args.num_threads > 1}").strip()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("config", help="config file for the model")
     parser.add_argument("checkpoint", help="checkpoint path")
@@ -24,7 +34,11 @@ def main(argv=None) -> int:
                         help="export the jitted model alongside the logs")
     parser.add_argument("--verbosity", "-v", type=int, default=3)
     parser.add_argument("--num_threads", "-nt", type=int)
-    parser.add_argument("--limit_test_batches", type=float, default=None)
+    from waveformml_tpu.engineering.trainer import int_or_float
+
+    # int = batch count, float<=1 = fraction (see main.py: plain float turns
+    # `--limit_test_batches 1` into the whole loader)
+    parser.add_argument("--limit_test_batches", type=int_or_float, default=None)
     args = parser.parse_args(argv)
 
     from main import choose_data_module

@@ -15,6 +15,16 @@ from os.path import expanduser, isdir, join
 
 
 def main(argv=None) -> int:
+    # --num_threads: set the XLA env before jax import (the reference used
+    # torch.set_num_threads, WritePredictions.py:61-62)
+    argv = sys.argv[1:] if argv is None else list(argv)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--num_threads", "-nt", type=int, default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+    if pre_args.num_threads:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   f" --xla_cpu_multi_thread_eigen="
+                                   f"{pre_args.num_threads > 1}").strip()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("input_path", help="path to input hdf5 file")
     parser.add_argument("config", help="path to config file for model")
@@ -50,14 +60,12 @@ def main(argv=None) -> int:
     from waveformml_tpu.inference.prediction_writer import (
         IRNIMPredictionWriter, IRNPredictionWriter, ZPredictionWriter)
 
+    from waveformml_tpu.utils.util import p2x_stem
+
     input_path = expanduser(args.input_path)
     if args.datatype == "PhysPulse":
-        # strip the P2X type suffix from the BASENAME (the reference's
-        # full-path rfind('_'), WritePredictions.py:31, mangles paths whose
-        # directories contain underscores)
-        base = basename(input_path)
-        stem = base[:base.rfind("_")] if "_" in base else base[:-3]
-        output = join(os.path.dirname(input_path), stem + "_Phys.h5")
+        output = join(os.path.dirname(input_path),
+                      p2x_stem(input_path) + "_Phys.h5")
     else:
         output = input_path[:-3] + "ModelOut.h5"
     if args.output is not None:
@@ -65,7 +73,12 @@ def main(argv=None) -> int:
         if out.endswith(".h5"):
             output = out
         elif isdir(out):
-            output = join(out, basename(input_path)[:-3] + "ModelOut.h5")
+            # keep the type-detection suffix in directory mode too:
+            # PhysPulse outputs must end in _Phys.h5 (extension_type_map)
+            if args.datatype == "PhysPulse":
+                output = join(out, p2x_stem(input_path) + "_Phys.h5")
+            else:
+                output = join(out, basename(input_path)[:-3] + "ModelOut.h5")
         else:
             raise IOError(f"Output path {args.output} not a valid directory or .h5 file")
     print(f"Writing output to {output}")

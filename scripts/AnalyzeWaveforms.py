@@ -59,7 +59,10 @@ def analyze_dir(d: str, file_mask: str, table: str, field: str, n_max: int):
     if not files:
         raise IOError(f"no files matching {file_mask} under {d}")
     acc = None
-    pairs = []
+    # feature means accumulate STREAMING (sum + count per chunk): retaining
+    # every waveform for a single mean costs ~1 GB at the default n_max
+    feat_sums = np.zeros(4)
+    feat_n = 0
     seen = 0
     for fp in files:
         if seen >= n_max:
@@ -74,23 +77,25 @@ def analyze_dir(d: str, file_mask: str, table: str, field: str, n_max: int):
         if acc is None:
             acc = WaveformAccumulator(wfs.shape[1])
         acc.add(wfs)
-        pairs.append(wfs)
+        if wfs.shape[1] >= 8:  # per-waveform DSP features need a time axis
+            from waveformml_tpu.ops.pallas_dsp import waveform_features
+
+            half = wfs.shape[1] // 2 if wfs.shape[1] % 2 == 0 else wfs.shape[1]
+            arr, psd, tot, peak = (np.asarray(x) for x in
+                                   waveform_features(wfs[:, :half].astype(np.float32)))
+            feat_sums += [arr.sum(), psd.sum(), tot.sum(), peak.sum()]
+            feat_n += wfs.shape[0]
         seen += wfs.shape[0]
     if acc is None:
         raise IOError(
             f"no waveforms read: none of the matched files contain table "
             f"'{table}' (or n_max <= 0)")
     mean, err = acc.compute()
-    all_wfs = np.concatenate(pairs) if pairs else np.zeros((0, acc.n_samples))
     features = {}
-    if all_wfs.shape[1] >= 8:  # per-waveform DSP features need a time axis
-        from waveformml_tpu.ops.pallas_dsp import waveform_features
-
-        half = all_wfs.shape[1] // 2 if all_wfs.shape[1] % 2 == 0 else all_wfs.shape[1]
-        arr, psd, tot, peak = (np.asarray(x) for x in
-                               waveform_features(all_wfs[:, :half].astype(np.float32)))
-        features = {"arrival": float(arr.mean()), "psd": float(psd.mean()),
-                    "total": float(tot.mean()), "peak": float(peak.mean())}
+    if feat_n:
+        means = feat_sums / feat_n
+        features = {"arrival": float(means[0]), "psd": float(means[1]),
+                    "total": float(means[2]), "peak": float(means[3])}
     return {"mean": mean, "err": err, "n": acc.total, "features": features}
 
 

@@ -17,7 +17,7 @@ import h5py
 import numpy as np
 
 
-def _read_range(fdat, dataset_name, coord_name, feat_name, batch_index=2,
+def _read_range(fdat, dataset_name, coord_name, feat_name, batch_index=-1,
                 label_name=None):
     with h5py.File(fdat[0], "r") as h5:
         ds = h5[dataset_name]
@@ -30,6 +30,8 @@ def _read_range(fdat, dataset_name, coord_name, feat_name, batch_index=2,
             coords, feats = ds[coord_name][()], ds[feat_name][()]
             labels = (ds[label_name][()]
                       if label_name and label_name in ds else None)
+    # the event id is the LAST coord column (3D combined files carry
+    # [x, y, t, event] — column 2 there is the time coordinate)
     sel = (coords[:, batch_index] >= fdat[1][0]) & (coords[:, batch_index] <= fdat[1][1])
     return coords[sel], feats[sel], labels[sel] if labels is not None else None
 
@@ -48,7 +50,7 @@ def expected_merge(sidecar: dict, dataset_name: str, coord_name: str,
                 label_name=label_name)
             if coords.size == 0:
                 continue
-            ev = coords[:, 2]
+            ev = coords[:, -1]
             boundaries = np.flatnonzero(np.diff(ev)) + 1
             for rows in np.split(np.arange(ev.shape[0]), boundaries):
                 events.append((coords[rows], feats[rows],
@@ -94,7 +96,7 @@ def check_file(sidecar: dict, merged_coords, merged_feats, labels,
     # merged event ids must be the replay's consecutive renumbering
     sizes = [c.shape[0] for c in np.split(
         np.arange(src_coords.shape[0]),
-        np.flatnonzero(np.diff(merged_coords[:, 2])) + 1)]
+        np.flatnonzero(np.diff(merged_coords[:, -1])) + 1)]
     if len(sizes) != len(cats):
         raise ValueError(
             f"File {path} has {len(sizes)} events, expected {len(cats)}")

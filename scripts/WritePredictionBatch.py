@@ -19,7 +19,12 @@ def main(argv=None) -> int:
     parser.add_argument("checkpoint")
     parser.add_argument("--pattern", default="*.h5")
     args, extra = parser.parse_known_args(argv)
-    for f in sorted(Path(args.input_dir).glob(args.pattern)):
+    files = sorted(Path(args.input_dir).glob(args.pattern))
+    # outputs land next to their inputs: never re-ingest a previous run's
+    # *ModelOut.h5 / *_Phys.h5 (a rerun would write predictions-of-predictions)
+    files = [f for f in files
+             if not (f.name.endswith("ModelOut.h5") or f.name.endswith("_Phys.h5"))]
+    for f in files:
         argl = [sys.executable, join(REPO, "WritePredictions.py"),
                 str(f.resolve()), args.config, args.checkpoint] + list(extra)
         print(" ".join(argl))

@@ -28,12 +28,11 @@ def main(argv=None) -> int:
 
     from waveformml_tpu.inference.prediction_writer import ZAndClassWriter
 
+    from waveformml_tpu.utils.util import p2x_stem
+
     input_path = expanduser(args.input_path)
-    # strip the P2X type suffix from the BASENAME only (the reference's
-    # full-path rfind('_'), WriteZAndClass.py:32, mangles paths whose
-    # directories contain underscores)
     _base = basename(input_path)
-    _stem = _base[:_base.rfind("_")] if "_" in _base else _base[:-3]
+    _stem = p2x_stem(input_path)
     output = join(os.path.dirname(input_path), _stem + "_Phys.h5")
     if args.output:
         out = expanduser(args.output)

@@ -75,6 +75,11 @@ class CalCurve:
         self.yerr: List[float] = []
         self.spline = None
 
+    def __len__(self) -> int:
+        # a curve row with no graph points must be FALSY: callers guard with
+        # `if not curve` before sorting/interpolating
+        return len(self.xs)
+
     def add_point(self, x: float, y: float, dx: float = 0.0, dy: float = 0.0) -> None:
         self.xs.append(x)
         self.ys.append(y)

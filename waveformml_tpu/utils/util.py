@@ -225,6 +225,15 @@ def get_bin_midpoints(low: float, high: float, n: int) -> np.ndarray:
     return 0.5 * (edges[:-1] + edges[1:])
 
 
+def p2x_stem(path: str) -> str:
+    """Strip the P2X type suffix from a file's BASENAME: 'run1_WFCal.h5' →
+    'run1'. Uses the basename only — the reference's full-path rfind('_')
+    (WritePredictions.py:31) mangles paths whose directories contain
+    underscores. Shared by the prediction-writer CLIs."""
+    base = os.path.basename(path)
+    return base[:base.rfind("_")] if "_" in base else base[:-3]
+
+
 def safe_divide(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Elementwise a/b with 0 where b == 0."""
     a = np.asarray(a, dtype=np.float64)
