@@ -376,3 +376,41 @@ def test_loader_prefetch_thread_exits_on_abandoned_iterator(data_dirs):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_shuffle_map_partitions_every_event_exactly_once(tmp_path):
+    """Property: _gen_shuffle_map must cover every (file, event) of every
+    category exactly once across the queue, with per-output-file class
+    quotas <= shuffled_size/n_categories — including the boundary where a
+    file exactly fills a quota (which used to emit degenerate [lo,-1]
+    chunks)."""
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+
+    for events_per_file, shuffled_size in ((20, 40), (10, 20), (15, 20)):
+        base = tmp_path / f"d{events_per_file}_{shuffled_size}"
+        write_classification_dirs(str(base), ["TypeA", "TypeB"], n_files=4,
+                                  events_per_file=events_per_file,
+                                  n_samples=8, seed=events_per_file)
+        cfg = _config(tmp_path, n_train=4 * events_per_file,
+                      data_prep="shuffle", shuffled_size=shuffled_size)
+        cfg.dataset_config.base_path = str(base)
+        ds = PulseDataset2D(cfg, "train", 4 * events_per_file)
+        per_cat_quota = shuffled_size // 2
+        seen = {}  # (cat, file) -> set of event ids
+        for entry in ds.shuffle_queue:
+            for cat, chunks in entry.items():
+                per_file_total = 0
+                for fp, (lo, hi), _mtime in chunks:
+                    assert hi >= lo >= 0, (fp, lo, hi)  # no degenerate chunks
+                    evs = set(range(lo, hi + 1))
+                    key = (cat, fp)
+                    assert not (seen.setdefault(key, set()) & evs), \
+                        f"events double-assigned for {key}"
+                    seen[key] |= evs
+                    per_file_total += hi - lo + 1
+                assert per_file_total <= per_cat_quota
+        # every allotted event of every file is covered exactly once
+        for di in ds.info["data_info"]:
+            lo, hi = di["event_range"]
+            got = seen.get((di["dir_index"], di["file_path"]), set())
+            assert got == set(range(lo, hi + 1)), di["file_path"]
