@@ -546,3 +546,55 @@ def test_inference_model_graph_net_host_prep(tmp_path):
     assert np.isfinite(out).all()
     # dense z grid truncated to the true event count
     assert out.shape[0] == 2
+
+
+def test_inference_model_litwaveform_host_prep(tmp_path):
+    """LitWaveform overrides prepare_block (detector-number coords appended
+    to features) with ROW-aligned labels despite event_predictions=True —
+    the host-prep path must size its dummy labels by labels_per_row, or a
+    multi-row-event chunk crashes broadcasting (E,) into (N,)."""
+    import jax
+
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import LitWaveform
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.inference.model import InferenceModel
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    n_samples = 16
+    cfg = Config({
+        "run_config": {"exp_name": "wfi", "run_class": "LitWaveform", "imports": []},
+        "system_config": {"model_name": "wfi", "n_samples": n_samples,
+                          "n_type": 2, "type_names": ["a"],
+                          "model_base_path": str(tmp_path / "m"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_class": "LinearWaveformNet",
+                       "net_type": "linear", "use_detector_number": True,
+                       "num_detectors": 308,
+                       "hparams": {"n_lin": 2, "out_size": 1}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWaveformNorm",
+                           "dataset_params": {}, "n_train": 4, "n_validate": 2},
+    })
+    save_config(cfg, str(tmp_path / "config.json"))
+    rng = np.random.default_rng(2)
+    task = LitWaveform(cfg)
+    assert task.labels_per_row
+    # 6 rows spanning 3 events: per-row labels (N=6) != events (E=3)
+    det = rng.integers(0, 308, 6).astype(np.int32)  # 1-D det-id coords
+    feats = rng.random((6, n_samples)).astype(np.float32)
+    trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0)
+    trainer._ensure_state(FileBlock(det, feats,
+                                    rng.random(6).astype(np.float32), {}))
+    ckpt = str(tmp_path / "w.ckpt")
+    trainer.save_checkpoint(ckpt)
+
+    m = InferenceModel(cfg, ckpt, output_unit="row")
+    assert m._needs_host_prep
+    out = np.asarray(m(det, feats))
+    assert np.isfinite(out).all()
+    assert out.shape[0] == 6  # one prediction per row

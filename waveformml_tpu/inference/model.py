@@ -150,7 +150,12 @@ class InferenceModel:
         writer hide per-chunk device latency (double buffering), which the
         reference's serial loop (ref: PredictionWriter.py:73-104) cannot."""
         n = coords.shape[0]
-        n_events = int(coords[:, -1].max()) + 1 if n else 0
+        # 1-D coords = per-waveform detector ids (PulseDatasetWaveformNorm):
+        # every row is its own event
+        if coords.ndim == 1:
+            n_events = n
+        else:
+            n_events = int(coords[:, -1].max()) + 1 if n else 0
         row_bucket = bucket_size(max(1, n))
         event_bucket = bucket_size(max(1, n_events),
                                    buckets=(16, 32, 64, 128, 256, 512, 1024,
