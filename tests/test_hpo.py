@@ -400,3 +400,30 @@ def test_sqlite_storage_migrates_old_schema(tmp_path):
     assert len(trials) == 1 and trials[0].value == 3.5
     s.optimize(lambda t: 1.0 + t.suggest_float("x", 0, 1) * 0, n_trials=1)
     assert sorted(t.value for t in s.get_trials()) == [1.0, 3.5]
+
+
+def test_concurrent_trial_reservation_no_clobber(tmp_path):
+    """Two Study handles on one sqlite file (two processes resuming a study)
+    must never allocate the same trial number: the RUNNING row is reserved
+    with a plain INSERT inside an IMMEDIATE transaction, so a finished
+    trial can't be overwritten by a concurrent claimant's upsert."""
+    db = str(tmp_path / "study.db")
+    storage = "sqlite:///" + db
+    a = Study("exp", storage=storage, sampler=RandomSampler(seed=0))
+    b = Study("exp", storage=storage, sampler=RandomSampler(seed=1),
+              load_if_exists=True)
+    # interleave reservations across the two handles
+    ta0 = a._reserve_trial()
+    tb0 = b._reserve_trial()
+    ta1 = a._reserve_trial()
+    tb1 = b._reserve_trial()
+    numbers = [t.number for t in (ta0, tb0, ta1, tb1)]
+    assert len(set(numbers)) == 4, numbers
+    # complete them out of order; every result survives
+    for t, v in ((tb1, 4.0), (ta0, 1.0), (tb0, 2.0), (ta1, 3.0)):
+        t.value, t.state = v, "COMPLETE"
+        t.study._persist_trial(t)
+    trials = a.get_trials()
+    assert sorted(t.number for t in trials) == sorted(numbers)
+    assert sorted(t.value for t in trials) == [1.0, 2.0, 3.0, 4.0]
+    assert all(t.state == "COMPLETE" for t in trials)

@@ -150,3 +150,41 @@ def test_layernorm_partial_trailing_axes_match_torch():
     np.testing.assert_allclose(
         np.transpose(np.asarray(ours2), (0, 3, 1, 2)), theirs2,
         rtol=1e-4, atol=1e-5)
+
+
+def test_weighted_cross_entropy_matches_torch():
+    """CrossEntropyLoss/NLLLoss with per-class weights: torch's 'mean'
+    reduction divides by the SUM OF WEIGHTS of the targets, not the count —
+    and the masked path must keep that convention."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from waveformml_tpu.nn.functional import CrossEntropyLoss, NLLLoss
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(12, 3)).astype(np.float32)
+    targets = rng.integers(0, 3, 12)
+    w = np.array([0.2, 1.0, 3.5], np.float32)
+
+    t_ce = torch.nn.CrossEntropyLoss(weight=torch.from_numpy(w))(
+        torch.from_numpy(logits), torch.from_numpy(targets))
+    ours = CrossEntropyLoss(w.tolist())(jnp.asarray(logits),
+                                        jnp.asarray(targets))
+    np.testing.assert_allclose(float(ours), float(t_ce), rtol=1e-5)
+
+    logp = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+    t_nll = torch.nn.NLLLoss(weight=torch.from_numpy(w))(
+        logp, torch.from_numpy(targets))
+    ours_nll = NLLLoss(w.tolist())(jnp.asarray(np.asarray(logp)),
+                                   jnp.asarray(targets))
+    np.testing.assert_allclose(float(ours_nll), float(t_nll), rtol=1e-5)
+
+    # masked path: padding rows excluded from BOTH numerator and Σw
+    mask = np.ones(12, bool)
+    mask[8:] = False
+    t_sub = torch.nn.CrossEntropyLoss(weight=torch.from_numpy(w))(
+        torch.from_numpy(logits[:8]), torch.from_numpy(targets[:8]))
+    ours_masked = CrossEntropyLoss(w.tolist())(
+        jnp.asarray(logits), jnp.asarray(targets), where=jnp.asarray(mask))
+    np.testing.assert_allclose(float(ours_masked), float(t_sub), rtol=1e-5)
