@@ -325,3 +325,40 @@ def test_subm_conv_rows_custom_vjp_matches_autodiff(rng):
         b.mask[:, None], _gather_gemm(f, plan, kernel), 0) * cot))(b.feats)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_subm_rows_custom_vjp_matches_dense_autodiff(rng):
+    """The custom VJP (k-reversed-plan gather backward, no scatter) must
+    produce the SAME gradients as plain autodiff through the dense-grid SubM
+    conv — for d_feats, d_kernel, and d_bias, probed with a random
+    cotangent. The forward-parity test alone would not catch a wrong
+    backward plan."""
+    from waveformml_tpu.ops.sparse import gather_from_dense
+    from waveformml_tpu.ops.sparse_conv import SubMConv2d
+
+    b = _batch(rng)
+    dense_layer = SubMConv2d(10, 6, kernel_size=3)
+    g0 = batch_to_grid(b)
+    variables = dense_layer.init(jax.random.PRNGKey(0), g0)
+    kernel = variables["params"]["conv"]["kernel"]          # [3, 3, 10, 6]
+    bias = variables["params"]["conv"]["bias"]
+    plan = build_neighbor_plan(b, 3)
+    probe = jnp.asarray(rng.normal(size=(b.feats.shape[0], 6))
+                        .astype(np.float32))
+
+    def loss_rows(feats, k, bb):
+        out = subm_conv_rows(feats, plan, k.reshape(9, 10, 6), bb, b.mask)
+        return jnp.sum(out * probe * b.mask[:, None])
+
+    def loss_dense(feats, k, bb):
+        v = {"params": {"conv": {"kernel": k, "bias": bb}}}
+        g = batch_to_grid(SparseBatch(b.coords, feats, b.mask, b.n_events))
+        out = dense_layer.apply(v, g)
+        rows = gather_from_dense(out.features, b)
+        return jnp.sum(rows * probe * b.mask[:, None])
+
+    gr = jax.grad(loss_rows, argnums=(0, 1, 2))(b.feats, kernel, bias)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(b.feats, kernel, bias)
+    for name, a, c in zip(("d_feats", "d_kernel", "d_bias"), gr, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-4, err_msg=name)
