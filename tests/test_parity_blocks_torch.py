@@ -594,3 +594,53 @@ def test_edgeconv_parity(rng):
         "kernel": t2f_lin(W), "bias": jnp.asarray(b)}}}},
         jnp.asarray(x), jnp.asarray(edges), jnp.asarray(mask))
     assert_close(got, want)
+
+
+def test_masked_batchnorm_gradients_match_torch(rng):
+    """TRAIN-mode masked-BN GRADIENTS == torch BatchNorm1d autodiff over the
+    active rows: d_input, d_scale, d_bias under a random cotangent. The
+    forward/running-stats parity above does not exercise the batch-stat
+    dependence of the backward (d_out/d_in couples through mean and var)."""
+    from waveformml_tpu.ops.sparse_conv import MaskedBatchNorm, SparseGrid
+
+    B, H, W, C = 3, 14, 11, 6
+    occ = rng.random((B, H, W)) < 0.15
+    occ[0, 0, 0] = True
+    feats = np.where(occ[..., None],
+                     rng.normal(size=(B, H, W, C)).astype(np.float32), 0)
+    probe = np.where(occ[..., None],
+                     rng.normal(size=(B, H, W, C)).astype(np.float32), 0)
+    scale = rng.uniform(0.5, 1.5, C).astype(np.float32)
+    bias = rng.normal(size=C).astype(np.float32)
+
+    # torch: BatchNorm1d over the gathered active rows, train mode
+    tbn = tnn.BatchNorm1d(C, momentum=0.1)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(scale))
+        tbn.bias.copy_(torch.from_numpy(bias))
+    tbn.train()
+    rows_t = torch.from_numpy(feats[occ]).requires_grad_(True)
+    out_t = tbn(rows_t)
+    (out_t * torch.from_numpy(probe[occ])).sum().backward()
+
+    bn = MaskedBatchNorm(C)
+    variables = bn.init(jax.random.PRNGKey(0),
+                        SparseGrid(jnp.asarray(feats), jnp.asarray(occ)),
+                        train=True)
+    stats = variables.get("batch_stats")
+
+    def loss(params, f):
+        g = SparseGrid(f, jnp.asarray(occ))
+        out, _ = bn.apply({"params": params, "batch_stats": stats}, g,
+                          train=True, mutable=["batch_stats"])
+        return jnp.sum(out.features * jnp.asarray(probe))
+
+    params = {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}
+    d_params, d_feats = jax.grad(loss, argnums=(0, 1))(params,
+                                                       jnp.asarray(feats))
+    np.testing.assert_allclose(_np(d_feats)[occ], _np(rows_t.grad),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(_np(d_params["scale"]), _np(tbn.weight.grad),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(_np(d_params["bias"]), _np(tbn.bias.grad),
+                               rtol=1e-3, atol=1e-4)
