@@ -61,13 +61,26 @@ def _emit(metric, value, unit, vs_baseline, **extra):
     return entry
 
 
-def _synthetic_batch(rng, n_events, n_feat):
+def _torch_dense_input(coords, feats, n_events, n_feat):
+    """Scatter sparse (coords, feats) to the torch NCHW dense input — the
+    single definition the torch baselines share (coords = [x, y, event])."""
+    import torch
+
     from waveformml_tpu.detector import NX, NY
+
+    dense = np.zeros((n_events, NX, NY, n_feat), dtype=np.float32)
+    dense[coords[:, 2], coords[:, 0], coords[:, 1]] = feats
+    return torch.from_numpy(dense).permute(0, 3, 1, 2).contiguous()
+
+
+def _synthetic_batch(rng, n_events, n_feat):
+    from waveformml_tpu.detector import NX, NY, seg_to_xy
 
     rows = []
     for e in range(n_events):
         for s in rng.choice(NX * NY, size=AVG_MULT, replace=False):
-            rows.append([s % NX, s // NX, e])
+            x, y = seg_to_xy(int(s))
+            rows.append([x, y, e])
     coords = np.asarray(rows, dtype=np.int32)
     feats = rng.random((coords.shape[0], n_feat), dtype=np.float32)
     labels = rng.integers(0, N_TYPE, n_events).astype(np.int64)
@@ -205,9 +218,7 @@ def bench_infer(backend):
         n_feat = 2 * N_SAMPLES
         trng = np.random.default_rng(1)
         tc, tf, _ = _synthetic_batch(trng, TORCH_EVENTS, n_feat)
-        dense = np.zeros((TORCH_EVENTS, NX, NY, n_feat), dtype=np.float32)
-        dense[tc[:, 2], tc[:, 0], tc[:, 1]] = tf
-        x = torch.from_numpy(dense).permute(0, 3, 1, 2).contiguous()
+        x = _torch_dense_input(tc, tf, TORCH_EVENTS, n_feat)
         model, _ = _torch_sparse_model(n_feat)
         model.eval()
         with torch.no_grad():
@@ -257,9 +268,7 @@ def bench_sparse_torch(out_planes=8, n_conv=2, steps=TORCH_STEPS) -> float:
     n_feat = 2 * N_SAMPLES
     rng = np.random.default_rng(0)
     coords, feats, labels = _synthetic_batch(rng, TORCH_EVENTS, n_feat)
-    dense = np.zeros((TORCH_EVENTS, NX, NY, n_feat), dtype=np.float32)
-    dense[coords[:, 2], coords[:, 0], coords[:, 1]] = feats
-    x = torch.from_numpy(dense).permute(0, 3, 1, 2).contiguous()
+    x = _torch_dense_input(coords, feats, TORCH_EVENTS, n_feat)
     y = torch.from_numpy(labels)
     return _torch_train_wps(
         lambda: _torch_sparse_model(n_feat, out_planes, n_conv)[0],
@@ -743,9 +752,7 @@ def _torch_hpo_measured() -> float:
     n_feat = 2 * N_SAMPLES
     rng = np.random.default_rng(0)
     coords, feats, labels = _synthetic_batch(rng, N_EVENTS, n_feat)
-    dense = np.zeros((N_EVENTS, NX, NY, n_feat), dtype=np.float32)
-    dense[coords[:, 2], coords[:, 0], coords[:, 1]] = feats
-    x = torch.from_numpy(dense).permute(0, 3, 1, 2).contiguous()
+    x = _torch_dense_input(coords, feats, N_EVENTS, n_feat)
     y = torch.from_numpy(labels)
     crit = nn.CrossEntropyLoss()
     lr_rng = np.random.default_rng(7)
@@ -893,9 +900,7 @@ def _cached_baseline(key, fn):
     return val
 
 
-BENCHES = [("sparse_psd", 480), ("infer", 300), ("heavy", 360),
-           ("dense_conv1d", 300), ("wfparams", 300), ("stream", 480),
-           ("hpo", 420)]  # headline FIRST (freshest link phase + it can
+BENCHES = ["sparse_psd", "infer", "heavy", "dense_conv1d", "wfparams", "stream", "hpo"]  # run order; budgets live in GROUPS  # headline FIRST (freshest link phase + it can
                           # never be starved by earlier stalls); its line is
                           # re-printed last at exit for the driver's parse.
 # Orchestrator child GROUPS: every child process is a fresh TPU client and
@@ -922,7 +927,7 @@ def _run_inline(names) -> int:
     fns = {"dense_conv1d": bench_dense_conv1d, "wfparams": bench_wfparams,
            "stream": bench_stream, "hpo": bench_hpo, "heavy": bench_heavy,
            "infer": bench_infer, "sparse_psd": bench_sparse_psd}
-    for name, _budget in BENCHES:
+    for name in BENCHES:
         if names is not None and name not in names:
             continue
         try:
@@ -931,6 +936,12 @@ def _run_inline(names) -> int:
             if name == "sparse_psd":
                 raise
             print(f"bench {name} failed: {e}", file=sys.stderr)
+    if names is not None:
+        # standalone BENCH_ONLY subset invoked by a user: persist like the
+        # orchestrator does (a child process's parent collects via stdout,
+        # so only top-level subset runs write the file)
+        if not os.environ.get("BENCH_CHILD"):
+            _write_results(os.path.dirname(os.path.abspath(__file__)))
     return 0
 
 
@@ -939,9 +950,22 @@ _FINALIZED = {"done": False}
 
 
 def _write_results(here):
+    """Merge this run's RESULTS into bench_results.json by metric name: a
+    subset run (BENCH_ONLY) or a run with skipped groups must refresh the
+    metrics it measured without erasing the rest of the record."""
+    path = os.path.join(here, "bench_results.json")
     try:
-        with open(os.path.join(here, "bench_results.json"), "w") as f:
-            json.dump(RESULTS, f, indent=1)
+        with open(path) as f:
+            merged = list(json.load(f))
+    except (OSError, ValueError):
+        merged = []
+    for entry in RESULTS:
+        metric = entry.get("metric")
+        merged = [e for e in merged if e.get("metric") != metric]
+        merged.append(entry)
+    try:
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
     except OSError:
         pass
 
@@ -1043,6 +1067,11 @@ def main() -> int:
     ok = False
     for attempt_budget in (budget, budget + 240, budget + 600):
         if run_child(name, attempt_budget):
+            ok = True
+            break
+        if HEADLINE["entry"] is not None:
+            # the timed-out child already printed its measurement (teardown
+            # stall): keep it instead of re-paying compile + link stall
             ok = True
             break
     if not ok and HEADLINE["entry"] is None:

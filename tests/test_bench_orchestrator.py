@@ -16,7 +16,7 @@ def _fresh_bench():
 
 def test_headline_runs_first():
     bench = _fresh_bench()
-    assert bench.BENCHES[0][0] == "sparse_psd"
+    assert bench.BENCHES[0] == "sparse_psd"
 
 
 def test_finalize_reprints_headline_last(tmp_path, capsys):

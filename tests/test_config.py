@@ -92,3 +92,44 @@ def test_zero_valued_template_keys_are_required():
                                      "n_validate": 1}})
     with pytest.raises(ValueError, match="n_samples"):
         validate_config(cfg)
+
+
+def test_validate_does_not_fill_sgd_params_for_other_optimizers(tmp_path):
+    """config_requirements.json's optimizer_params default belongs to
+    optim.SGD: an Adam config omitting the key entirely must get an EMPTY
+    params dict (filling momentum/nesterov would crash Adam's constructor),
+    while an SGD config still inherits the defaults."""
+    import json
+
+    from waveformml_tpu import optim as wopt
+    from waveformml_tpu.config import load_config
+
+    base = {
+        "run_config": {"exp_name": "v", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "m", "n_samples": 8, "n_type": 2,
+                          "type_names": ["a", "b"], "model_base_path": "m"},
+        "net_config": {"criterion_class": "CrossEntropyLoss",
+                       "criterion_params": [], "imports": [],
+                       "net_class": "DenseConvNet",
+                       "net_type": "2DConvolution"},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "imports": [],
+                            "optimizer_class": "optim.Adam"},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1,
+                           "n_test": 1},
+    }
+    p = tmp_path / "adam.json"
+    p.write_text(json.dumps(base))
+    cfg = load_config(str(p), validate=True)
+    params = cfg.optimize_config.optimizer_params
+    assert not hasattr(params, "momentum")
+    # and the optimizer actually builds
+    wopt.build_optimizer(cfg.optimize_config.optimizer_class, 0.01,
+                         {k: v for k, v in params.__dict__.items()})
+
+    base["optimize_config"]["optimizer_class"] = "optim.SGD"
+    p2 = tmp_path / "sgd.json"
+    p2.write_text(json.dumps(base))
+    cfg2 = load_config(str(p2), validate=True)
+    assert cfg2.optimize_config.optimizer_params.momentum == 0.9

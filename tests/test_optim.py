@@ -69,3 +69,42 @@ def test_adam_matches_torch():
     ours = _run_ours(wopt.build_optimizer("optim.Adam", 0.01), w0, grads)
     theirs = _run_torch(torch.optim.Adam, w0, grads, lr=0.01)
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-6)
+
+
+def test_plateau_scheduler_state_roundtrip_and_rel_threshold():
+    """ReduceLROnPlateau: (a) torch's default 'rel' threshold mode —
+    improvement means metric < best*(1-threshold); (b) cooldown suppresses
+    bad-epoch counting after a cut; (c) checkpoint state round-trips the
+    reduced LR and plateau history (resume used to reset to base_lr)."""
+    from waveformml_tpu.optim import ReduceLROnPlateau
+
+    s = ReduceLROnPlateau(1.0, factor=0.5, patience=1, threshold=0.1,
+                          cooldown=1)
+    assert s.step(1.0) == 1.0          # first metric = best
+    assert s.step(0.95) == 1.0         # not < 1.0*(1-0.1): bad_epoch 1
+    assert s.step(0.95) == 0.5         # bad_epoch 2 > patience: cut, cooldown
+    assert s.step(0.95) == 0.5         # cooldown epoch: no bad_epoch
+    assert s.bad_epochs == 0
+    assert s.step(0.85) == 0.5         # 0.85 < 1.0*0.9: improvement
+    assert s.best == 0.85
+
+    d = s.state_dict()
+    s2 = ReduceLROnPlateau(1.0, factor=0.5, patience=1, threshold=0.1,
+                           cooldown=1)
+    s2.load_state_dict(d)
+    assert s2.current == 0.5 and s2.best == 0.85 and s2.lr() == 0.5
+
+    # abs mode keeps the old semantics
+    sa = ReduceLROnPlateau(1.0, patience=0, threshold=0.1,
+                           threshold_mode="abs")
+    sa.step(1.0)
+    assert sa.step(0.95) == 0.1 * 1.0 or sa.current < 1.0  # bad epoch -> cut
+
+
+def test_sgd_nesterov_requires_momentum():
+    import pytest
+
+    from waveformml_tpu.optim import build_optimizer
+
+    with pytest.raises(ValueError, match="momentum"):
+        build_optimizer("optim.SGD", 0.1, {"nesterov": True})

@@ -240,7 +240,19 @@ def validate_config(config: Config, requirements: Optional[Dict[str, Any]] = Non
                 # into a present value (e.g. optimizer_params={} with Adam must
                 # NOT inherit the SGD momentum default)
                 if key not in node.__dict__:
-                    setattr(node, key, _wrap(copy.deepcopy(default)))
+                    # the shipped optimizer/scheduler param defaults belong to
+                    # optim.SGD / ExponentialLR specifically: filling them for
+                    # a DIFFERENT class would crash its constructor (Adam has
+                    # no `momentum`) or silently change its hyperparameters —
+                    # an absent params dict for another class stays empty
+                    sibling = {"optimizer_params": "optimizer_class",
+                               "scheduler_params": "scheduler_class"}.get(key)
+                    tmpl_cls = template.get(sibling) if sibling else None
+                    cfg_cls = getattr(node, sibling, tmpl_cls) if sibling else None
+                    if sibling and cfg_cls != tmpl_cls:
+                        setattr(node, key, _wrap({}))
+                    else:
+                        setattr(node, key, _wrap(copy.deepcopy(default)))
                 elif not isinstance(getattr(node, key), Config):
                     raise ValueError(f"config key {here} must be a dict")
             else:

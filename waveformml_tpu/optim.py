@@ -27,9 +27,9 @@ def _sgd(lr: float, momentum: float = 0.0, weight_decay: float = 0.0,
     """torch.optim.SGD semantics: v = μv + (1-dampening)·g; update uses
     nesterov lookahead when set; weight_decay is L2 (added to grad)."""
 
-    if nesterov and dampening:
-        raise ValueError("nesterov momentum requires zero dampening "
-                         "(torch.optim.SGD contract)")
+    if nesterov and (dampening or not momentum):
+        raise ValueError("nesterov momentum requires a momentum and zero "
+                         "dampening (torch.optim.SGD contract)")
 
     def build(learning_rate):
         chain = []
@@ -95,7 +95,11 @@ def _rmsprop(lr: float, alpha: float = 0.99, eps: float = 1e-8,
         chain = []
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
-        chain.append(optax.scale_by_rms(decay=alpha, eps=eps))
+        # torch.optim.RMSprop divides by sqrt(nu) + eps; optax's default
+        # eps_in_sqrt=True computes sqrt(nu + eps), which differs by
+        # orders of magnitude for small gradients
+        chain.append(optax.scale_by_rms(decay=alpha, eps=eps,
+                                        eps_in_sqrt=False))
         if momentum:
             chain.append(optax.trace(decay=momentum))
         chain.append(optax.scale_by_learning_rate(learning_rate))
@@ -150,6 +154,11 @@ def set_learning_rate(opt_state, lr: float):
     import jax.numpy as jnp
 
     state = _hyperparams_state(opt_state)
+    if state is None:
+        raise ValueError(
+            "optimizer state does not expose a mutable learning rate "
+            "(no inject_hyperparams state found); build optimizers through "
+            "waveformml_tpu.optim.build_optimizer")
     cur = state.hyperparams["learning_rate"]
     state.hyperparams["learning_rate"] = jnp.asarray(
         lr, dtype=getattr(cur, "dtype", jnp.float32))
@@ -157,7 +166,12 @@ def set_learning_rate(opt_state, lr: float):
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(_hyperparams_state(opt_state).hyperparams["learning_rate"])
+    state = _hyperparams_state(opt_state)
+    if state is None:
+        raise ValueError(
+            "optimizer state does not expose a learning rate "
+            "(no inject_hyperparams state found)")
+    return float(state.hyperparams["learning_rate"])
 
 
 # ---------------------------------------------------------------------------------
@@ -222,37 +236,77 @@ class CosineAnnealingLR(Scheduler):
 
 @registry.register("lr_scheduler.ReduceLROnPlateau", aliases=("ReduceLROnPlateau",))
 class ReduceLROnPlateau(Scheduler):
+    """torch.optim.lr_scheduler.ReduceLROnPlateau semantics: 'rel' threshold
+    mode by default (best·(1−threshold) for min — an absolute bar at torch's
+    1e-4 default would be ~100× stricter at small loss scales), cooldown
+    epochs after each reduction, and full state round-trip through
+    checkpoints (current LR, best, bad_epochs, cooldown)."""
+
     def __init__(self, base_lr: float, factor: float = 0.1, patience: int = 10,
-                 min_lr: float = 0.0, mode: str = "min", threshold: float = 1e-4, **kwargs):
+                 min_lr: float = 0.0, mode: str = "min", threshold: float = 1e-4,
+                 threshold_mode: str = "rel", cooldown: int = 0, **kwargs):
         super().__init__(base_lr)
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
         self.mode = mode
         self.threshold = threshold
+        if threshold_mode not in ("rel", "abs"):
+            raise ValueError(f"threshold_mode must be rel/abs, got {threshold_mode!r}")
+        self.threshold_mode = threshold_mode
+        self.cooldown = int(cooldown)
+        self.cooldown_counter = 0
         self.best: Optional[float] = None
         self.bad_epochs = 0
         self.current = base_lr
+
+    def _improved(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        if self.threshold_mode == "rel":
+            if self.mode == "min":
+                return metric < self.best * (1.0 - self.threshold)
+            return metric > self.best * (1.0 + self.threshold)
+        if self.mode == "min":
+            return metric < self.best - self.threshold
+        return metric > self.best + self.threshold
 
     def step(self, metric: Optional[float] = None) -> float:
         self.epoch += 1
         if metric is None:
             return self.current
-        improved = (self.best is None or
-                    (self.mode == "min" and metric < self.best - self.threshold) or
-                    (self.mode == "max" and metric > self.best + self.threshold))
-        if improved:
+        if self._improved(metric):
             self.best = metric
+            self.bad_epochs = 0
+        elif self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
             self.bad_epochs = 0
         else:
             self.bad_epochs += 1
             if self.bad_epochs > self.patience:
                 self.current = max(self.min_lr, self.current * self.factor)
                 self.bad_epochs = 0
+                self.cooldown_counter = self.cooldown
         return self.current
 
     def lr(self) -> float:
         return self.current
+
+    def state_dict(self) -> Dict[str, Any]:
+        # resume must NOT reset the reduced LR back to base_lr or forget the
+        # plateau history
+        d = super().state_dict()
+        d.update({"current": self.current, "best": self.best,
+                  "bad_epochs": self.bad_epochs,
+                  "cooldown_counter": self.cooldown_counter})
+        return d
+
+    def load_state_dict(self, d: Dict[str, Any]) -> None:
+        super().load_state_dict(d)
+        self.current = d.get("current", self.base_lr)
+        self.best = d.get("best")
+        self.bad_epochs = d.get("bad_epochs", 0)
+        self.cooldown_counter = d.get("cooldown_counter", 0)
 
 
 def build_scheduler(name: Optional[str], base_lr: float,
