@@ -9,6 +9,13 @@ def test_moment_matches_numpy():
     data = rng.normal(2.0, 1.5, 100)
     svar, skew, curt = dsp.moment(data, 100)
     assert svar == pytest.approx(np.var(data, ddof=1), rel=1e-6)
+    # reference conventions (SparseUtils.py:13-68): sample variance in the
+    # denominators, count n in the prefactor, excess kurtosis
+    d = data - data.mean()
+    assert skew == pytest.approx(
+        (d ** 3).sum() / (100 * svar ** 1.5), rel=1e-6)
+    assert curt == pytest.approx(
+        (d ** 4).sum() / (100 * svar ** 2) - 3.0, rel=1e-6)
 
 
 def test_get_bin_index_edges():

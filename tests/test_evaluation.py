@@ -59,6 +59,15 @@ def test_metric_aggregator_welford():
     mean, std = m.mean_std(0)
     total_mean = (m.mean[0] * m.count[0]).sum() / m.count[0].sum()
     assert total_mean == pytest.approx(res.mean(), abs=1e-6)
+    # Welford m2 -> per-bin sample std must match numpy on each bin's values
+    # (aggregator index b+1: slot 0 is underflow, reference convention)
+    edges = np.linspace(m.low, m.high, m.n_bins + 1)
+    for b in range(m.n_bins):
+        sel = (par >= edges[b]) & (par < edges[b + 1])
+        if sel.sum() > 1:
+            assert std[b + 1] == pytest.approx(np.std(res[sel], ddof=1),
+                                               rel=1e-5)
+            assert mean[b + 1] == pytest.approx(res[sel].mean(), rel=1e-5)
 
 
 def test_roc_curve_perfect_classifier():

@@ -614,16 +614,31 @@ def test_clustergcn_golden():
                                rtol=0, atol=1e-5)
 
 
-def test_supergat_inference_matches_gat():
+def test_supergat_inference_golden():
     """PyG SuperGATConv: the self-supervised attention loss only exists at
-    training; the inference-time propagation rule is GATConv's (ref
-    GraphNet.py selects index 17 for eval too)."""
-    from waveformml_tpu.models.graph_layers import GATConv, SuperGATConv
+    training; at inference the propagation is GAT's — so the same
+    INDEPENDENT numpy oracle as test_gat_golden must reproduce it
+    (comparing against GATConv itself would be tautological: SuperGATConv
+    subclasses it)."""
+    from waveformml_tpu.models.graph_layers import SuperGATConv
 
+    layer = SuperGATConv(F_IN, F_OUT)
     e, mask, _ = _with_junk(EDGES)
-    sg = SuperGATConv(F_IN, F_OUT)
-    v = _pin(sg.init(jax.random.PRNGKey(0), jnp.asarray(X),
-                     jnp.asarray(e), jnp.asarray(mask)))
-    gat = GATConv(F_IN, F_OUT)
-    np.testing.assert_allclose(_apply(sg, v, X, e, mask),
-                               _apply(gat, v, X, e, mask), rtol=0, atol=0)
+    v = _pin(layer.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                        jnp.asarray(e), jnp.asarray(mask)))
+    W = np.asarray(v["params"]["lin"]["kernel"])
+    a_src = np.asarray(v["params"]["att_src"]).reshape(F_OUT)
+    a_dst = np.asarray(v["params"]["att_dst"]).reshape(F_OUT)
+    bias = np.asarray(v["params"]["bias"])
+
+    h = X @ W
+    expect = np.zeros((N, F_OUT))
+    for i in range(N):
+        nbrs = _incoming(i, EDGES) + [i]  # self-loop
+        logits = np.array([_leaky(h[j] @ a_src + h[i] @ a_dst) for j in nbrs])
+        alpha = np.exp(logits - logits.max())
+        alpha /= alpha.sum()
+        expect[i] = sum(a * h[j] for a, j in zip(alpha, nbrs)) + bias
+
+    np.testing.assert_allclose(_apply(layer, v, X, e, mask), expect,
+                               rtol=0, atol=1e-5)

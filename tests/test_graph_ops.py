@@ -11,6 +11,13 @@ def _edge_set(edges):
 
 
 def test_window_edges_matches_numpy_fallback(rng):
+    # without the native lib, window_edges IS the numpy fallback and this
+    # comparison is f(x) == f(x) — fail loudly instead of reporting
+    # C-kernel parity that never ran
+    from waveformml_tpu.ops import graph as graph_mod
+
+    assert graph_mod._get_lib() is not None, \
+        "native window_edges kernel failed to build; parity test is vacuous"
     n = 200
     x = rng.integers(0, 14, n).astype(np.int64)
     y = rng.integers(0, 11, n).astype(np.int64)
@@ -36,6 +43,10 @@ def test_window_edges_semantics():
 
 
 def test_knn_graph_matches_numpy(rng):
+    from waveformml_tpu.ops import graph as graph_mod
+
+    assert graph_mod._get_lib() is not None, \
+        "native kNN kernel failed to build; parity test is vacuous"
     n = 80
     pos = rng.random((n, 2)) * 10
     b = np.sort(rng.integers(0, 8, n)).astype(np.int64)

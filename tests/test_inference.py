@@ -223,13 +223,39 @@ def test_single_ended_ez_with_frozen_z(z_model_setup, rng):
     np.testing.assert_allclose(np.asarray(out[:, 1:2]), np.asarray(z_direct),
                                rtol=1e-6)
 
-    # gradients don't flow into the frozen branch: E-model grads finite
+    # the freeze guarantee is STRUCTURAL: z_apply is a closure over the
+    # restored checkpoint, so no z-branch parameter exists in the trainable
+    # tree at all — and the E branch receives real (nonzero) gradients.
+    # stop_gradient additionally blocks the z OUTPUT from the graph: the
+    # model output's z channel must be constant wrt trainable params.
+    names = [jax.tree_util.keystr(k)
+             for k, _ in jax.tree_util.tree_leaves_with_path(variables["params"])]
+    assert not any("frozen" in n.lower() or "litz" in n.lower()
+                   for n in names), names
+
+    # randomize params: at default init the ReLU tail can output exactly 0
+    # on this tiny batch, making every gradient vacuously zero
+    prng = np.random.default_rng(3)
+    live_params = jax.tree.map(
+        lambda x: jnp.asarray(prng.normal(0, 0.5, np.shape(x))
+                              .astype(np.float32)), variables["params"])
+
     def loss_fn(p):
         o = task.model.apply({**variables, "params": p}, batch)
         return jnp.sum(o ** 2)
 
-    g = jax.grad(loss_fn)(variables["params"])
+    g = jax.grad(loss_fn)(live_params)
+    assert any(float(jnp.abs(x).max()) > 0
+               for x in jax.tree_util.tree_leaves(g))
     assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(g))
+
+    def z_channel(p):
+        o = task.model.apply({**variables, "params": p}, batch)
+        return jnp.sum(o[:, 1:2] ** 2)
+
+    gz = jax.grad(z_channel)(live_params)
+    assert all(float(jnp.abs(x).max()) == 0.0
+               for x in jax.tree_util.tree_leaves(gz))
 
 
 def test_occlusion_study_end_to_end(tmp_path):

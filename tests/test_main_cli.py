@@ -58,7 +58,7 @@ def test_main_train_test_validate(cli_setup, capsys):
     run_dir = os.path.join(str(tmp / "model" / "m"), "runs", "cli", "version_0")
     assert os.path.isfile(os.path.join(run_dir, "run_info.json"))
     info = json.load(open(os.path.join(run_dir, "run_info.json")))
-    assert "git" in info or info  # provenance recorded
+    assert "git" in info  # provenance recorded
     assert glob.glob(os.path.join(run_dir, "*.ckpt"))
     assert glob.glob(os.path.join(run_dir, "*tfevents*"))
 

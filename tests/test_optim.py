@@ -94,11 +94,16 @@ def test_plateau_scheduler_state_roundtrip_and_rel_threshold():
     s2.load_state_dict(d)
     assert s2.current == 0.5 and s2.best == 0.85 and s2.lr() == 0.5
 
-    # abs mode keeps the old semantics
-    sa = ReduceLROnPlateau(1.0, patience=0, threshold=0.1,
+    # abs mode must be distinguishable from rel: best=2.0 gives rel bound
+    # 2.0*(1-0.1)=1.8 but abs bound 2.0-0.1=1.9 — metric 1.85 improves ONLY
+    # under abs mode
+    sa = ReduceLROnPlateau(1.0, factor=0.5, patience=0, threshold=0.1,
                            threshold_mode="abs")
-    sa.step(1.0)
-    assert sa.step(0.95) == 0.1 * 1.0 or sa.current < 1.0  # bad epoch -> cut
+    sa.step(2.0)
+    assert sa.step(1.85) == 1.0 and sa.best == 1.85  # abs: improvement
+    sr = ReduceLROnPlateau(1.0, factor=0.5, patience=0, threshold=0.1)
+    sr.step(2.0)
+    assert sr.step(1.85) == 0.5  # rel: bad epoch -> cut
 
 
 def test_sgd_nesterov_requires_momentum():
