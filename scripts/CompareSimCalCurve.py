@@ -34,12 +34,18 @@ def main(argv=None) -> int:
     parser.add_argument("ref_calname")
     parser.add_argument("--seg", type=int, default=None, help="restrict to one segment")
     args = parser.parse_args(argv)
-    sim = CalibrationDB(args.sim_db, args.sim_calname).get_curves()
-    ref = CalibrationDB(args.ref_db, args.ref_calname).get_curves()
-    if sim is None:
-        raise IOError(f"calgroup {args.sim_calname!r} not found in {args.sim_db}")
-    if ref is None:
-        raise IOError(f"calgroup {args.ref_calname!r} not found in {args.ref_db}")
+    # CalibrationDB raises KeyError at construction for an unknown calgroup —
+    # surface it as the IOError the CLI contract documents
+    try:
+        sim = CalibrationDB(args.sim_db, args.sim_calname).get_curves()
+    except KeyError as e:
+        raise IOError(f"calgroup {args.sim_calname!r} not found in "
+                      f"{args.sim_db}") from e
+    try:
+        ref = CalibrationDB(args.ref_db, args.ref_calname).get_curves()
+    except KeyError as e:
+        raise IOError(f"calgroup {args.ref_calname!r} not found in "
+                      f"{args.ref_db}") from e
     sim_atten, sim_time = sim[0], sim[2]
     ref_atten, ref_time = ref[0], ref[2]
     chans = sorted(set(sim_atten) & set(ref_atten))

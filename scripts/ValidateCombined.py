@@ -40,7 +40,8 @@ def expected_merge(sidecar: dict, dataset_name: str, coord_name: str,
                    feat_name: str, label_name=None):
     """Replay _write_shuffled's round-robin (pulse_dataset.py:262-287):
     per-category per-event groups, one event per category per round.
-    Returns (coords, feats, per_event_cat, per_row_labels_or_None)."""
+    Returns (coords, feats, per_event_cat, per_row_labels_or_None,
+    per_event_row_counts)."""
     cat_events = {}
     for cat in sorted(int(k) for k in sidecar):
         events = []
@@ -75,15 +76,16 @@ def expected_merge(sidecar: dict, dataset_name: str, coord_name: str,
             pending.pop(c)
     if not out_c:
         return (np.zeros((0, 3), np.int64), np.zeros((0, 1), np.float32),
-                [], None)
+                [], None, [])
     rows = np.concatenate(out_l) if len(out_l) == len(out_c) else None
-    return np.concatenate(out_c), np.concatenate(out_f), cats, rows
+    ev_sizes = [c.shape[0] for c in out_c]
+    return np.concatenate(out_c), np.concatenate(out_f), cats, rows, ev_sizes
 
 
 def check_file(sidecar: dict, merged_coords, merged_feats, labels,
                path: Path, dataset_name: str, coord_name: str,
                feat_name: str, label_name=None, row_labels=None) -> None:
-    src_coords, src_feats, cats, src_rows = expected_merge(
+    src_coords, src_feats, cats, src_rows, ev_sizes = expected_merge(
         sidecar, dataset_name, coord_name, feat_name, label_name=label_name)
     if src_coords.shape[0] != merged_coords.shape[0]:
         raise ValueError(
@@ -93,13 +95,20 @@ def check_file(sidecar: dict, merged_coords, merged_feats, labels,
         raise ValueError(f"File {path} contained incorrect coords")
     if not np.allclose(src_feats, merged_feats):
         raise ValueError(f"File {path} contained incorrect waveforms")
-    # merged event ids must be the replay's consecutive renumbering
+    # merged event ids must be the replay's consecutive renumbering: both the
+    # event COUNT and every event's row count must match (a shifted boundary
+    # keeps coords/feats row-identical but assigns rows to the wrong events)
     sizes = [c.shape[0] for c in np.split(
         np.arange(src_coords.shape[0]),
         np.flatnonzero(np.diff(merged_coords[:, -1])) + 1)]
     if len(sizes) != len(cats):
         raise ValueError(
             f"File {path} has {len(sizes)} events, expected {len(cats)}")
+    if sizes != ev_sizes:
+        bad = next(i for i, (a, b) in enumerate(zip(sizes, ev_sizes)) if a != b)
+        raise ValueError(
+            f"File {path} event {bad} has {sizes[bad]} rows, replay expects "
+            f"{ev_sizes[bad]} — event boundaries are corrupted")
     # per-event labels (group layout): directory-index labels match the
     # replay's category sequence (label files may remap, so only check when
     # every label is a known category)

@@ -133,3 +133,12 @@ def test_validate_does_not_fill_sgd_params_for_other_optimizers(tmp_path):
     p2.write_text(json.dumps(base))
     cfg2 = load_config(str(p2), validate=True)
     assert cfg2.optimize_config.optimizer_params.momentum == 0.9
+
+    # alias spelling resolves to the same class, so it must inherit the
+    # same defaults — a raw string compare would silently train momentum 0
+    base["optimize_config"]["optimizer_class"] = "SGD"
+    p3 = tmp_path / "sgd_alias.json"
+    p3.write_text(json.dumps(base))
+    cfg3 = load_config(str(p3), validate=True)
+    assert cfg3.optimize_config.optimizer_params.momentum == 0.9
+    assert cfg3.optimize_config.optimizer_params.nesterov is True

@@ -106,6 +106,37 @@ def test_plateau_scheduler_state_roundtrip_and_rel_threshold():
     assert sr.step(1.85) == 0.5  # rel: bad epoch -> cut
 
 
+def test_plateau_scheduler_matches_torch_trajectories():
+    """LR trajectory parity vs torch.optim.lr_scheduler.ReduceLROnPlateau on
+    random metric sequences — in particular improvements landing INSIDE the
+    cooldown window, where torch still decrements the cooldown counter (an
+    improvement must not extend cooldown and delay the next cut)."""
+    import torch
+
+    from waveformml_tpu.optim import ReduceLROnPlateau
+
+    rng = np.random.default_rng(7)
+    for case, (patience, cooldown, threshold) in enumerate(
+            [(0, 1, 0.1), (1, 2, 0.05), (2, 1, 0.0), (0, 3, 0.2)]):
+        metrics = rng.random(30).tolist()
+        # plant an improvement right after a likely cut to hit the
+        # improve-during-cooldown branch
+        metrics[3] = 0.0
+        ours = ReduceLROnPlateau(1.0, factor=0.5, patience=patience,
+                                 cooldown=cooldown, threshold=threshold)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1.0)
+        theirs = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, factor=0.5, patience=patience, cooldown=cooldown,
+            threshold=threshold)
+        for i, m in enumerate(metrics):
+            lr_ours = ours.step(m)
+            theirs.step(m)
+            lr_torch = opt.param_groups[0]["lr"]
+            assert lr_ours == lr_torch, \
+                f"case {case} step {i}: {lr_ours} != torch {lr_torch}"
+
+
 def test_sgd_nesterov_requires_momentum():
     import pytest
 

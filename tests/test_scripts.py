@@ -479,3 +479,20 @@ def test_validate_combined_checks_compound_label_column(tmp_path, rng):
               "WaveformPairsWithZ", "--coord", "coord", "--feat", "waveform")
     assert r2.returncode != 0
     assert "incorrect labels" in (r2.stderr + r2.stdout)
+
+    # shift ONE event boundary in the batch-index column (coords/waveforms
+    # stay row-identical, event count unchanged): rows now belong to the
+    # wrong events — the per-event row-count replay must catch this
+    with h5py.File(combined, "r+") as h5:
+        rec = h5["WaveformPairsWithZ"][()]
+        rec["z"] = rec["z"][::-1].copy()  # undo the label corruption
+        ev = rec["coord"][:, 2]
+        boundaries = np.flatnonzero(np.diff(ev)) + 1
+        b = next(i for i in boundaries if np.sum(ev == ev[i]) >= 2)
+        rec["coord"][b, 2] = ev[b - 1]
+        del h5["WaveformPairsWithZ"]
+        h5.create_dataset("WaveformPairsWithZ", data=rec)
+    r3 = _run("ValidateCombined.py", ds.data_dir, "--dataset",
+              "WaveformPairsWithZ", "--coord", "coord", "--feat", "waveform")
+    assert r3.returncode != 0
+    assert "event boundaries are corrupted" in (r3.stderr + r3.stdout)

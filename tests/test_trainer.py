@@ -475,6 +475,51 @@ def test_litwaveform_multi_output_regression_loss():
                                expect.mean(), rtol=1e-6)
 
 
+def test_litpsd_weighted_ce_matches_torch_through_task_path():
+    """Per-class criterion weights through LitPSD.loss_and_metrics (the
+    trainer path, which rebuilds the reduction from elementwise sums) must
+    reproduce torch CrossEntropyLoss(weight=w) semantics: the 'mean'
+    denominator is the sum of the SELECTED class weights, not the count
+    (ref: src/engineering/LitBase.py:38-43 resolves torch criteria)."""
+    import jax.numpy as jnp
+    import torch
+
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    w = [0.2, 1.0, 3.5]
+    cfg = Config({
+        "run_config": {"exp_name": "wce", "run_class": "LitPSD",
+                       "imports": []},
+        "system_config": {"model_name": "wce", "n_samples": 12, "n_type": 3,
+                          "type_names": ["a", "b", "c"],
+                          "model_base_path": "/tmp/wce", "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss",
+                       "criterion_params": [w],
+                       "imports": [], "net_class": "DenseConvNet.DenseConvNet",
+                       "net_type": "2D",
+                       "hparams": {"n_conv": 1, "n_lin": 1}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    task = LitPSD(cfg)
+    rng = np.random.default_rng(3)
+    n_total, n_real, n_cls = 10, 7, 3
+    logits = rng.standard_normal((n_total, n_cls)).astype(np.float32)
+    labels = rng.integers(0, n_cls, n_total)
+    db = {"labels": jnp.asarray(labels),
+          "label_mask": jnp.asarray((np.arange(n_total) < n_real)
+                                    .astype(np.float32))}
+    loss_sum, weight, _ = task.loss_and_metrics(jnp.asarray(logits), db)
+    expected = torch.nn.CrossEntropyLoss(weight=torch.tensor(w))(
+        torch.from_numpy(logits[:n_real]), torch.from_numpy(labels[:n_real]))
+    np.testing.assert_allclose(float(loss_sum) / float(weight),
+                               float(expected), rtol=1e-5)
+
+
 def test_fit_is_deterministic_for_fixed_seed(psd_setup):
     """Reproducibility contract: identical config + seed => bit-identical
     training trajectory (fresh Trainer + DataModule each run)."""

@@ -249,7 +249,7 @@ def validate_config(config: Config, requirements: Optional[Dict[str, Any]] = Non
                                "scheduler_params": "scheduler_class"}.get(key)
                     tmpl_cls = template.get(sibling) if sibling else None
                     cfg_cls = getattr(node, sibling, tmpl_cls) if sibling else None
-                    if sibling and cfg_cls != tmpl_cls:
+                    if sibling and not _same_class(cfg_cls, tmpl_cls):
                         setattr(node, key, _wrap({}))
                     else:
                         setattr(node, key, _wrap(copy.deepcopy(default)))
@@ -261,6 +261,21 @@ def validate_config(config: Config, requirements: Optional[Dict[str, Any]] = Non
                         setattr(node, key, _wrap(copy.deepcopy(default)))
                     else:
                         raise ValueError(f"required config key missing: {here}")
+
+    def _same_class(a: Any, b: Any) -> bool:
+        # "SGD" and "optim.SGD" are registry aliases of the same class — the
+        # template defaults apply to both spellings; compare resolved classes
+        # and fall back to the strings for names the registry doesn't know
+        if a == b:
+            return True
+        if not (isinstance(a, str) and isinstance(b, str)):
+            return False
+        from waveformml_tpu.registry import registry
+
+        try:
+            return registry.retrieve_class(a) is registry.retrieve_class(b)
+        except Exception:
+            return False
 
     def _has_default(v: Any) -> bool:
         # reference semantics (util.py:294-338): "" / 0 / [""] / [{}] / {}

@@ -70,8 +70,11 @@ class LitPSD(TaskBase):
         loss_sum = _masked_sum(elem, ymask)
         # RAW shard weight: the clamp to >=1 happens at the global
         # (psum'd) denominator in the trainer — clamping per shard would
-        # inflate the denominator whenever a padded device shard is empty
-        weight = jnp.sum(ymask)
+        # inflate the denominator whenever a padded device shard is empty.
+        # For a per-class-weighted criterion the torch 'mean' denominator is
+        # Σ w[y] over the selected samples, not the sample count.
+        den = self.criterion.mean_denominator(labels)
+        weight = jnp.sum(ymask if den is None else den * ymask)
         pred = jnp.argmax(outputs, axis=-1)
         correct = _masked_sum((pred == labels).astype(jnp.float32), ymask)
         # confusion matrix sums [C, C]: rows = target, cols = prediction
@@ -203,7 +206,10 @@ class LitWaveform(TaskBase):
         n_out = 1
         for d in elem.shape[len(mask.shape):]:
             n_out *= d
-        weight = jnp.sum(mask) * n_out  # raw; clamped globally in the trainer
+        # raw; clamped globally in the trainer. Weighted classification
+        # criteria divide torch's 'mean' by Σ w[y], not the count.
+        den = self.criterion.mean_denominator(labels)
+        weight = jnp.sum(mask if den is None else den * mask) * n_out
         metrics = {}
         if self.use_accuracy and p.ndim == 2:
             pred = jnp.argmax(jax.nn.softmax(p, axis=1), axis=1)
@@ -411,7 +417,10 @@ class LitSegClassifier(TaskBase):
             mask = mask & (self.seg_status[x, y] == 0.5)
         elem = self.criterion.elementwise(outputs, labels)
         loss_sum = _masked_sum(elem, mask)
-        weight = jnp.sum(mask)  # raw; clamped globally in the trainer
+        # raw; clamped globally in the trainer. Segment-level tasks mirror
+        # torch reduction='sum' (LitBase.py:39-43) where class weights scale
+        # the sum but never the denominator, so this stays the site count.
+        weight = jnp.sum(mask)
         pred = jnp.argmax(outputs, axis=-1)
         correct = _masked_sum((pred == labels).astype(jnp.float32), mask)
         onehot_t = jax.nn.one_hot(labels, self.n_type) * mask[:, None]

@@ -51,6 +51,14 @@ class _Criterion:
     def elementwise(self, pred: jax.Array, target: jax.Array) -> jax.Array:
         raise NotImplementedError
 
+    def mean_denominator(self, target: jax.Array) -> Optional[jax.Array]:
+        """Per-sample contribution to the 'mean' denominator, or None for the
+        plain sample count. torch divides a weighted NLL/CE mean by the sum of
+        the selected class weights, not the count — tasks that rebuild the
+        reduction from elementwise() (for psum-able loss_sum/weight pairs)
+        must use this as the denominator term."""
+        return None
+
 
 class _WeightedNLLBase(_Criterion):
     """Shared per-class-weight handling (torch's first positional arg)."""
@@ -80,6 +88,14 @@ class _WeightedNLLBase(_Criterion):
                 w = jnp.where(where, w, 0)
             return jnp.sum(x) / jnp.maximum(jnp.sum(w), 1e-12)
         return _reduce(x, self.reduction, where)
+
+    def mean_denominator(self, target):
+        # Defined regardless of self.reduction: the task path builds criteria
+        # with reduction="none" and reconstructs the reference's reduction
+        # itself (mean for event-level tasks, LitBase.py:39-43).
+        if self.weight is None:
+            return None
+        return self.weight[target.astype(jnp.int32)]
 
 
 @registry.register("CrossEntropyLoss", aliases=("nn.CrossEntropyLoss",))

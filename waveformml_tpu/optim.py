@@ -275,18 +275,20 @@ class ReduceLROnPlateau(Scheduler):
         self.epoch += 1
         if metric is None:
             return self.current
+        # torch order of operations: cooldown ticks down EVERY epoch while
+        # active (improvements don't extend it) and suppresses bad_epochs
         if self._improved(metric):
             self.best = metric
             self.bad_epochs = 0
-        elif self.cooldown_counter > 0:
-            self.cooldown_counter -= 1
-            self.bad_epochs = 0
         else:
             self.bad_epochs += 1
-            if self.bad_epochs > self.patience:
-                self.current = max(self.min_lr, self.current * self.factor)
-                self.bad_epochs = 0
-                self.cooldown_counter = self.cooldown
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.bad_epochs = 0
+        if self.bad_epochs > self.patience:
+            self.current = max(self.min_lr, self.current * self.factor)
+            self.bad_epochs = 0
+            self.cooldown_counter = self.cooldown
         return self.current
 
     def lr(self) -> float:
