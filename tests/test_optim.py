@@ -106,6 +106,38 @@ def test_plateau_scheduler_state_roundtrip_and_rel_threshold():
     assert sr.step(1.85) == 0.5  # rel: bad epoch -> cut
 
 
+def test_closed_form_schedulers_match_torch_trajectories():
+    """ExponentialLR / StepLR / CosineAnnealingLR LR trajectories must match
+    torch.optim.lr_scheduler epoch-for-epoch over 25 epochs."""
+    import torch
+
+    from waveformml_tpu.optim import (CosineAnnealingLR, ExponentialLR,
+                                      StepLR)
+
+    cases = [
+        (ExponentialLR(0.1, gamma=0.85),
+         lambda o: torch.optim.lr_scheduler.ExponentialLR(o, gamma=0.85)),
+        (StepLR(0.1, step_size=4, gamma=0.3),
+         lambda o: torch.optim.lr_scheduler.StepLR(o, step_size=4, gamma=0.3)),
+        (CosineAnnealingLR(0.1, T_max=10, eta_min=0.001),
+         lambda o: torch.optim.lr_scheduler.CosineAnnealingLR(
+             o, T_max=10, eta_min=0.001)),
+    ]
+    for ours, make_torch in cases:
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=0.1)
+        theirs = make_torch(opt)
+        np.testing.assert_allclose(ours.lr(), opt.param_groups[0]["lr"],
+                                   rtol=1e-6)
+        for epoch in range(25):
+            lr_ours = ours.step()
+            opt.step()
+            theirs.step()
+            np.testing.assert_allclose(
+                lr_ours, opt.param_groups[0]["lr"], rtol=1e-6,
+                err_msg=f"{type(ours).__name__} epoch {epoch}")
+
+
 def test_plateau_scheduler_matches_torch_trajectories():
     """LR trajectory parity vs torch.optim.lr_scheduler.ReduceLROnPlateau on
     random metric sequences — in particular improvements landing INSIDE the
