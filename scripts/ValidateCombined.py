@@ -91,24 +91,25 @@ def check_file(sidecar: dict, merged_coords, merged_feats, labels,
         raise ValueError(
             f"File {path} has {merged_coords.shape[0]} rows, sources have "
             f"{src_coords.shape[0]}")
-    if not np.array_equal(src_coords[:, :2], merged_coords[:, :2]):
+    # every coordinate column except the (renumbered) event id must replay
+    # exactly — [:, :-1] also covers the time column of 4-column 3D coords
+    if not np.array_equal(src_coords[:, :-1], merged_coords[:, :-1]):
         raise ValueError(f"File {path} contained incorrect coords")
     if not np.allclose(src_feats, merged_feats):
         raise ValueError(f"File {path} contained incorrect waveforms")
-    # merged event ids must be the replay's consecutive renumbering: both the
-    # event COUNT and every event's row count must match (a shifted boundary
-    # keeps coords/feats row-identical but assigns rows to the wrong events)
-    sizes = [c.shape[0] for c in np.split(
-        np.arange(src_coords.shape[0]),
-        np.flatnonzero(np.diff(merged_coords[:, -1])) + 1)]
-    if len(sizes) != len(cats):
-        raise ValueError(
-            f"File {path} has {len(sizes)} events, expected {len(cats)}")
-    if sizes != ev_sizes:
-        bad = next(i for i, (a, b) in enumerate(zip(sizes, ev_sizes)) if a != b)
-        raise ValueError(
-            f"File {path} event {bad} has {sizes[bad]} rows, replay expects "
-            f"{ev_sizes[bad]} — event boundaries are corrupted")
+    # merged event ids must be the replay's consecutive 0..n-1 renumbering
+    # with the replay's per-event row counts (pulse_dataset.py:287-298):
+    # duplicate / non-consecutive ids or a shifted boundary keep coords and
+    # feats row-identical but assign rows to the wrong events
+    if src_coords.shape[0]:
+        expected_ids = np.repeat(np.arange(len(cats)), ev_sizes)
+        if not np.array_equal(merged_coords[:, -1], expected_ids):
+            bad = int(np.flatnonzero(
+                merged_coords[:, -1] != expected_ids)[0])
+            raise ValueError(
+                f"File {path} row {bad} has event id "
+                f"{int(merged_coords[bad, -1])}, replay expects "
+                f"{int(expected_ids[bad])} — event boundaries are corrupted")
     # per-event labels (group layout): directory-index labels match the
     # replay's category sequence (label files may remap, so only check when
     # every label is a known category)

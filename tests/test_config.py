@@ -1,4 +1,5 @@
 import json
+import os
 
 import pytest
 
@@ -142,3 +143,20 @@ def test_validate_does_not_fill_sgd_params_for_other_optimizers(tmp_path):
     cfg3 = load_config(str(p3), validate=True)
     assert cfg3.optimize_config.optimizer_params.momentum == 0.9
     assert cfg3.optimize_config.optimizer_params.nesterov is True
+
+    # and in a FRESH interpreter where config is the first (and only)
+    # waveformml_tpu import: alias resolution must trigger the builtin
+    # registrations itself rather than rely on a prior optim import
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import json, sys\n"
+         "from waveformml_tpu.config import load_config\n"
+         f"cfg = load_config({str(p3)!r}, validate=True)\n"
+         "sys.exit(0 if cfg.optimize_config.optimizer_params.momentum == 0.9"
+         " else 3)"],
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}, capture_output=True,
+        text=True)
+    assert r.returncode == 0, r.stderr

@@ -520,6 +520,23 @@ def test_litpsd_weighted_ce_matches_torch_through_task_path():
                                float(expected), rtol=1e-5)
 
 
+def test_trainer_does_not_clamp_small_weighted_denominators(psd_setup):
+    """With tiny per-class criterion weights (w=1e-3) the global loss
+    denominator Σ w[y] is far below 1; the trainer's empty-shard clamp must
+    use an eps, not max(·, 1) — the old clamp shrank weighted losses ~1000×
+    (initial CE for 2 classes must come out near ln 2, not ~1e-3)."""
+    import copy
+
+    tmp_path, cfg = psd_setup
+    cfg = copy.deepcopy(cfg)
+    cfg.net_config.criterion_params = [[1e-3, 1e-3]]
+    cfg.optimize_config.total_epoch = 1
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, seed=0)
+    metrics = trainer.fit(PSDDataModule(cfg))
+    assert metrics["train_loss"] > 0.05, metrics
+
+
 def test_fit_is_deterministic_for_fixed_seed(psd_setup):
     """Reproducibility contract: identical config + seed => bit-identical
     training trajectory (fresh Trainer + DataModule each run)."""

@@ -270,10 +270,13 @@ def validate_config(config: Config, requirements: Optional[Dict[str, Any]] = Non
             return True
         if not (isinstance(a, str) and isinstance(b, str)):
             return False
-        from waveformml_tpu.registry import registry
+        # the module-level wrapper, NOT registry.retrieve_class: only the
+        # wrapper runs _ensure_builtin_registrations, and config may be the
+        # first waveformml_tpu module imported
+        from waveformml_tpu.registry import retrieve_class
 
         try:
-            return registry.retrieve_class(a) is registry.retrieve_class(b)
+            return retrieve_class(a) is retrieve_class(b)
         except Exception:
             return False
 

@@ -281,7 +281,10 @@ class Trainer:
             outputs, new_stats = task.apply_model(
                 variables, db, train=train, rngs={"dropout": rng})
             loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
-            return loss_sum / jnp.maximum(weight, 1), \
+            # eps, not 1: per-class-weighted criteria make `weight` a
+            # weight SUM that can legitimately be < 1 — clamping to 1 would
+            # silently shrink the loss/grads; an empty batch still yields 0/eps=0
+            return loss_sum / jnp.maximum(weight, 1e-12), \
                 (new_stats, metrics, loss_sum, weight)
 
         def train_step(params, batch_stats, opt_state, rng, db):
@@ -337,7 +340,8 @@ class Trainer:
             loss_sum, weight, metrics = task.loss_and_metrics(outputs, db)
             # clamp AFTER the psum: an empty padded shard must contribute
             # zero weight, not 1, or the global loss/grads shrink
-            total_weight = jnp.maximum(jax.lax.psum(weight, DATA_AXIS), 1)
+            # eps, not 1 (weighted-criterion denominators can be < 1)
+            total_weight = jnp.maximum(jax.lax.psum(weight, DATA_AXIS), 1e-12)
             loss = loss_sum / total_weight
             return loss, (new_stats, metrics, loss_sum, weight)
 
@@ -354,7 +358,7 @@ class Trainer:
                 new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
             metrics = jax.tree.map(lambda m: jax.lax.psum(m, DATA_AXIS), metrics)
             loss_total = jax.lax.psum(loss_sum, DATA_AXIS) / \
-                jnp.maximum(jax.lax.psum(weight, DATA_AXIS), 1)
+                jnp.maximum(jax.lax.psum(weight, DATA_AXIS), 1e-12)
             return new_params, new_stats, new_opt_state, loss_total, metrics
 
         def make_eval(with_outputs):

@@ -135,7 +135,9 @@ class CalibrationDB(SQLiteBase):
     def get_seg_cal_values(self):
         """(gains, eres, rel_times, seg_times), each [NX, NY(, 2)]
         (ref :98-118)."""
-        if not self.calgroup_id:
+        # `is None`, not falsy: a legitimate object_id of 0 passes the
+        # constructor's existence check and must not read as "missing"
+        if self.calgroup_id is None:
             return None
         gains = np.zeros((NX, NY, 2), dtype=np.float32)
         eres = np.zeros((NX, NY, 2), dtype=np.float32)
@@ -157,7 +159,9 @@ class CalibrationDB(SQLiteBase):
     def get_curves(self):
         """Per-channel CalCurve dicts: (atten, lsum, time, linearity, psd,
         t_interp) + e_ncapt [NX, NY, 2] (ref :120-149)."""
-        if not self.calgroup_id:
+        # `is None`, not falsy: a legitimate object_id of 0 passes the
+        # constructor's existence check and must not read as "missing"
+        if self.calgroup_id is None:
             return None
         curves: Tuple[Dict[int, CalCurve], ...] = tuple({} for _ in range(6))
         e_ncapt = np.zeros((NX, NY, 2), dtype=np.float32)

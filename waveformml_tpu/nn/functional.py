@@ -82,7 +82,7 @@ class _WeightedNLLBase(_Criterion):
         x = self.elementwise(pred, target)
         if self.weight is not None and self.reduction == "mean":
             # torch divides a weighted mean by Σ weights, not the count
-            w = self.weight[target.astype(jnp.int32)]
+            w = self.mean_denominator(target)
             if where is not None:
                 x = jnp.where(where, x, 0)
                 w = jnp.where(where, w, 0)
