@@ -34,18 +34,16 @@ def main(argv=None) -> int:
     parser.add_argument("ref_calname")
     parser.add_argument("--seg", type=int, default=None, help="restrict to one segment")
     args = parser.parse_args(argv)
-    # CalibrationDB raises KeyError at construction for an unknown calgroup —
-    # surface it as the IOError the CLI contract documents
-    try:
-        sim = CalibrationDB(args.sim_db, args.sim_calname).get_curves()
-    except KeyError as e:
-        raise IOError(f"calgroup {args.sim_calname!r} not found in "
-                      f"{args.sim_db}") from e
-    try:
-        ref = CalibrationDB(args.ref_db, args.ref_calname).get_curves()
-    except KeyError as e:
-        raise IOError(f"calgroup {args.ref_calname!r} not found in "
-                      f"{args.ref_db}") from e
+    def load_curves(db: str, calname: str):
+        # CalibrationDB raises KeyError at construction for an unknown
+        # calgroup — surface it as the IOError the CLI contract documents
+        try:
+            return CalibrationDB(db, calname).get_curves()
+        except KeyError as e:
+            raise IOError(f"calgroup {calname!r} not found in {db}") from e
+
+    sim = load_curves(args.sim_db, args.sim_calname)
+    ref = load_curves(args.ref_db, args.ref_calname)
     sim_atten, sim_time = sim[0], sim[2]
     ref_atten, ref_time = ref[0], ref[2]
     chans = sorted(set(sim_atten) & set(ref_atten))

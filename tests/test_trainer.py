@@ -535,6 +535,11 @@ def test_trainer_does_not_clamp_small_weighted_denominators(psd_setup):
     trainer = Trainer(cfg, task, seed=0)
     metrics = trainer.fit(PSDDataModule(cfg))
     assert metrics["train_loss"] > 0.05, metrics
+    # the host-side epoch aggregation divides the same way: val_loss drives
+    # checkpoint selection / early stopping / plateau / HPO pruning and must
+    # not shrink either (it was clamped independently of the jit steps)
+    assert metrics["val_loss"] > 0.05, metrics
+    assert metrics["val_loss"] < 10 * metrics["train_loss"] + 1.0, metrics
 
 
 def test_fit_is_deterministic_for_fixed_seed(psd_setup):

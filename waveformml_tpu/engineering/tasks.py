@@ -34,6 +34,14 @@ def _masked_sum(x, mask):
     return jnp.sum(jnp.where(mask, x, 0))
 
 
+def _mean_denominator(criterion, labels):
+    """Per-sample denominator terms for torch 'mean' semantics, or None for
+    the plain count. Tolerates user-registered criteria that implement only
+    the elementwise()/reduction interface without the _Criterion base."""
+    fn = getattr(criterion, "mean_denominator", None)
+    return fn(labels) if fn is not None else None
+
+
 @registry.register("LitPSD", aliases=("src.engineering.LitPSD.LitPSD", "LitPSD.LitPSD"))
 class LitPSD(TaskBase):
     """Event classification (pulse-shape discrimination)
@@ -73,7 +81,7 @@ class LitPSD(TaskBase):
         # inflate the denominator whenever a padded device shard is empty.
         # For a per-class-weighted criterion the torch 'mean' denominator is
         # Σ w[y] over the selected samples, not the sample count.
-        den = self.criterion.mean_denominator(labels)
+        den = _mean_denominator(self.criterion, labels)
         weight = jnp.sum(ymask if den is None else den * ymask)
         pred = jnp.argmax(outputs, axis=-1)
         correct = _masked_sum((pred == labels).astype(jnp.float32), ymask)
@@ -208,7 +216,7 @@ class LitWaveform(TaskBase):
             n_out *= d
         # raw; clamped globally in the trainer. Weighted classification
         # criteria divide torch's 'mean' by Σ w[y], not the count.
-        den = self.criterion.mean_denominator(labels)
+        den = _mean_denominator(self.criterion, labels)
         weight = jnp.sum(mask if den is None else den * mask) * n_out
         metrics = {}
         if self.use_accuracy and p.ndim == 2:

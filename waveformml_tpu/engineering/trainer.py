@@ -923,7 +923,10 @@ class Trainer:
                     collect(block, db, jax.tree.map(_local, test_out))
                 else:
                     collect(block, db, jax.tree.map(np.asarray, test_out))
-        out = {f"{prefix}_loss": loss_sum / max(weight, 1.0)}
+        # eps, not 1: weighted criteria make `weight` a weight SUM that can
+        # legitimately be < 1 (mirrors the in-jit clamps above) — val_loss
+        # drives checkpointing/early-stop/plateau/HPO so it must not shrink
+        out = {f"{prefix}_loss": loss_sum / max(weight, 1e-12)}
         out.update(_finalize(agg, prefix=f"{prefix}_"))
         # keep raw arrays (e.g. confusion) for figure callbacks
         for k, v in agg.items():
