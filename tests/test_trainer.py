@@ -520,6 +520,53 @@ def test_litpsd_weighted_ce_matches_torch_through_task_path():
                                float(expected), rtol=1e-5)
 
 
+def test_task_path_tolerates_duck_typed_user_criteria():
+    """A user-registered criterion that implements only the de-facto
+    interface (ctor(reduction=...) + elementwise()) without subclassing the
+    private _Criterion base must keep working through loss_and_metrics —
+    the weighted-denominator hook is optional, not part of the contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.registry import registry
+
+    class MyLoss:
+        def __init__(self, *args, reduction="mean", **kwargs):
+            self.reduction = reduction
+
+        def elementwise(self, pred, target):
+            logp = jax.nn.log_softmax(pred, axis=-1)
+            t = target[..., None].astype(jnp.int32)
+            return -jnp.take_along_axis(logp, t, axis=-1)[..., 0]
+
+    registry.register("MyDuckLoss")(MyLoss)
+    cfg = Config({
+        "run_config": {"exp_name": "duck", "run_class": "LitPSD",
+                       "imports": []},
+        "system_config": {"model_name": "duck", "n_samples": 12, "n_type": 2,
+                          "type_names": ["a", "b"],
+                          "model_base_path": "/tmp/duck", "half_precision": 0},
+        "net_config": {"criterion_class": "MyDuckLoss", "criterion_params": [],
+                       "imports": [], "net_class": "DenseConvNet.DenseConvNet",
+                       "net_type": "2D", "hparams": {"n_conv": 1, "n_lin": 1}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    task = LitPSD(cfg)
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.standard_normal((6, 2)).astype(np.float32))
+    db = {"labels": jnp.asarray(rng.integers(0, 2, 6)),
+          "label_mask": jnp.ones(6, np.float32)}
+    loss_sum, weight, _ = task.loss_and_metrics(logits, db)
+    assert float(weight) == 6.0
+    assert np.isfinite(float(loss_sum))
+
+
 def test_trainer_does_not_clamp_small_weighted_denominators(psd_setup):
     """With tiny per-class criterion weights (w=1e-3) the global loss
     denominator Σ w[y] is far below 1; the trainer's empty-shard clamp must
