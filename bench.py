@@ -984,6 +984,12 @@ def _finalize(here):
 
 
 def main() -> int:
+    if any(a in ("-h", "--help") for a in sys.argv[1:]):
+        # no argparse on purpose (config selection is env-driven so the
+        # orchestrator's child invocations stay argv-identical), but --help
+        # must not silently launch a full benchmark run
+        print(__doc__)
+        return 0
     only = os.environ.get("BENCH_ONLY")
     if only is not None or os.environ.get("BENCH_CHILD"):
         return _run_inline([s.strip() for s in only.split(",")]
