@@ -36,6 +36,17 @@ def test_finalize_reprints_headline_last(tmp_path, capsys):
     assert len(results) == 2
 
 
+def test_help_prints_usage_without_running(monkeypatch, capsys):
+    # --help must never fall through to orchestrator mode (which launches a
+    # multi-config benchmark run); it prints the module docstring and exits 0
+    bench = _fresh_bench()
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--help"])
+    assert bench.main() == 0
+    out = capsys.readouterr().out
+    assert "Benchmark suite" in out
+    assert bench.RESULTS == []
+
+
 def test_finalize_without_headline_is_quiet(tmp_path, capsys):
     bench = _fresh_bench()
     bench._finalize(str(tmp_path))
