@@ -8,7 +8,9 @@ Configs (BASELINE.json `configs` 1-5):
   3. SparseConv2d detector-grid PSD     -> bench_sparse_psd (headline, printed LAST)
   4. Z WritePredictions streaming       -> bench_stream (end-to-end incl. HDF5 IO)
   5. HPO sweep (TPE + MedianPruner)     -> bench_hpo
-  +  compute-heavy bf16 sparse PSD      -> bench_heavy (step time + MFU estimate)
+  +  compute-heavy bf16 sparse PSD      -> bench_heavy (step time + MFU estimate,
+                                           at width 64 and at the width-128
+                                           throughput-accuracy frontier)
 
 Each prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 The flagship sparse PSD config runs FIRST (so a stalled link later in the
@@ -54,8 +56,14 @@ RESULTS = []
 
 
 def _emit(metric, value, unit, vs_baseline, **extra):
+    # ts + source make bench_results.json the single authoritative record:
+    # every entry says when it was measured and by which invocation kind
+    # (the driver's end-of-round run leaves BENCH_SOURCE unset; manual
+    # runs should set BENCH_SOURCE=builder)
     entry = {"metric": metric, "value": round(float(value), 2), "unit": unit,
-             "vs_baseline": round(float(vs_baseline), 2), **extra}
+             "vs_baseline": round(float(vs_baseline), 2), **extra,
+             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+             "source": os.environ.get("BENCH_SOURCE", "driver")}
     RESULTS.append(entry)
     print(json.dumps(entry), flush=True)
     return entry
@@ -523,7 +531,10 @@ def bench_stream(backend):
                                 datatype="WaveformPairCal")
         t0 = time.perf_counter()
         pw2.write_predictions()
-        jax_wps = STREAM_EVENTS / (time.perf_counter() - t0)
+        e2e_s = time.perf_counter() - t0
+        jax_wps = STREAM_EVENTS / e2e_s
+        pipe = {k: round(v, 3) for k, v in
+                getattr(pw2, "stage_seconds", {}).items()}
 
         bd = _safe(lambda: _stream_breakdown(input_path, tmp, config_path, ckpt))
         # torch at BOTH output-gzip levels: 9 is what the reference hardcodes
@@ -551,19 +562,27 @@ def bench_stream(backend):
         return 8.0 / (time.perf_counter() - t)
 
     h2d = _safe(link_probe)
-    extra = {}
+    extra = {"pipeline_s": pipe}
     if bd:
         host_s = bd["decode_s"] + bd["prep_s"] + bd["write_s"]
         # throughput of the host stages alone: what the same pipeline delivers
         # when the device link is local (PCIe h2d of int16 waveforms ~0.1 ms
         # per chunk and the forward overlaps via pipeline_depth)
         link_excluded = STREAM_EVENTS / host_s
+        stages = {k: bd[k] for k in
+                  ("decode_s", "prep_s", "device_link_s", "write_s")}
+        max_stage = max(stages.values())
         extra = {
             "link_excluded_wps": round(link_excluded, 1),
             "vs_baseline_link_excluded": round(
                 link_excluded / torch_wps4, 2) if torch_wps4 else None,
-            "breakdown_s": {k: round(bd[k], 3) for k in
-                            ("decode_s", "prep_s", "device_link_s", "write_s")},
+            "breakdown_s": {k: round(v, 3) for k, v in stages.items()},
+            # pipeline quality: 1.0 = end-to-end equals the slowest stage
+            # (perfect overlap of decode/dispatch/fetch/write)
+            "end_to_end_s": round(e2e_s, 3),
+            "max_stage_s": round(max_stage, 3),
+            "pipeline_efficiency": round(max_stage / e2e_s, 3),
+            "pipeline_s": pipe,
         }
     _emit(f"Z WritePredictions streaming throughput ({backend})", jax_wps,
           "waveforms/sec end-to-end",
@@ -786,6 +805,10 @@ def _torch_hpo_measured() -> float:
 # ---------------------------------------------------------------------------------
 
 HEAVY_PLANES = 64
+HEAVY_PLANES_WIDE = 128  # w128 beats w64 in wf/s since the FoldedSiteLinear
+                         # dense-GEMM rework (docs/PERF_NOTES.md MFU sweep) —
+                         # the wide variant is the quoted-MFU config; w64 is
+                         # kept for round-over-round continuity
 HEAVY_CONV = 4
 PEAK_TFLOPS = float(os.environ.get("WFML_PEAK_TFLOPS", 197.0))  # v5e bf16 peak
 
@@ -820,27 +843,34 @@ def _sparse_train_flops(n_rows, n_events, n_feat, out_planes, n_conv,
     return 3.0 * fwd
 
 
-def bench_heavy(backend):
+def _bench_heavy_at(backend, planes, metric_suffix=""):
     from waveformml_tpu.engineering.tasks import LitPSD
 
-    cfg = _sparse_cfg(out_planes=HEAVY_PLANES, n_conv=HEAVY_CONV,
-                      half_precision=1)
+    cfg = _sparse_cfg(out_planes=planes, n_conv=HEAVY_CONV, half_precision=1)
     block = _sparse_block()
     wps, step_s, _ = _chained_train_wps(cfg, LitPSD(cfg), block)
     flops = _sparse_train_flops(block.coords.shape[0], N_EVENTS,
-                                2 * N_SAMPLES, HEAVY_PLANES, HEAVY_CONV)
+                                2 * N_SAMPLES, planes, HEAVY_CONV)
     flops_exec = _sparse_train_flops(block.coords.shape[0], N_EVENTS,
-                                     2 * N_SAMPLES, HEAVY_PLANES, HEAVY_CONV,
+                                     2 * N_SAMPLES, planes, HEAVY_CONV,
                                      executed=True)
     mfu = flops / step_s / (PEAK_TFLOPS * 1e12)
     torch_wps = _cached_baseline(
-        "heavy_train", lambda: bench_sparse_torch(out_planes=HEAVY_PLANES,
-                                                  n_conv=HEAVY_CONV, steps=4))
-    _emit(f"compute-heavy bf16 sparse PSD train throughput ({backend})", wps,
-          "waveforms/sec/chip", wps / torch_wps if torch_wps else 0.0,
+        f"heavy_train_w{planes}" if planes != HEAVY_PLANES else "heavy_train",
+        lambda: bench_sparse_torch(out_planes=planes, n_conv=HEAVY_CONV,
+                                   steps=4))
+    _emit(f"compute-heavy bf16 sparse PSD train throughput{metric_suffix} ({backend})",
+          wps, "waveforms/sec/chip", wps / torch_wps if torch_wps else 0.0,
           step_ms=round(step_s * 1e3, 3), mfu=round(mfu, 4),
           mfu_exec=round(flops_exec / step_s / (PEAK_TFLOPS * 1e12), 4),
-          tflops=round(flops / step_s / 1e12, 2))
+          tflops=round(flops / step_s / 1e12, 2), out_planes=planes)
+
+
+def bench_heavy(backend):
+    _bench_heavy_at(backend, HEAVY_PLANES)
+    # width-128 variant: the post-FoldedSiteLinear throughput-accuracy
+    # frontier (higher wf/s AND 2x capacity vs w64) — the quoted MFU config
+    _bench_heavy_at(backend, HEAVY_PLANES_WIDE, metric_suffix=" w128")
 
 
 # ---------------------------------------------------------------------------------
@@ -900,42 +930,69 @@ def _cached_baseline(key, fn):
     return val
 
 
-BENCHES = ["sparse_psd", "infer", "heavy", "dense_conv1d", "wfparams", "stream", "hpo"]  # run order; budgets live in GROUPS  # headline FIRST (freshest link phase + it can
-                          # never be starved by earlier stalls); its line is
-                          # re-printed last at exit for the driver's parse.
+# Run order within a child. Headline FIRST (freshest link phase + it can
+# never be starved by earlier stalls); its line is re-printed last at exit
+# for the driver's parse. stream and hpo run EARLY in the shared child —
+# two rounds running they were the only configs the driver artifact missed,
+# because each sat in its own fresh TPU client paying the 1-10 min
+# first-execution stall out of its own small budget.
+BENCHES = ["sparse_psd", "infer", "stream", "hpo", "heavy", "dense_conv1d",
+           "wfparams"]
 # Orchestrator child GROUPS: every child process is a fresh TPU client and
 # pays the link's per-client first-execution stall (1-10 min on a slow-phase
-# day — docs/PERF_NOTES.md) BEFORE its first timing, so configs are grouped
-# to pay the stall once per group, not once per config. The headline stays
-# alone (escalating retries roll the link-phase dice); the four chained-jit
-# train/infer configs share one client; stream and hpo keep their own
-# (different failure modes: filesystem pipeline / multi-trial study).
-# A skipped group is a stalled-phase artifact, not a failure; the global
-# wall-clock guard (BENCH_TOTAL_S, default 2400 s) keeps the suite inside
-# the driver's budget regardless.
-GROUPS = [("sparse_psd", 480), ("infer,heavy,dense_conv1d,wfparams", 900),
-          ("stream", 560), ("hpo", 420)]
+# day — docs/PERF_NOTES.md) BEFORE its first timing, so ALL non-headline
+# configs share ONE long-lived child: the stall is paid once, by `infer`
+# (the cheapest config), and stream/hpo run against a warm client. The
+# headline stays alone (escalating retries roll the link-phase dice).
+# Inside the child a per-config SIGALRM watchdog (BENCH_CONFIG_S) keeps one
+# hung config from eating the group's remaining budget, and the child prints
+# each metric line as it completes so a group timeout salvages partial
+# results. The global wall-clock guard (BENCH_TOTAL_S, default 2400 s)
+# keeps the suite inside the driver's budget regardless.
+GROUPS = [("sparse_psd", 480),
+          ("infer,stream,hpo,heavy,dense_conv1d,wfparams", 1900)]
 
 
 def _run_inline(names) -> int:
     from waveformml_tpu.utils.util import enable_compilation_cache
 
     enable_compilation_cache()
+    import signal
+
     import jax
 
     backend = jax.default_backend()
     fns = {"dense_conv1d": bench_dense_conv1d, "wfparams": bench_wfparams,
            "stream": bench_stream, "hpo": bench_hpo, "heavy": bench_heavy,
            "infer": bench_infer, "sparse_psd": bench_sparse_psd}
+    per_cfg = float(os.environ.get("BENCH_CONFIG_S", 480))
+    can_alarm = hasattr(signal, "SIGALRM")
+
+    def _on_alarm(_sig, _frm):
+        raise TimeoutError("per-config budget (BENCH_CONFIG_S) exceeded")
+
+    first = True
     for name in BENCHES:
         if names is not None and name not in names:
             continue
+        # the FIRST config in this process pays the TPU client's
+        # first-execution stall (unbounded here; the parent's group timeout
+        # covers a total hang) — only subsequent configs get the alarm
+        use_alarm = can_alarm and not first and per_cfg > 0
+        if use_alarm:
+            old = signal.signal(signal.SIGALRM, _on_alarm)
+            signal.alarm(int(per_cfg))
         try:
             fns[name](backend)
         except Exception as e:
             if name == "sparse_psd":
                 raise
             print(f"bench {name} failed: {e}", file=sys.stderr)
+        finally:
+            if use_alarm:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+        first = False
     if names is not None:
         # standalone BENCH_ONLY subset invoked by a user: persist like the
         # orchestrator does (a child process's parent collects via stdout,
@@ -983,13 +1040,19 @@ def _finalize(here):
         print(json.dumps(HEADLINE["entry"]), flush=True)
 
 
+_USAGE_FALLBACK = ("Usage: python bench.py  (no arguments; select a config "
+                   "subset with BENCH_ONLY=name1,name2)")
+
+
 def main() -> int:
-    if any(a in ("-h", "--help") for a in sys.argv[1:]):
+    if sys.argv[1:]:
         # no argparse on purpose (config selection is env-driven so the
-        # orchestrator's child invocations stay argv-identical), but --help
-        # must not silently launch a full benchmark run
-        print(__doc__)
-        return 0
+        # orchestrator's child invocations stay argv-identical), but NO argv
+        # token may silently launch the full multi-config run: -h/--help
+        # prints usage and exits 0, anything else (a typo'd flag, a stray
+        # config name meant for BENCH_ONLY) prints usage and exits non-zero
+        print(__doc__ or _USAGE_FALLBACK)  # __doc__ is None under python -OO
+        return 0 if any(a in ("-h", "--help") for a in sys.argv[1:]) else 2
     only = os.environ.get("BENCH_ONLY")
     if only is not None or os.environ.get("BENCH_CHILD"):
         return _run_inline([s.strip() for s in only.split(",")]

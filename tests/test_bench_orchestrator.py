@@ -19,6 +19,29 @@ def test_headline_runs_first():
     assert bench.BENCHES[0] == "sparse_psd"
 
 
+def test_all_configs_covered_by_two_groups():
+    # stream and hpo must NOT sit in their own fresh TPU clients (each pays
+    # the 1-10 min first-execution stall): every non-headline config shares
+    # one long-lived child, warmed by a cheap config before stream/hpo run
+    bench = _fresh_bench()
+    assert len(bench.GROUPS) == 2
+    grouped = [n for name, _ in bench.GROUPS for n in name.split(",")]
+    assert sorted(grouped) == sorted(bench.BENCHES)
+    shared = bench.GROUPS[1][0].split(",")
+    assert shared[0] not in ("stream", "hpo")  # a cheap config pays the stall
+    assert "stream" in shared and "hpo" in shared
+
+
+def test_unknown_argv_refuses_to_run(monkeypatch, capsys):
+    # a typo'd flag or stray config name must not silently launch the full
+    # multi-config run (config selection is env-driven via BENCH_ONLY)
+    bench = _fresh_bench()
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--hepl"])
+    assert bench.main() == 2
+    assert "bench" in capsys.readouterr().out.lower()
+    assert bench.RESULTS == []
+
+
 def test_finalize_reprints_headline_last(tmp_path, capsys):
     bench = _fresh_bench()
     entry = {"metric": "sparse PSD train throughput (tpu)", "value": 1.0,
