@@ -44,6 +44,112 @@ def test_neighbor_plan_correct(rng):
             assert plan[r, k] == expect, (r, k, dx, dy)
 
 
+def test_host_plan_matches_device_plan_2d(rng):
+    from waveformml_tpu.ops.row_conv import host_neighbor_plan
+
+    for k in (3, 5):
+        b = _batch(rng)
+        dev = np.asarray(build_neighbor_plan(b, k))
+        host = host_neighbor_plan(np.asarray(b.coords), np.asarray(b.mask),
+                                  b.n_events, k)
+        np.testing.assert_array_equal(host, dev)
+        # padding rows must be all -1 in both
+        assert (host[~np.asarray(b.mask)] == -1).all()
+
+
+def test_host_plan_matches_device_plan_3d(rng):
+    from waveformml_tpu.ops.row_conv import (build_neighbor_plan_3d,
+                                             host_neighbor_plan)
+
+    n_t, n_events = 4, 3
+    rows = []
+    for e in range(n_events):
+        for s in rng.choice(NX * NY * n_t, size=5, replace=False):
+            t = s % n_t
+            xy = s // n_t
+            rows.append([xy % NX, xy // NX, t, e])
+    coords = np.asarray(rows, dtype=np.int32)
+    feats = rng.normal(size=(coords.shape[0], 4)).astype(np.float32)
+    c, f, m = pad_sparse(coords, feats, 32)
+    b = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), n_events)
+    dev = np.asarray(build_neighbor_plan_3d(b, 3, n_t))
+    host = host_neighbor_plan(c, m, n_events, 3, n_t=n_t)
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_prefetched_plan_keeps_numerics(rng):
+    """The row forward with a host-prefetched SparseBatch.plans entry equals
+    the in-trace plan build bit-for-bit, and init records the requirement."""
+    from waveformml_tpu.ops.row_conv import (host_neighbor_plan,
+                                             record_plan_requirements)
+
+    b = _batch(rng, n_feat=10)
+    model = SparseConv2DForEZ(10, out_planes=2, kernel_size=3, n_conv=1,
+                              n_point=2, conv_position=1, version=2)
+    reqs = set()
+    with record_plan_requirements(reqs):
+        variables = model.init(jax.random.PRNGKey(0), b)
+    # the k=3 convs and the k=1 pointwise convs each need a plan
+    assert reqs == {(3, 2, None), (1, 2, None)}
+    out_intrace = model.apply(variables, b)
+    plan = host_neighbor_plan(np.asarray(b.coords), np.asarray(b.mask),
+                              b.n_events, 3)
+    b_pref = SparseBatch(b.coords, b.feats, b.mask, b.n_events,
+                         plans={"k3": jnp.asarray(plan)})
+    out_pref = model.apply(variables, b_pref)
+    np.testing.assert_array_equal(np.asarray(out_pref), np.asarray(out_intrace))
+
+
+def test_task_prepare_block_ships_plans(rng, tmp_path):
+    """After init_variables, the flagship task's prepare_block carries the
+    host-built plan and the jitted forward consumes it with identical
+    outputs to a plan-less batch."""
+    import jax.numpy as jnp
+
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    cfg = Config({
+        "run_config": {"exp_name": "s", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "s", "n_samples": 8, "n_type": 2,
+                          "type_names": ["A", "B"],
+                          "model_base_path": str(tmp_path / "m"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "SubMPSDNet",
+                       "net_type": "2DConvolution",
+                       "hparams": {"out_planes": 4, "n_lin": 2,
+                                   "conv_params": {"kernel_size": 3, "n_conv": 2,
+                                                   "n_point": 1, "conv_position": 1,
+                                                   "version": 2}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.05, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D", "dataset_params": {},
+                           "n_train": 4, "n_validate": 2},
+    })
+    task = LitPSD(cfg)
+    coords = np.array([[1, 1, 0], [2, 2, 0], [2, 1, 1], [7, 7, 1]], np.int32)
+    feats = np.asarray(rng.random((4, 16)), np.float32)
+    block = FileBlock(coords, feats, np.array([0, 1], np.int64), {})
+    rb, eb = task.row_bucket(block), task.event_bucket(block)
+    db0 = task.prepare_block(block, rb, eb)
+    assert not any(k.startswith("plan_") for k in db0)  # nothing recorded yet
+    variables = task.init_variables(jax.random.PRNGKey(0),
+                                    {k: jnp.asarray(v) for k, v in db0.items()})
+    db1 = task.prepare_block(block, rb, eb)
+    assert "plan_k3" in db1 and db1["plan_k3"].shape == (rb, 9)
+    out_pref, _ = task.apply_model(variables,
+                                   {k: jnp.asarray(v) for k, v in db1.items()},
+                                   train=False)
+    out_plain, _ = task.apply_model(variables,
+                                    {k: jnp.asarray(v) for k, v in db0.items()},
+                                    train=False)
+    np.testing.assert_array_equal(np.asarray(out_pref), np.asarray(out_plain))
+
+
 def test_subm_rows_matches_dense_conv(rng):
     """Row-space SubM conv == dense-grid SubM conv exactly."""
     from waveformml_tpu.ops.sparse_conv import SubMConv2d

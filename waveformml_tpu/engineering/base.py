@@ -55,6 +55,10 @@ class TaskBase:
             getattr(config.net_config, "criterion_params", None),
             reduction="none")
         self.evaluator = None  # attached by subclasses / test path
+        # row-conv plan requirements {(k, ndim, n_t)} recorded while tracing
+        # init_variables; prepare_block prefetches these plans on host so the
+        # train step skips the in-step site-LUT + neighbor-plan build
+        self._plan_reqs: set = set()
 
     # -- construction ---------------------------------------------------------------
     def _build_model(self):
@@ -94,9 +98,15 @@ class TaskBase:
         return z_apply
 
     def init_variables(self, rng, device_batch: Dict[str, jnp.ndarray]):
-        """Initialize flax variables from one (unstacked) prepared batch."""
+        """Initialize flax variables from one (unstacked) prepared batch.
+        Tracing init also records which row-conv neighbor plans the model
+        builds, so every later prepare_block ships them host-built."""
+        from waveformml_tpu.ops.row_conv import record_plan_requirements
+
         inputs = self.model_inputs({k: jnp.asarray(v) for k, v in device_batch.items()})
-        return self.model.init({"params": rng, "dropout": rng}, inputs, train=False)
+        with record_plan_requirements(self._plan_reqs):
+            return self.model.init({"params": rng, "dropout": rng}, inputs,
+                                   train=False)
 
     # -- host-side batch preparation -------------------------------------------------
     def row_bucket(self, block: FileBlock) -> int:
@@ -132,12 +142,30 @@ class TaskBase:
             pad[: v.shape[0]] = v
             out[f"extra_{k}"] = pad
         self.add_graph_edges(block, out)
+        self.add_row_plans(out, event_bucket)
         return out
+
+    def add_row_plans(self, out: Dict[str, np.ndarray], n_events: int) -> None:
+        """Host-build the row-conv neighbor plans recorded during init (they
+        depend only on coords, so building them here overlaps the device's
+        previous step instead of spending ~3-4 ms of every step on the
+        in-trace site-LUT scatter + gathers; see ops.row_conv)."""
+        if not self._plan_reqs:
+            return
+        from waveformml_tpu.ops.row_conv import host_neighbor_plan
+
+        for k, ndim, n_t in self._plan_reqs:
+            out[f"plan_k{k}"] = host_neighbor_plan(
+                out["coords"], out["mask"], n_events, k,
+                n_t if ndim == 3 else None)
 
     # -- device-side pure functions --------------------------------------------------
     def sparse_batch(self, db: Dict[str, jnp.ndarray]) -> SparseBatch:
+        plans = {k[len("plan_"):]: v for k, v in db.items()
+                 if k.startswith("plan_")}
         return SparseBatch(db["coords"], self._features(db), db["mask"],
-                           n_events=db["labels"].shape[0])
+                           n_events=db["labels"].shape[0],
+                           plans=plans or None)
 
     def _features(self, db: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         f = db["feats"]

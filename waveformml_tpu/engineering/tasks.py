@@ -300,6 +300,7 @@ class LitZ(TaskBase):
             pad[: v.shape[0]] = v
             out[f"extra_{k}"] = pad
         self.add_graph_edges(block, out)
+        self.add_row_plans(out, event_bucket)
         return out
 
     def _features(self, db):

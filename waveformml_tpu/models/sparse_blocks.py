@@ -129,17 +129,19 @@ class _SpecNet(nn.Module):
     def _row_forward(self, batch, specs, train: bool, return_rows: bool = False):
         from waveformml_tpu.models.blocks import MaskedArrayBatchNorm
         from waveformml_tpu.ops.row_conv import (
-            build_neighbor_plan, build_neighbor_plan_3d, build_site_lookup,
-            build_site_lookup_3d, rows_to_dense, rows_to_dense_3d)
+            _record_requirement, build_neighbor_plan, build_neighbor_plan_3d,
+            build_site_lookup, build_site_lookup_3d, rows_to_dense,
+            rows_to_dense_3d)
 
         n_t = getattr(self, "n_t", None)
         is3d = batch.coords.shape[1] == 4
         if is3d:
             assert n_t, "3D row forward needs the time-grid size (n_t)"
-            lut = build_site_lookup_3d(batch, n_t)
-        else:
-            lut = build_site_lookup(batch)
-        plans = {}
+        # host-prefetched plans (SparseBatch.plans) skip the in-step site-LUT
+        # scatter + K^n gathers; the lazy in-trace build below is the
+        # fallback (and records what prepare_block should prefetch next time)
+        plans = dict(batch.plans) if batch.plans else {}
+        lut = None
         x = batch.feats
         mask = batch.mask
         to_dense = False
@@ -147,11 +149,17 @@ class _SpecNet(nn.Module):
             nm = f"l{i}"
             if spec[0] == "subm":
                 _, cin, cout, k, p, key = spec
-                if k not in plans:
-                    plans[k] = (build_neighbor_plan_3d(batch, k, n_t, lut)
-                                if is3d else build_neighbor_plan(batch, k, lut))
+                if f"k{k}" not in plans:
+                    _record_requirement(k, 3 if is3d else 2,
+                                        n_t if is3d else None)
+                    if lut is None:
+                        lut = (build_site_lookup_3d(batch, n_t) if is3d
+                               else build_site_lookup(batch))
+                    plans[f"k{k}"] = (
+                        build_neighbor_plan_3d(batch, k, n_t, lut)
+                        if is3d else build_neighbor_plan(batch, k, lut))
                 x = RowSubMConv2d(cin, cout, k, ndim=3 if is3d else 2,
-                                  name=nm)(x, plans[k], mask)
+                                  name=nm)(x, plans[f"k{k}"], mask)
             elif spec[0] == "bn":
                 x = MaskedArrayBatchNorm(spec[1], name=nm)(x, mask=mask, train=train)
                 x = jnp.where(mask[:, None], x, 0)

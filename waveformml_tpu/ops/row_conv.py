@@ -17,10 +17,12 @@ factor. Exact same numerics as the dense SubM conv (tests assert equality).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import contextlib
+from typing import Optional, Set, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from waveformml_tpu.detector import NX, NY
 from waveformml_tpu.ops.sparse import SparseBatch
@@ -96,6 +98,84 @@ def build_neighbor_plan_3d(batch: SparseBatch, kernel_size: int, n_t: int,
         site = jnp.clip(site, 0, size - 1)
         rows.append(jnp.where(valid, lut[site], -1))
     return jnp.stack(rows, axis=1)               # [N, K³], -1 where absent
+
+
+# ---------------------------------------------------------------------------------
+# host-side plan prefetch
+#
+# The neighbor plan depends only on the batch's coordinates, so it does not
+# have to be rebuilt on device inside every train step (the site-LUT scatter
+# over [B*NX*NY] plus K^n masked gathers measured ~3-4 ms of the 13.6 ms
+# flagship step — docs/PERF_NOTES.md ablation). Instead the host builds the
+# [N, K^n] int32 plan with numpy while the device runs the PREVIOUS step and
+# ships it with the batch (the loader already prefetches on a thread), and
+# the step consumes it via SparseBatch.plans. The numpy builders below are
+# exact twins of the traced builders above; tests assert elementwise equality.
+# ---------------------------------------------------------------------------------
+
+#: while tracing a model (flax init), the row forward records every
+#: (kernel_size, ndim, n_t) it had to build in-trace here, so the task's
+#: prepare_block knows which plans to prefetch for subsequent batches
+PLAN_RECORDER: Optional[Set[Tuple[int, int, Optional[int]]]] = None
+
+
+@contextlib.contextmanager
+def record_plan_requirements(into: Set[Tuple[int, int, Optional[int]]]):
+    """Collect the row-conv plan requirements observed while tracing."""
+    global PLAN_RECORDER
+    prev = PLAN_RECORDER
+    PLAN_RECORDER = into
+    try:
+        yield into
+    finally:
+        PLAN_RECORDER = prev
+
+
+def _record_requirement(k: int, ndim: int, n_t: Optional[int]) -> None:
+    if PLAN_RECORDER is not None:
+        PLAN_RECORDER.add((k, ndim, n_t))
+
+
+def host_neighbor_plan(coords: np.ndarray, mask: np.ndarray, n_events: int,
+                       kernel_size: int, n_t: Optional[int] = None) -> np.ndarray:
+    """Numpy twin of build_neighbor_plan / build_neighbor_plan_3d (pass n_t
+    for the 3D K³ window): identical [N, K^n] int32 output, built on host."""
+    k = int(kernel_size)
+    if k % 2 != 1:
+        raise ValueError(f"row-space SubM conv requires an odd kernel size, got {k}")
+    is3d = n_t is not None
+    x = coords[:, 0].astype(np.int64)
+    y = coords[:, 1].astype(np.int64)
+    ev = coords[:, -1].astype(np.int64)
+    m = np.asarray(mask, dtype=bool)
+    if is3d:
+        t = coords[:, 2].astype(np.int64)
+        size = int(n_events) * NX * NY * int(n_t)
+        flat = ev * (NX * NY * n_t) + x * (NY * n_t) + y * n_t + t
+    else:
+        size = int(n_events) * NX * NY
+        flat = ev * (NX * NY) + x * NY + y
+    lut = np.full((size,), -1, np.int32)
+    rows = np.arange(coords.shape[0], dtype=np.int32)
+    in_range = m & (flat >= 0) & (flat < size)
+    lut[flat[in_range]] = rows[in_range]
+    half = (k - 1) // 2
+    rng = range(-half, k - half)
+    offs = ([(dx, dy, dt) for dx in rng for dy in rng for dt in rng]
+            if is3d else [(dx, dy) for dx in rng for dy in rng])
+    cols = []
+    for off in offs:
+        nx_, ny_ = x + off[0], y + off[1]
+        valid = (nx_ >= 0) & (nx_ < NX) & (ny_ >= 0) & (ny_ < NY) & m
+        if is3d:
+            nt_ = t + off[2]
+            valid &= (nt_ >= 0) & (nt_ < n_t)
+            site = ev * (NX * NY * n_t) + nx_ * (NY * n_t) + ny_ * n_t + nt_
+        else:
+            site = ev * (NX * NY) + nx_ * NY + ny_
+        site = np.clip(site, 0, size - 1)
+        cols.append(np.where(valid, lut[site], -1).astype(np.int32))
+    return np.stack(cols, axis=1)
 
 
 def _gather_gemm(feats: jax.Array, plan: jax.Array, kernel: jax.Array) -> jax.Array:

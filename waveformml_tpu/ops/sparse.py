@@ -41,12 +41,16 @@ class SparseBatch:
     feats:  [N, F] float — per-site features (waveform samples or phys features)
     mask:   [N] bool — True for real rows, False for padding
     n_events: static int — number of events B in the batch
+    plans:  optional {"k<K>": [N, K^n] int32} host-prefetched neighbor plans
+            for the row-space SubM fast path (ops.row_conv.host_neighbor_plan);
+            when absent the plan is built in-trace on device instead
     """
 
     coords: jax.Array
     feats: jax.Array
     mask: jax.Array
     n_events: int = dataclasses.field(metadata=dict(static=True))
+    plans: Optional[dict] = None
 
     @property
     def x(self) -> jax.Array:
