@@ -90,43 +90,95 @@ class PredictionWriter(P2XTableWriter):
                           compression_opts=int(self.output_compression))
         self.copy_p2x_attrs(self.input, self.data_type.name, self.input_type.name,
                             self.data_type.names)
-        n_current_buffer = 0
+        import queue
+        import threading
+        import time as _time
+        from collections import deque
+
         from waveformml_tpu.utils.util import prefetch_iter
 
-        # three-stage software pipeline, depth 1 (the reference streams
-        # serially, PredictionWriter.py:73-104):
-        #   A: HDF5 chunk decode on a prefetch thread
-        #   B: host prep + async device dispatch of chunk k
-        #   C: fetch + numpy post-process + write of chunk k-1 while the
-        #      device computes chunk k
+        # four-stage software pipeline (the reference streams serially,
+        # PredictionWriter.py:73-104):
+        #   A: HDF5 chunk decode (gzip inflate) on the prefetch thread
+        #   B: host prep + async device dispatch of chunk k  (main thread)
+        #   C: fetch + numpy post-process of chunk k-d       (main thread)
+        #   D: gzip deflate + HDF5 write on the WRITER thread
+        # Stage D used to run on the main thread, serializing the output
+        # gzip (~25% of end-to-end) against the device link; a dedicated
+        # writer thread with a bounded queue overlaps it. Only the writer
+        # thread touches the output table between here and the final join.
         # Writers that don't implement model_dispatch fall back to the
-        # synchronous swap_values/convert_values path.
-        def _write(rows):
-            nonlocal n_current_buffer
-            self.add_rows(self.data_type.name, rows)
-            n_current_buffer += rows.shape[0]
-            if n_current_buffer >= self.n_buffer_rows:
-                n_current_buffer = 0
-                self.flush(self.data_type.name)
+        # synchronous swap_values/convert_values path (still write-threaded).
+        self.stage_seconds = {"dispatch_s": 0.0, "fetch_post_s": 0.0,
+                              "write_wait_s": 0.0, "writer_busy_s": 0.0}
+        wq: "queue.Queue" = queue.Queue(maxsize=4)
+        werr = []
 
-        from collections import deque
+        def writer_loop():
+            n_current_buffer = 0
+            draining = False
+            while True:
+                rows = wq.get()
+                if rows is None:
+                    return
+                if draining:
+                    continue
+                t0 = _time.perf_counter()
+                try:
+                    self.add_rows(self.data_type.name, rows)
+                    n_current_buffer += rows.shape[0]
+                    if n_current_buffer >= self.n_buffer_rows:
+                        n_current_buffer = 0
+                        self.flush(self.data_type.name)
+                except BaseException as e:  # surfaced to the producer
+                    werr.append(e)
+                    draining = True  # keep consuming so the producer never blocks
+                finally:
+                    self.stage_seconds["writer_busy_s"] += _time.perf_counter() - t0
+
+        writer = threading.Thread(target=writer_loop, daemon=True,
+                                  name="wfml-prediction-writer")
+        writer.start()
+
+        def _write(rows):
+            if werr:
+                raise werr[0]
+            t0 = _time.perf_counter()
+            wq.put(rows)
+            self.stage_seconds["write_wait_s"] += _time.perf_counter() - t0
 
         depth = max(1, int(getattr(self, "pipeline_depth", 3)))
         pending = deque()  # FIFO of (data, dispatch handle) chunks in flight
-        for data in prefetch_iter(self.input.iter_chunks(self.n_rows_per_read)):
-            handle = self.model_dispatch(data)
-            if handle is None:  # legacy synchronous path
-                if self.swap:
-                    self.swap_values(data)
-                else:
-                    data = self.convert_values(data)
-                _write(data)
-                continue
-            pending.append((data, handle))
-            if len(pending) > depth:
-                _write(self.apply_outputs(*pending.popleft()))
-        while pending:
-            _write(self.apply_outputs(*pending.popleft()))
+
+        def _drain_one():
+            data, handle = pending.popleft()
+            t0 = _time.perf_counter()
+            rows = self.apply_outputs(data, handle)
+            self.stage_seconds["fetch_post_s"] += _time.perf_counter() - t0
+            _write(rows)
+
+        try:
+            for data in prefetch_iter(self.input.iter_chunks(self.n_rows_per_read)):
+                t0 = _time.perf_counter()
+                handle = self.model_dispatch(data)
+                self.stage_seconds["dispatch_s"] += _time.perf_counter() - t0
+                if handle is None:  # legacy synchronous path
+                    if self.swap:
+                        self.swap_values(data)
+                    else:
+                        data = self.convert_values(data)
+                    _write(data)
+                    continue
+                pending.append((data, handle))
+                if len(pending) > depth:
+                    _drain_one()
+            while pending:
+                _drain_one()
+        finally:
+            wq.put(None)
+            writer.join()
+        if werr:
+            raise werr[0]
         self.flush(self.data_type.name)
         self.input.close()
         self.close()
