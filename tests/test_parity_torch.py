@@ -367,3 +367,176 @@ def test_waveform_conv1d_stack_torch_parity(rng):
     out = _apply_waveform_layer([_Bound(), lambda x, train=False: jax.nn.relu(x)],
                                 jnp.asarray(feats), S, train=False)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------------
+# end-to-end training-trajectory parity (BASELINE accuracy gate, composed)
+# ---------------------------------------------------------------------------------
+
+def _flagship_cfg(tmp="/tmp/traj"):
+    from waveformml_tpu.config import Config
+
+    return Config({
+        "run_config": {"exp_name": "t", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "t", "n_samples": 8, "n_type": 2,
+                          "type_names": ["a", "b"], "model_base_path": tmp,
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "SubMPSDNet",
+                       "net_type": "2DConvolution",
+                       "hparams": {"out_planes": 8, "n_lin": 2,
+                                   "conv_params": {"kernel_size": 3, "n_conv": 2,
+                                                   "n_point": 1,
+                                                   "conv_position": 1,
+                                                   "version": 2}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.05, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+
+
+class _TorchRowFlagship(torch.nn.Module):
+    """Weight-shared torch mirror of SubMPSDNet operating in ROW space with
+    the SAME neighbor plans: gather-GEMM SubM convs, BatchNorm1d over the
+    ACTIVE rows only (the masked-BN semantics), folded (C, site) flatten
+    head. Initialized FROM the flax init so both trajectories start at the
+    identical point (ref hot loop: main.py:214, LitPSD.py:94-104)."""
+
+    def __init__(self, params):
+        super().__init__()
+        p = jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+        st = p["stack"]
+
+        def t(x):
+            return torch.nn.Parameter(torch.from_numpy(x.copy()))
+
+        self.k0, self.b0 = t(st["l0"]["kernel"]), t(st["l0"]["bias"])
+        self.k3, self.b3 = t(st["l3"]["kernel"]), t(st["l3"]["bias"])
+        self.k6, self.b6 = t(st["l6"]["kernel"]), t(st["l6"]["bias"])
+        self.bn1 = tnn.BatchNorm1d(st["l1"]["scale"].shape[0], momentum=0.1)
+        self.bn4 = tnn.BatchNorm1d(st["l4"]["scale"].shape[0], momentum=0.1)
+        with torch.no_grad():
+            self.bn1.weight.copy_(torch.from_numpy(st["l1"]["scale"].copy()))
+            self.bn1.bias.copy_(torch.from_numpy(st["l1"]["bias"].copy()))
+            self.bn4.weight.copy_(torch.from_numpy(st["l4"]["scale"].copy()))
+            self.bn4.bias.copy_(torch.from_numpy(st["l4"]["bias"].copy()))
+        self.w_head, self.b_head = t(p["head0"]["kernel"]), t(p["head0"]["bias"])
+        self.w_lin = t(p["linear"]["dense_0"]["kernel"])
+        self.b_lin = t(p["linear"]["dense_0"]["bias"])
+
+    @staticmethod
+    def _subm(x, plan, kernel, bias, mask):
+        n = x.shape[0]
+        kk, cin, cout = kernel.shape
+        gathered = x[plan.clamp(min=0)] * (plan >= 0).unsqueeze(-1)
+        out = gathered.reshape(n, kk * cin) @ kernel.reshape(kk * cin, cout)
+        out = out + bias
+        return out * mask.unsqueeze(-1)
+
+    def _masked_bn(self, bn, x, mask):
+        out = torch.zeros_like(x)
+        out[mask] = bn(x[mask])
+        return out
+
+    def forward(self, feats, plan3, plan1, mask, coords, n_events):
+        h = self._subm(feats, plan3, self.k0, self.b0, mask)
+        h = torch.relu(self._masked_bn(self.bn1, h, mask))
+        h = self._subm(h, plan3, self.k3, self.b3, mask)
+        h = torch.relu(self._masked_bn(self.bn4, h, mask))
+        h = torch.relu(self._subm(h, plan1, self.k6, self.b6, mask))
+        # FoldedSiteLinear: flatten order c*(NX*NY) + x*NY + y
+        c = h.shape[1]
+        dense = torch.zeros(n_events, c, NX * NY, dtype=h.dtype)
+        site = (coords[:, 0] * NY + coords[:, 1]).long()
+        ridx = torch.nonzero(mask, as_tuple=True)[0]
+        dense[coords[ridx, 2].long(), :, site[ridx]] = h[ridx]
+        x = dense.reshape(n_events, -1) @ self.w_head + self.b_head
+        return x @ self.w_lin + self.b_lin
+
+
+def test_training_trajectory_parity(rng, tmp_path):
+    """Train the flagship SubMPSDNet 30 steps in BOTH frameworks from the
+    identical init (SGD+momentum, shared synthetic batches, an LR decay step
+    mid-run mirroring ExponentialLR) and assert the per-step train losses
+    match to fp32 tolerance — the BASELINE accuracy-parity gate in one test
+    (ref: main.py:214, LitPSD.py:94-104)."""
+    from waveformml_tpu import optim as wopt
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    cfg = _flagship_cfg(str(tmp_path / "m"))
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0)
+
+    n_events, n_in = 12, 16
+    blocks = []
+    for bi in range(4):
+        rows = []
+        for e in range(n_events):
+            for s in rng.choice(NX * NY, size=3, replace=False):
+                rows.append([s % NX, s // NX, e])
+        coords = np.asarray(rows, np.int32)
+        feats = rng.normal(size=(coords.shape[0], n_in)).astype(np.float32)
+        labels = (feats[::3, :8].sum(1) > 0).astype(np.int64)  # learnable
+        blocks.append(FileBlock(coords, feats, labels, {}))
+
+    trainer._ensure_state(blocks[0])
+    dbs = [{k: jnp.asarray(v) for k, v in trainer._device_batch(b).items()}
+           for b in blocks]
+
+    # torch twin built FROM the jax init
+    tmodel = _TorchRowFlagship(trainer.state.params)
+    lr = cfg.optimize_config.lr
+    topt = torch.optim.SGD(tmodel.parameters(), lr=lr, momentum=0.9)
+    crit = tnn.CrossEntropyLoss()
+
+    def torch_step(db):
+        m = torch.from_numpy(np.asarray(db["mask"][0]))
+        feats = torch.from_numpy(np.asarray(db["feats"][0]))
+        plan3 = torch.from_numpy(np.asarray(db["plan_k3"][0]).astype(np.int64))
+        plan1 = torch.from_numpy(np.asarray(db["plan_k1"][0]).astype(np.int64))
+        coords = torch.from_numpy(np.asarray(db["coords"][0]))
+        ymask = np.asarray(db["label_mask"][0])
+        y = torch.from_numpy(np.asarray(db["labels"][0])[ymask].astype(np.int64))
+        out = tmodel(feats, plan3, plan1, m, coords,
+                     int(db["labels"].shape[-1]))
+        loss = crit(out[torch.from_numpy(ymask)], y)
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        return float(loss.detach())
+
+    n_steps = 30
+    jl, tl = [], []
+    for i in range(n_steps):
+        if i == 15:  # ExponentialLR-style decay, mirrored on both sides
+            lr *= 0.5
+            trainer.state.opt_state = wopt.set_learning_rate(
+                trainer.state.opt_state, lr)
+            for g in topt.param_groups:
+                g["lr"] = lr
+        db = dbs[i % len(dbs)]
+        out = trainer._train_step_fn(trainer.state.params,
+                                     trainer.state.batch_stats,
+                                     trainer.state.opt_state,
+                                     jax.random.PRNGKey(i), db)
+        (trainer.state.params, trainer.state.batch_stats,
+         trainer.state.opt_state) = out[0], out[1], out[2]
+        jl.append(float(out[3]))
+        tl.append(torch_step(db))
+
+    np.testing.assert_allclose(jl, tl, rtol=2e-3, atol=2e-4)
+    assert jl[-1] < jl[0], (jl[0], jl[-1])  # it actually trained
+    # the final BN running stats must have tracked identically too
+    bs = jax.tree.map(np.asarray, trainer.state.batch_stats)
+    np.testing.assert_allclose(bs["stack"]["l1"]["mean"],
+                               tmodel.bn1.running_mean.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(bs["stack"]["l4"]["var"],
+                               tmodel.bn4.running_var.numpy(),
+                               rtol=1e-3, atol=1e-4)
