@@ -1,0 +1,217 @@
+"""FULL-model GraphNet parity vs hand-written torch message passing.
+
+The 19 golden-value layer tests (test_graph_layers_golden.py) verify each
+conv against numpy oracles of the PyG-documented formulas, but oracle and
+implementation share one author's reading of the docs. This test composes
+the whole flagship graph config — kNN edges, conv stack, masked BatchNorm,
+global max pool, LinearBlock head — against an INDEPENDENT torch mirror
+written from the PyG formulas, with shared randomized weights AND
+randomized BN running statistics, so a shared misreading of a layer
+default would surface at the composed-model level
+(ref: src/models/GraphNet.py:222-315 builds the same stack with PyG).
+"""
+import numpy as np
+import torch
+import torch.nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from waveformml_tpu.config import Config
+from waveformml_tpu.detector import NX, NY
+
+K = 4  # config/examples/IoniClassifierGraph.json hparams.k
+
+
+def _graph_cfg(graph_class_index: int, tmp: str):
+    """IoniClassifierGraph.json shape (k=4, n_graph=2, n_lin=2, linear
+    plane schedule) at test-sized n_samples."""
+    return Config({
+        "run_config": {"exp_name": "g", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "g", "n_samples": 8, "n_type": 2,
+                          "type_names": ["Ioni", "Recoil"],
+                          "model_base_path": tmp, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss",
+                       "criterion_params": [], "imports": [],
+                       "net_class": "GraphNet.GraphNet", "net_type": "Graph",
+                       "hparams": {"k": K, "n_graph": 2, "n_lin": 2,
+                                   "graph_out": 6,
+                                   "graph_class_index": graph_class_index}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1,
+                           "data_module": "GraphDataModule"},
+    })
+
+
+def _block(rng, n_events=8, n_in=16):
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+
+    rows = []
+    for e in range(n_events):
+        for s in rng.choice(NX * NY, size=int(rng.integers(5, 9)), replace=False):
+            rows.append([s % NX, s // NX, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], n_in)).astype(np.float32)
+    labels = rng.integers(0, 2, n_events).astype(np.int64)
+    return FileBlock(coords, feats, labels, {})
+
+
+def _randomized_variables(task, db, rng):
+    v = task.init_variables(jax.random.PRNGKey(0),
+                            {k: jnp.asarray(x) for k, x in db.items()})
+
+    def randomize(x):
+        return jnp.asarray(rng.normal(size=np.shape(x)).astype(np.float32) * 0.3)
+
+    params = jax.tree.map(randomize, v["params"])
+    bstats = jax.tree.map(randomize, v.get("batch_stats", {}))
+    bstats = jax.tree.map(
+        lambda x: jnp.abs(x) + 0.5, bstats)  # vars must be positive
+    return {"params": params, "batch_stats": bstats}
+
+
+def _np_tree(t):
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+
+
+def _mean_agg(x, src, dst, emask, n):
+    """mean_{j in N(i)} x_j over masked incoming edges (torch)."""
+    s = torch.zeros(n, x.shape[1])
+    cnt = torch.zeros(n, 1)
+    w = emask.float().unsqueeze(1)
+    s.index_add_(0, dst, x[src] * w)
+    cnt.index_add_(0, dst, w)
+    return s / cnt.clamp(min=1)
+
+
+def _bn_eval(x, p, bs):
+    """PyG stacks use torch BatchNorm1d in eval: normalize with running
+    stats over every row."""
+    return ((x - torch.from_numpy(bs["mean"])) /
+            torch.sqrt(torch.from_numpy(bs["var"]) + 1e-5)
+            * torch.from_numpy(p["scale"]) + torch.from_numpy(p["bias"]))
+
+
+def _head(x, p):
+    """LinearBlock: chained Linear layers, no inter-layer activation
+    (ref: ConvBlocks.py:82-102)."""
+    for i in range(len(p)):
+        lp = p[f"dense_{i}"]
+        x = x @ torch.from_numpy(lp["kernel"]) + torch.from_numpy(lp["bias"])
+    return x
+
+
+def _run_jax(graph_class_index, rng, tmp_path):
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    cfg = _graph_cfg(graph_class_index, str(tmp_path))
+    task = LitPSD(cfg)
+    block = _block(rng)
+    rb, eb = task.row_bucket(block), task.event_bucket(block)
+    db = task.prepare_block(block, rb, eb)
+    variables = _randomized_variables(task, db, rng)
+    out, _ = task.apply_model(variables,
+                              {k: jnp.asarray(v) for k, v in db.items()},
+                              train=False)
+    n_ev = block.labels.shape[0]
+    return np.asarray(out)[:n_ev], db, variables, n_ev
+
+
+def test_graphnet_sage_full_model_parity(rng, tmp_path):
+    """graph_class_index=1 (SAGEConv) — the IoniClassifierGraph.json conv.
+    PyG SAGEConv: x'_i = W_r x_i + W_l mean_{j∈N(i)} x_j + b."""
+    got, db, variables, n_ev = _run_jax(1, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    src = torch.from_numpy(db[f"edges_knn{K}"][0].astype(np.int64))
+    dst = torch.from_numpy(db[f"edges_knn{K}"][1].astype(np.int64))
+    emask = torch.from_numpy(db[f"edge_mask_knn{K}"])
+    n = x.shape[0]
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        agg = _mean_agg(x, src, dst, emask, n)
+        x = (agg @ torch.from_numpy(lp["lin_l"]["kernel"])
+             + torch.from_numpy(lp["lin_l"]["bias"])
+             + x @ torch.from_numpy(lp["lin_r"]["kernel"]))
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def _pool_and_head(x, db, p, n_ev):
+    """Masked per-event max pool + LinearBlock head (torch)."""
+    coords = db["coords"]
+    mask = torch.from_numpy(db["mask"])
+    ev = torch.from_numpy(coords[:, 2].astype(np.int64))
+    pooled = torch.full((n_ev, x.shape[1]), -torch.inf)
+    ridx = torch.nonzero(mask, as_tuple=True)[0]
+    ridx = ridx[ev[ridx] < n_ev]
+    pooled = pooled.index_reduce_(0, ev[ridx], x[ridx], "amax",
+                                  include_self=True)
+    pooled = torch.where(torch.isfinite(pooled), pooled,
+                         torch.zeros(()))
+    return _head(pooled, p["linear"]).numpy()
+
+
+def test_graphnet_gcn_full_model_parity(rng, tmp_path):
+    """graph_class_index=0 (GCNConv): X' = D̂^-1/2 (A+I) D̂^-1/2 X W + b,
+    self-loops added with fill weight 1 (PyG defaults)."""
+    got, db, variables, n_ev = _run_jax(0, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    src0 = db[f"edges_knn{K}"][0].astype(np.int64)
+    dst0 = db[f"edges_knn{K}"][1].astype(np.int64)
+    em0 = db[f"edge_mask_knn{K}"]
+    # add self-loops on EVERY row (jax adds them on all n padded rows too;
+    # padded rows never reach the pooled output)
+    src = np.concatenate([src0[em0], np.arange(n)])
+    dst = np.concatenate([dst0[em0], np.arange(n)])
+    deg = np.bincount(dst, minlength=n).astype(np.float32)
+    norm = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    coeff = torch.from_numpy(norm[src] * norm[dst]).unsqueeze(1)
+    src_t, dst_t = torch.from_numpy(src), torch.from_numpy(dst)
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        h = x @ torch.from_numpy(lp["lin"]["kernel"])
+        out = torch.zeros(n, h.shape[1])
+        out.index_add_(0, dst_t, h[src_t] * coeff)
+        x = out + torch.from_numpy(lp["bias"])
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_edgeconv_full_model_parity(rng, tmp_path):
+    """graph_class_index=12 (EdgeConv): x'_i = max_{j∈N(i)}
+    MLP([x_i ‖ x_j − x_i]) (DGCNN), MLP = LinearPlanes with ReLU."""
+    got, db, variables, n_ev = _run_jax(12, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    src = torch.from_numpy(db[f"edges_knn{K}"][0].astype(np.int64))
+    dst = torch.from_numpy(db[f"edges_knn{K}"][1].astype(np.int64))
+    emask = torch.from_numpy(db[f"edge_mask_knn{K}"])
+    n = x.shape[0]
+    for i in range(2):
+        lp = p[f"gconv_{i}"]["net"]["LinearPlanes_0"]
+        z = torch.cat([x[dst], x[src] - x[dst]], dim=1)
+        msg = torch.relu(z @ torch.from_numpy(lp["dense_0"]["kernel"])
+                         + torch.from_numpy(lp["dense_0"]["bias"]))
+        msg = torch.where(emask.unsqueeze(1), msg,
+                          torch.full((), -torch.inf))
+        out = torch.full((n, msg.shape[1]), -torch.inf)
+        out = out.index_reduce_(0, dst, msg, "amax", include_self=True)
+        x = torch.where(torch.isfinite(out), out, torch.zeros(()))
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
