@@ -1007,22 +1007,33 @@ _FINALIZED = {"done": False}
 
 
 def _write_results(here):
-    """Merge this run's RESULTS into bench_results.json by metric name: a
-    subset run (BENCH_ONLY) or a run with skipped groups must refresh the
-    metrics it measured without erasing the rest of the record."""
+    """Merge this run's RESULTS into bench_results.json by metric name (a
+    subset run or a run with skipped groups must refresh the metrics it
+    measured without erasing the rest of the record) and append every entry
+    to bench_history.jsonl — the append-only log README ranges regenerate
+    from (scripts/readme_bench_table.py)."""
     path = os.path.join(here, "bench_results.json")
     try:
         with open(path) as f:
             merged = list(json.load(f))
     except (OSError, ValueError):
         merged = []
+    new = []
     for entry in RESULTS:
         metric = entry.get("metric")
+        if any(e is entry or (e.get("metric") == metric
+                              and e.get("ts") == entry.get("ts"))
+               for e in merged):
+            continue  # already persisted by an earlier incremental write
         merged = [e for e in merged if e.get("metric") != metric]
         merged.append(entry)
+        new.append(entry)
     try:
         with open(path, "w") as f:
             json.dump(merged, f, indent=1)
+        with open(os.path.join(here, "bench_history.jsonl"), "a") as f:
+            for entry in new:
+                f.write(json.dumps(entry) + "\n")
     except OSError:
         pass
 
