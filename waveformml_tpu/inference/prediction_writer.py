@@ -93,26 +93,31 @@ class PredictionWriter(P2XTableWriter):
         import queue
         import threading
         import time as _time
-        from collections import deque
 
         from waveformml_tpu.utils.util import prefetch_iter
 
-        # four-stage software pipeline (the reference streams serially,
-        # PredictionWriter.py:73-104):
+        # five-stage software pipeline over four threads (the reference
+        # streams serially, PredictionWriter.py:73-104):
         #   A: HDF5 chunk decode (gzip inflate) on the prefetch thread
         #   B: host prep + async device dispatch of chunk k  (main thread)
-        #   C: fetch + numpy post-process of chunk k-d       (main thread)
+        #   C: fetch + numpy post-process on the FETCH thread — the d2h
+        #      payload is tiny ([N] z values) so this stage is pure RPC
+        #      round-trip latency, which overlaps the next chunk's h2d
         #   D: gzip deflate + HDF5 write on the WRITER thread
-        # Stage D used to run on the main thread, serializing the output
-        # gzip (~25% of end-to-end) against the device link; a dedicated
-        # writer thread with a bounded queue overlaps it. Only the writer
-        # thread touches the output table between here and the final join.
-        # Writers that don't implement model_dispatch fall back to the
-        # synchronous swap_values/convert_values path (still write-threaded).
+        # Stages C and D used to run on the main thread, serializing the
+        # fetch RPC and the output gzip against the device link; dedicated
+        # threads with bounded FIFO queues overlap them (FIFO keeps output
+        # rows in input order). Only the writer thread touches the output
+        # table between here and the final join. Writers that don't
+        # implement model_dispatch fall back to the synchronous
+        # swap_values/convert_values path (still write-threaded).
         self.stage_seconds = {"dispatch_s": 0.0, "fetch_post_s": 0.0,
-                              "write_wait_s": 0.0, "writer_busy_s": 0.0}
+                              "fetch_wait_s": 0.0, "write_wait_s": 0.0,
+                              "writer_busy_s": 0.0}
+        depth = max(1, int(getattr(self, "pipeline_depth", 3)))
         wq: "queue.Queue" = queue.Queue(maxsize=4)
-        werr = []
+        fq: "queue.Queue" = queue.Queue(maxsize=depth)
+        errors = []
 
         def writer_loop():
             n_current_buffer = 0
@@ -131,31 +136,49 @@ class PredictionWriter(P2XTableWriter):
                         n_current_buffer = 0
                         self.flush(self.data_type.name)
                 except BaseException as e:  # surfaced to the producer
-                    werr.append(e)
-                    draining = True  # keep consuming so the producer never blocks
+                    errors.append(e)
+                    draining = True  # keep consuming so producers never block
                 finally:
                     self.stage_seconds["writer_busy_s"] += _time.perf_counter() - t0
 
-        writer = threading.Thread(target=writer_loop, daemon=True,
-                                  name="wfml-prediction-writer")
-        writer.start()
+        def fetch_loop():
+            draining = False
+            while True:
+                item = fq.get()
+                if item is None:
+                    return
+                if draining:
+                    continue
+                data, handle = item
+                t0 = _time.perf_counter()
+                try:
+                    rows = self.apply_outputs(data, handle)
+                    self.stage_seconds["fetch_post_s"] += _time.perf_counter() - t0
+                    _write(rows)
+                except BaseException as e:
+                    errors.append(e)
+                    draining = True
 
         def _write(rows):
-            if werr:
-                raise werr[0]
+            if errors:
+                raise errors[0]
             t0 = _time.perf_counter()
             wq.put(rows)
             self.stage_seconds["write_wait_s"] += _time.perf_counter() - t0
 
-        depth = max(1, int(getattr(self, "pipeline_depth", 3)))
-        pending = deque()  # FIFO of (data, dispatch handle) chunks in flight
-
-        def _drain_one():
-            data, handle = pending.popleft()
+        def _enqueue_fetch(data, handle):
+            if errors:
+                raise errors[0]
             t0 = _time.perf_counter()
-            rows = self.apply_outputs(data, handle)
-            self.stage_seconds["fetch_post_s"] += _time.perf_counter() - t0
-            _write(rows)
+            fq.put((data, handle))  # bounded: at most `depth` chunks in flight
+            self.stage_seconds["fetch_wait_s"] += _time.perf_counter() - t0
+
+        writer = threading.Thread(target=writer_loop, daemon=True,
+                                  name="wfml-prediction-writer")
+        fetcher = threading.Thread(target=fetch_loop, daemon=True,
+                                   name="wfml-prediction-fetcher")
+        writer.start()
+        fetcher.start()
 
         try:
             for data in prefetch_iter(self.input.iter_chunks(self.n_rows_per_read)):
@@ -169,16 +192,14 @@ class PredictionWriter(P2XTableWriter):
                         data = self.convert_values(data)
                     _write(data)
                     continue
-                pending.append((data, handle))
-                if len(pending) > depth:
-                    _drain_one()
-            while pending:
-                _drain_one()
+                _enqueue_fetch(data, handle)
         finally:
+            fq.put(None)
+            fetcher.join()
             wq.put(None)
             writer.join()
-        if werr:
-            raise werr[0]
+        if errors:
+            raise errors[0]
         self.flush(self.data_type.name)
         self.input.close()
         self.close()
