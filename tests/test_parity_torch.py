@@ -540,3 +540,134 @@ def test_training_trajectory_parity(rng, tmp_path):
     np.testing.assert_allclose(bs["stack"]["l4"]["var"],
                                tmodel.bn4.running_var.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_z_training_trajectory_parity(rng, tmp_path):
+    """Segment-task trajectory parity: LitZ (SingleEndedZConv, pointwise →
+    masked BN → dilating SparseConv → masked L1 segment loss) trains 24
+    steps in both frameworks from the identical init with matching
+    per-step losses — extends the composed accuracy gate to the
+    regular-sparse-conv + segment-loss family
+    (ref: LitZ.py:102-106, LitBase.py:124-174)."""
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import LitZ
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.models.sparse_blocks import SparseConv2DForZ
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    n_in = 16
+    cfg = Config({
+        "run_config": {"exp_name": "z", "run_class": "LitZ", "imports": []},
+        "system_config": {"model_name": "z", "n_samples": n_in // 2,
+                          "n_type": 2, "type_names": ["a"],
+                          "model_base_path": str(tmp_path / "m"),
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_type": "2DConvolution",
+                       "algorithm": "conv",
+                       "hparams": {"conv": {"kernel_size": 3,
+                                            "n_layers": 2}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.05, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWFPair",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    specs = SparseConv2DForZ.schedule(n_in, 3, 2)
+    # pinned shape of the mirrored stack: dilating 3x3 regular sparse conv,
+    # masked BN over the DILATED occupancy, relu, 1x1 conv (kernel decay
+    # k -= 2 per layer, ref SPConvBlocks.py:261-313), relu, todense
+    assert specs == [("conv", n_in, n_in // 2, 3, 1, 1, 1), ("bn", n_in // 2),
+                     ("relu",), ("conv", n_in // 2, 1, 1, 1, 0, 1), ("relu",),
+                     ("todense",)], specs
+    out0 = specs[0][2]
+
+    task = LitZ(cfg)
+    trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0)
+    n_events = 10
+    blocks = []
+    for _ in range(3):
+        rows = []
+        for e in range(n_events):
+            for s in rng.choice(NX * NY, size=3, replace=False):
+                rows.append([s % NX, s // NX, e])
+        coords = np.asarray(rows, np.int32)
+        feats = rng.normal(size=(coords.shape[0], n_in)).astype(np.float32)
+        z = (feats[:, :4].mean(1) * 0.1 + 0.5).astype(np.float32)  # learnable
+        blocks.append(FileBlock(coords, feats, z, {}))
+    trainer._ensure_state(blocks[0])
+    dbs = [{k: jnp.asarray(v) for k, v in trainer._device_batch(b).items()}
+           for b in blocks]
+
+    # torch twin from the jax init
+    p = jax.tree.map(lambda x: np.asarray(x, np.float32).copy(),
+                     trainer.state.params)
+    st = {k.split("_", 1)[-1] if False else k: v for k, v in p.items()}
+    stack = p[next(iter(p))] if len(p) == 1 else p  # SingleEndedZConv wraps
+    # parameter tree: {"SparseConv2DForZ_0": {"l0": {...conv...}, "l1": bn, "l3": conv}}
+    stack = p.get("SparseConv2DForZ_0", stack)
+
+    def t(x):
+        return torch.nn.Parameter(torch.from_numpy(x))
+
+    # flax conv kernels are HWIO; torch conv2d wants OIHW
+    k0 = t(np.ascontiguousarray(
+        stack["l0"]["conv"]["kernel"].transpose(3, 2, 0, 1)))
+    b0 = t(stack["l0"]["conv"]["bias"])
+    k3 = t(np.ascontiguousarray(
+        stack["l3"]["conv"]["kernel"].transpose(3, 2, 0, 1)))
+    b3 = t(stack["l3"]["conv"]["bias"])
+    tbn = tnn.BatchNorm1d(out0, momentum=0.1)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(stack["l1"]["scale"].copy()))
+        tbn.bias.copy_(torch.from_numpy(stack["l1"]["bias"].copy()))
+    topt = torch.optim.SGD([k0, b0, k3, b3, tbn.weight, tbn.bias],
+                           lr=cfg.optimize_config.lr, momentum=0.9)
+
+    import torch.nn.functional as F
+
+    def torch_step(db, block):
+        coords = block.coords
+        feats = block.feats
+        ne = int(db["labels"].shape[-1])
+        dense = np.zeros((ne, NX, NY, n_in), np.float32)
+        occ = np.zeros((ne, NX, NY), bool)
+        dense[coords[:, 2], coords[:, 0], coords[:, 1]] = feats
+        occ[coords[:, 2], coords[:, 0], coords[:, 1]] = True
+        x = torch.from_numpy(dense).permute(0, 3, 1, 2)
+        m0 = torch.from_numpy(occ)[:, None].float()
+        occ1 = _dilate_occ_np(occ, 3)
+        m1 = torch.from_numpy(occ1)[:, None].float()
+        # regular sparse conv: output at every site the 3x3 kernel overlaps
+        h = F.conv2d(x, k0, b0, padding=1) * m1
+        # masked BN (train): stats over the DILATED active pixels
+        hp = h.permute(0, 2, 3, 1)[torch.from_numpy(occ1)]  # [P, C]
+        hbn = torch.zeros_like(h.permute(0, 2, 3, 1))
+        hbn[torch.from_numpy(occ1)] = tbn(hp)
+        h = torch.relu(hbn.permute(0, 3, 1, 2))
+        out = torch.relu(F.conv2d(h, k3, b3) * m1)            # [B,1,NX,NY]
+        # segment L1 over ORIGINAL occupancy (LitBase._calc_segment_loss)
+        tgt = np.zeros((ne, 1, NX, NY), np.float32)
+        tgt[coords[:, 2], 0, coords[:, 0], coords[:, 1]] = block.labels
+        loss = (torch.abs(out * m0 - torch.from_numpy(tgt) * 1.0) * m0).sum() \
+            / m0.sum()
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        return float(loss.detach())
+
+    jl, tl = [], []
+    for i in range(24):
+        db = dbs[i % 3]
+        out = trainer._train_step_fn(trainer.state.params,
+                                     trainer.state.batch_stats,
+                                     trainer.state.opt_state,
+                                     jax.random.PRNGKey(i), db)
+        (trainer.state.params, trainer.state.batch_stats,
+         trainer.state.opt_state) = out[0], out[1], out[2]
+        jl.append(float(out[3]))
+        tl.append(torch_step(db, blocks[i % 3]))
+    np.testing.assert_allclose(jl, tl, rtol=2e-3, atol=2e-4)
+    assert jl[-1] < jl[0], (jl[0], jl[-1])
