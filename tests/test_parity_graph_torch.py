@@ -215,3 +215,55 @@ def test_graphnet_edgeconv_full_model_parity(rng, tmp_path):
         x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
     want = _pool_and_head(x, db, p, n_ev)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_gat_multihead_full_model_parity(rng, tmp_path):
+    """graph_class_index=3 (GATConv, heads=2): α_ij = softmax_i
+    LeakyReLU(a_s·Θx_j + a_d·Θx_i) over j ∈ N(i) ∪ {i}, heads CONCAT
+    (PyG concat=True default) — exercises the head-multiplier widening of
+    the downstream layer, norms, and head that GraphNet applies."""
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    cfg = _graph_cfg(3, str(tmp_path))
+    cfg.net_config.hparams.graph_params = {"heads": 2}
+    task = LitPSD(cfg)
+    block = _block(rng)
+    rb, eb = task.row_bucket(block), task.event_bucket(block)
+    db = task.prepare_block(block, rb, eb)
+    variables = _randomized_variables(task, db, rng)
+    out, _ = task.apply_model(variables,
+                              {k: jnp.asarray(v) for k, v in db.items()},
+                              train=False)
+    n_ev = block.labels.shape[0]
+    got = np.asarray(out)[:n_ev]
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    em0 = db[f"edge_mask_knn{K}"]
+    src0 = db[f"edges_knn{K}"][0].astype(np.int64)[em0]
+    dst0 = db[f"edges_knn{K}"][1].astype(np.int64)[em0]
+    # PyG adds self-loops on every node
+    src = torch.from_numpy(np.concatenate([src0, np.arange(n)]))
+    dst = torch.from_numpy(np.concatenate([dst0, np.arange(n)]))
+    H = 2
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        C = lp["att_src"].shape[1]
+        h = (x @ torch.from_numpy(lp["lin"]["kernel"])).reshape(n, H, C)
+        alpha = ((h[src] * torch.from_numpy(lp["att_src"])).sum(-1)
+                 + (h[dst] * torch.from_numpy(lp["att_dst"])).sum(-1))
+        alpha = torch.nn.functional.leaky_relu(alpha, 0.2)
+        # softmax over incoming edges of each dst, per head
+        mx = torch.full((n, H), -torch.inf)
+        mx = mx.index_reduce_(0, dst, alpha, "amax", include_self=True)
+        ex = torch.exp(alpha - mx[dst])
+        den = torch.zeros(n, H).index_add_(0, dst, ex)
+        w = ex / den.clamp(min=1e-38)[dst]
+        msg = (h[src] * w.unsqueeze(-1)).reshape(-1, H * C)
+        out_t = torch.zeros(n, H * C).index_add_(0, dst, msg)
+        x = out_t + torch.from_numpy(lp["bias"])
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
