@@ -93,7 +93,8 @@ def main():
         if not vals:
             continue
         lo, hi = min(vals), max(vals)
-        vtxt = fmt(lo, unit) if lo == hi else f"{fmt(lo, unit)}–{fmt(hi, unit)}"
+        vtxt = fmt(lo, unit) if fmt(lo, unit) == fmt(hi, unit) \
+            else f"{fmt(lo, unit)}–{fmt(hi, unit)}"
         rtxt = ""
         if ratios:
             rl, rh = min(ratios), max(ratios)
