@@ -144,38 +144,46 @@ def host_neighbor_plan(coords: np.ndarray, mask: np.ndarray, n_events: int,
     if k % 2 != 1:
         raise ValueError(f"row-space SubM conv requires an odd kernel size, got {k}")
     is3d = n_t is not None
-    x = coords[:, 0].astype(np.int64)
-    y = coords[:, 1].astype(np.int64)
-    ev = coords[:, -1].astype(np.int64)
+    # int32 index math throughout: the flat site index tops out at
+    # n_events*NX*NY*n_t (< 2^31 for any realistic batch) and int32 halves
+    # the gather/compare traffic on the host (this builder runs per batch)
+    x = coords[:, 0].astype(np.int32)
+    y = coords[:, 1].astype(np.int32)
+    ev = coords[:, -1].astype(np.int32)
     m = np.asarray(mask, dtype=bool)
     if is3d:
-        t = coords[:, 2].astype(np.int64)
+        t = coords[:, 2].astype(np.int32)
         size = int(n_events) * NX * NY * int(n_t)
         flat = ev * (NX * NY * n_t) + x * (NY * n_t) + y * n_t + t
     else:
         size = int(n_events) * NX * NY
         flat = ev * (NX * NY) + x * NY + y
+    assert size < 2 ** 31, "flat site index overflows int32"
     lut = np.full((size,), -1, np.int32)
     rows = np.arange(coords.shape[0], dtype=np.int32)
     in_range = m & (flat >= 0) & (flat < size)
     lut[flat[in_range]] = rows[in_range]
     half = (k - 1) // 2
     rng = range(-half, k - half)
-    offs = ([(dx, dy, dt) for dx in rng for dy in rng for dt in rng]
-            if is3d else [(dx, dy) for dx in rng for dy in rng])
-    cols = []
-    for off in offs:
-        nx_, ny_ = x + off[0], y + off[1]
-        valid = (nx_ >= 0) & (nx_ < NX) & (ny_ >= 0) & (ny_ < NY) & m
-        if is3d:
-            nt_ = t + off[2]
-            valid &= (nt_ >= 0) & (nt_ < n_t)
-            site = ev * (NX * NY * n_t) + nx_ * (NY * n_t) + ny_ * n_t + nt_
-        else:
-            site = ev * (NX * NY) + nx_ * NY + ny_
-        site = np.clip(site, 0, size - 1)
-        cols.append(np.where(valid, lut[site], -1).astype(np.int32))
-    return np.stack(cols, axis=1)
+    offs = np.asarray([(dx, dy, dt) for dx in rng for dy in rng for dt in rng]
+                      if is3d else [(dx, dy) for dx in rng for dy in rng],
+                      dtype=np.int32)
+    # one broadcast pass over all K^n offsets: [N, K^n]
+    nx_ = x[:, None] + offs[None, :, 0]
+    ny_ = y[:, None] + offs[None, :, 1]
+    valid = ((nx_ >= 0) & (nx_ < NX) & (ny_ >= 0) & (ny_ < NY)
+             & m[:, None])
+    if is3d:
+        nt_ = t[:, None] + offs[None, :, 2]
+        valid &= (nt_ >= 0) & (nt_ < n_t)
+        site = (ev[:, None] * (NX * NY * n_t) + nx_ * (NY * n_t)
+                + ny_ * n_t + nt_)
+    else:
+        site = ev[:, None] * (NX * NY) + nx_ * NY + ny_
+    np.clip(site, 0, size - 1, out=site)
+    plan = lut[site]
+    plan[~valid] = -1
+    return plan
 
 
 def _gather_gemm(feats: jax.Array, plan: jax.Array, kernel: jax.Array) -> jax.Array:
