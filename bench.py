@@ -535,6 +535,9 @@ def bench_stream(backend):
         jax_wps = STREAM_EVENTS / e2e_s
         pipe = {k: round(v, 3) for k, v in
                 getattr(pw2, "stage_seconds", {}).items()}
+        pipe.update({k: round(v, 3) for k, v in
+                     getattr(getattr(pw2, "model", None), "dispatch_phases",
+                             {}).items()})
 
         bd = _safe(lambda: _stream_breakdown(input_path, tmp, config_path, ckpt))
         # torch at BOTH output-gzip levels: 9 is what the reference hardcodes
@@ -981,7 +984,8 @@ def _run_inline(names) -> int:
         use_alarm = can_alarm and not first and per_cfg > 0
         if use_alarm:
             old = signal.signal(signal.SIGALRM, _on_alarm)
-            signal.alarm(int(per_cfg))
+            # ceil: alarm(0) would CANCEL the watchdog for budgets < 1 s
+            signal.alarm(max(1, math.ceil(per_cfg)))
         try:
             fns[name](backend)
         except Exception as e:

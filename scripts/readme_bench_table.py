@@ -79,12 +79,17 @@ def main():
     entries = load_entries(root)
     print("| Workload | Throughput | vs torch-CPU reference stack |")
     print("|---|---|---|")
-    taken = set()
     for prefix, label, unit in ROWS:
         vals, ratios = [], []
         for e in entries:
             m = e.get("metric", "")
-            if m.startswith(prefix) and m not in taken and \
+            # the published table is TPU-only: a local JAX_PLATFORMS=cpu run
+            # (or a cpu-fallback child) appends "... (cpu)" entries to the
+            # append-only history, and folding those into min-max would
+            # collapse the ranges
+            if not m.endswith("(tpu)"):
+                continue
+            if m.startswith(prefix) and \
                     not any(m.startswith(p) and len(p) > len(prefix)
                             for p, _, _ in ROWS if p != prefix):
                 vals.append(float(e["value"]))

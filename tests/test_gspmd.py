@@ -255,6 +255,9 @@ gdb = trainer._to_device(db)
 one = {k: jnp.asarray(v) for k, v in db.items()}
 variables = trainer.task.init_variables(jax.random.PRNGKey(1), one)
 from waveformml_tpu.parallel.gspmd import replicate, shard_params
+# numpy snapshot: device_put may return the init arrays uncopied, and the
+# donating train step would delete them before the second shard_params below
+variables = jax.tree_util.tree_map(np.asarray, variables)
 params = shard_params(variables["params"], trainer.mesh, trainer.tp)
 bstats = replicate(variables.get("batch_stats"), trainer.mesh)
 opt_state = trainer.optimizer.init(params)
@@ -263,6 +266,18 @@ loss = float(out[3])
 from jax.experimental import multihost_utils
 losses = np.asarray(multihost_utils.process_allgather(np.array([loss])))
 assert np.allclose(losses, losses.ravel()[0]), losses
+# regression: after init, prepare_block ships host-prefetched row plans
+# whose indices are PROCESS-LOCAL; _device_batch must shift them into this
+# rank's global [P*rb] row slot or rank 1 gathers rank 0's features
+db2 = trainer._device_batch(block)
+assert any(k.startswith("plan_") for k in db2), sorted(db2)
+gdb2 = trainer._to_device(db2)
+params2 = shard_params(variables["params"], trainer.mesh, trainer.tp)
+bstats2 = replicate(variables.get("batch_stats"), trainer.mesh)
+out2 = trainer._train_step_fn(params2, bstats2, trainer.optimizer.init(params2),
+                              jax.random.PRNGKey(2), gdb2)
+loss2 = float(out2[3])
+assert abs(loss2 - loss) < 1e-6, (loss, loss2)
 if pid == 0:
     with open(os.path.join(outdir, "gspmd_loss.txt"), "w") as f:
         f.write(repr(loss))

@@ -228,6 +228,46 @@ def test_scnet_dsl_with_waveform_conv1d_stack(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_scnet_waveform_path_propagates_host_plans(rng):
+    """Regression: SCNet's waveform front-end rebuilds the SparseBatch with
+    transformed feats; the host-prefetched neighbor plans must ride along or
+    the row path silently falls back to the in-trace build (paying the plan
+    build twice). Proven by corruption: a sabotaged plan MUST change the
+    output, so the shipped plan is the one actually consumed."""
+    from waveformml_tpu.models.nets import SCNet
+    from waveformml_tpu.ops.row_conv import host_neighbor_plan
+
+    cfg = _base_config(
+        net_type="2DConvolution",
+        algorithm=[
+            "nn.Conv1d", [2, 4, 3, 1, 1, 1],
+            "nn.ReLU",
+            "spconv.SubMConv2d", [4 * N_SAMPLES, 8, 3, 1, 1, 1],
+            "nn.ReLU",
+            "spconv.ToDense",
+            "nn.Linear", [8 * NX * NY, 3],
+        ])
+    model = SCNet(cfg)
+    b = _batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), b)
+    want = model.apply(variables, b)
+
+    plan = host_neighbor_plan(np.asarray(b.coords), np.asarray(b.mask),
+                              b.n_events, 3, None)
+    bp = SparseBatch(b.coords, b.feats, b.mask, b.n_events,
+                     plans={"k3": jnp.asarray(plan)})
+    got = model.apply(variables, bp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    bad = plan.copy()
+    bad[np.asarray(b.mask)] = -1  # every real row loses all neighbors
+    bbad = SparseBatch(b.coords, b.feats, b.mask, b.n_events,
+                       plans={"k3": jnp.asarray(bad)})
+    sab = model.apply(variables, bbad)
+    assert not np.allclose(np.asarray(sab), np.asarray(want))
+
+
 def test_spconvnet_dsl_with_waveform_conv1d_stack(rng):
     from waveformml_tpu.models.nets import SPConvNet
 

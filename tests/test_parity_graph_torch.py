@@ -217,6 +217,94 @@ def test_graphnet_edgeconv_full_model_parity(rng, tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_graphnet_gen_full_model_parity(rng, tmp_path):
+    """graph_class_index=16 (GENConv) — the conv whose softmax-aggregation
+    temperature was called out as a shared-misreading risk. PyG GENConv
+    (aggr='softmax', t=1.0, learn_t=False): m_ij = ReLU(W x_j + W_e e_ij)+ε,
+    x'_i = MLP(W x_i + Σ_j softmax_i(t·m_ij) ⊙ m_ij), per-channel softmax
+    over incoming edges; GraphNet feeds normalized Cartesian edge attrs."""
+    got, db, variables, n_ev = _run_jax(16, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    src_a = db[f"edges_knn{K}"][0].astype(np.int64)
+    dst_a = db[f"edges_knn{K}"][1].astype(np.int64)
+    em = torch.from_numpy(db[f"edge_mask_knn{K}"])
+    # Cartesian edge attrs exactly as the model builds them: rel over ALL
+    # edge slots (masked slots are (0,0) pairs → rel 0), one global max
+    pos = np.asarray(db["coords"][:, :2], np.float32)
+    rel = pos[dst_a] - pos[src_a]
+    mv = max(np.abs(rel).max(), 1e-9)
+    eattr = torch.from_numpy(rel / (2 * mv) + 0.5)
+    src, dst = torch.from_numpy(src_a), torch.from_numpy(dst_a)
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        h = x @ torch.from_numpy(lp["lin_in"]["kernel"]) \
+            + torch.from_numpy(lp["lin_in"]["bias"])
+        e = eattr @ torch.from_numpy(lp["edge_proj"]["kernel"]) \
+            + torch.from_numpy(lp["edge_proj"]["bias"])
+        msg = torch.relu(h[src] + e) + 1e-7
+        # per-channel softmax over each dst's incoming live edges (t = 1)
+        logit = torch.where(em.unsqueeze(1), msg, torch.full((), -torch.inf))
+        mx = torch.full((n, msg.shape[1]), -torch.inf)
+        mx = mx.index_reduce_(0, dst, logit, "amax", include_self=True)
+        mx = torch.where(torch.isfinite(mx), mx, torch.zeros(()))
+        ex = torch.where(em.unsqueeze(1), torch.exp(logit - mx[dst]),
+                         torch.zeros(()))
+        den = torch.zeros(n, msg.shape[1]).index_add_(0, dst, ex)
+        alpha = ex / den.clamp(min=1e-16)[dst]
+        agg = torch.zeros(n, msg.shape[1])
+        agg.index_add_(0, dst, torch.where(em.unsqueeze(1), msg * alpha,
+                                           torch.zeros(())))
+        z = h + agg
+        z = torch.relu(z @ torch.from_numpy(lp["mlp1"]["kernel"])
+                       + torch.from_numpy(lp["mlp1"]["bias"]))
+        x = z @ torch.from_numpy(lp["mlp2"]["kernel"]) \
+            + torch.from_numpy(lp["mlp2"]["bias"])
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_feast_full_model_parity(rng, tmp_path):
+    """graph_class_index=13 (FeaStConv) — the conv whose attention
+    normalization was called out as a shared-misreading risk. PyG FeaStConv
+    (heads=4, add_self_loops=True): q(x_i, x_j) = softmax_h(u_h·(x_j − x_i)
+    + c_h) — softmax over the HEADS axis per edge — and
+    x'_i = 1/|N(i)| Σ_{j∈N(i)∪{i}} Σ_h q_h W_h x_j + b."""
+    got, db, variables, n_ev = _run_jax(13, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    em0 = db[f"edge_mask_knn{K}"]
+    src0 = db[f"edges_knn{K}"][0].astype(np.int64)
+    dst0 = db[f"edges_knn{K}"][1].astype(np.int64)
+    # live non-loop edges + exactly one self-loop per node (PyG semantics)
+    keep = em0 & (src0 != dst0)
+    src = torch.from_numpy(np.concatenate([src0[keep], np.arange(n)]))
+    dst = torch.from_numpy(np.concatenate([dst0[keep], np.arange(n)]))
+    H = 4
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        q = torch.softmax((x[src] - x[dst])
+                          @ torch.from_numpy(lp["u"]["kernel"])
+                          + torch.from_numpy(lp["u"]["bias"]), dim=-1)
+        C = lp["lin"]["kernel"].shape[1] // H
+        h = (x @ torch.from_numpy(lp["lin"]["kernel"])).reshape(n, H, C)
+        msg = (h[src] * q.unsqueeze(-1)).sum(1)
+        s = torch.zeros(n, C).index_add_(0, dst, msg)
+        cnt = torch.zeros(n, 1).index_add_(0, dst,
+                                           torch.ones(len(src), 1))
+        x = s / cnt.clamp(min=1) + torch.from_numpy(lp["bias"])
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_graphnet_gat_multihead_full_model_parity(rng, tmp_path):
     """graph_class_index=3 (GATConv, heads=2): α_ij = softmax_i
     LeakyReLU(a_s·Θx_j + a_d·Θx_i) over j ∈ N(i) ∪ {i}, heads CONCAT

@@ -443,6 +443,15 @@ class Trainer:
                 coords = db["coords"].copy()
                 coords[..., -1] += self.process_index * eb
                 db["coords"] = coords
+            for k, v in db.items():
+                # host-prefetched row-conv plans hold PROCESS-LOCAL row
+                # indices; _to_device stitches leaves into one global
+                # [P*rb] row space, so shift them into this rank's slot
+                # (keeping -1 absent sentinels), same as the event ids
+                if k.startswith("plan_"):
+                    plan = v.copy()
+                    plan[plan >= 0] += self.process_index * rb
+                    db[k] = plan
             self._gspmd_local_events = eb
             return db
         if self._multihost:

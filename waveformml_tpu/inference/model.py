@@ -50,6 +50,10 @@ class InferenceModel:
         self._warned_ambiguous = False
         self._jitted: Dict[Tuple[int, int], any] = {}
         self._jitted_block = None
+        # per-dispatch sub-phase accounting (pad/pack vs h2d vs launch RPC):
+        # the streaming bench reads this to attribute the main-thread cost
+        self.dispatch_phases = {"host_prep_s": 0.0, "h2d_s": 0.0,
+                                "launch_s": 0.0}
         # graph models need padded edge lists (host C++ kernels) and tasks
         # may override prepare_block to augment features — neither fits the
         # packed-buffer fast path, which rebuilds a minimal db inside jit
@@ -182,6 +186,9 @@ class InferenceModel:
             db = self.task.prepare_block(block, rb, eb)
             out = self._block_fn()({k: jnp.asarray(v) for k, v in db.items()})
             return (out, n, n_events, rb, eb)
+        import time as _time
+
+        t0 = _time.perf_counter()
         c, f, m = pad_sparse(coords.astype(np.int32), vals, row_bucket)
         n_feat = f.shape[1]
         fbytes = f.dtype.itemsize
@@ -194,8 +201,14 @@ class InferenceModel:
         packed[c_sz + f_sz:c_sz + f_sz + m_sz] = m.view(np.uint8)
         packed[c_sz + f_sz + m_sz:] = np.frombuffer(
             np.int32(n_events).tobytes(), dtype=np.uint8)
-        out = self._fn(row_bucket, event_bucket, n_feat,
-                       f.dtype.name)(jnp.asarray(packed))
+        t1 = _time.perf_counter()
+        dev = jnp.asarray(packed)
+        t2 = _time.perf_counter()
+        out = self._fn(row_bucket, event_bucket, n_feat, f.dtype.name)(dev)
+        t3 = _time.perf_counter()
+        self.dispatch_phases["host_prep_s"] += t1 - t0
+        self.dispatch_phases["h2d_s"] += t2 - t1
+        self.dispatch_phases["launch_s"] += t3 - t2
         return (out, n, n_events, row_bucket, event_bucket)
 
     def fetch(self, handle) -> np.ndarray:

@@ -111,6 +111,12 @@ class PredictionWriter(P2XTableWriter):
         # table between here and the final join. Writers that don't
         # implement model_dispatch fall back to the synchronous
         # swap_values/convert_values path (still write-threaded).
+        # A/D overlap caveat: stages A and D only truly run concurrently on
+        # the direct-chunk gzip codec (io.hdf5 read/write_direct_chunk +
+        # plain zlib, which drops the GIL outside h5py's global lock); a
+        # dataset that falls back to h5py slicing (non-gzip filters, dtype
+        # mismatch) runs its filter pipeline under that lock and the two
+        # stages serialize there.
         self.stage_seconds = {"dispatch_s": 0.0, "fetch_post_s": 0.0,
                               "fetch_wait_s": 0.0, "write_wait_s": 0.0,
                               "writer_busy_s": 0.0}
@@ -173,6 +179,19 @@ class PredictionWriter(P2XTableWriter):
             fq.put((data, handle))  # bounded: at most `depth` chunks in flight
             self.stage_seconds["fetch_wait_s"] += _time.perf_counter() - t0
 
+        def _drain_threads():
+            fq.put(None)
+            fetcher.join()
+            wq.put(None)
+            writer.join()
+
+        def _close_quietly():
+            for closer in (self.input.close, self.close):
+                try:
+                    closer()
+                except Exception:
+                    pass  # don't mask the original error
+
         writer = threading.Thread(target=writer_loop, daemon=True,
                                   name="wfml-prediction-writer")
         fetcher = threading.Thread(target=fetch_loop, daemon=True,
@@ -193,12 +212,16 @@ class PredictionWriter(P2XTableWriter):
                     _write(data)
                     continue
                 _enqueue_fetch(data, handle)
-        finally:
-            fq.put(None)
-            fetcher.join()
-            wq.put(None)
-            writer.join()
+        except BaseException:
+            # producer-side error (or errors[0] re-raised by _write /
+            # _enqueue_fetch): drain the threads, then release both HDF5
+            # handles so a retrying caller never accumulates open files
+            _drain_threads()
+            _close_quietly()
+            raise
+        _drain_threads()
         if errors:
+            _close_quietly()
             raise errors[0]
         self.flush(self.data_type.name)
         self.input.close()

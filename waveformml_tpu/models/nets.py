@@ -235,7 +235,8 @@ class SCNet(nn.Module):
                                           mask=batch.mask)
         if self._row_path:
             g = batch if feats is batch.feats else \
-                SparseBatch(batch.coords, feats, batch.mask, batch.n_events)
+                SparseBatch(batch.coords, feats, batch.mask, batch.n_events,
+                            plans=batch.plans)
         elif self._ndim == 3:
             # grid [B, 14, 11, T, C] with T = n_samples (ref SCNet.py:58-60)
             g = batch_to_grid_3d(batch, self.nsamples, feats)
