@@ -305,6 +305,162 @@ def test_graphnet_feast_full_model_parity(rng, tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def _cartesian_edge_attr(db):
+    """Normalized Cartesian edge attrs exactly as GraphNet builds them:
+    rel over ALL edge slots (masked slots are (0,0) pairs → rel 0), one
+    global max (graph_net._cartesian, norm=True)."""
+    src_a = db[f"edges_knn{K}"][0].astype(np.int64)
+    dst_a = db[f"edges_knn{K}"][1].astype(np.int64)
+    pos = np.asarray(db["coords"][:, :2], np.float32)
+    rel = pos[dst_a] - pos[src_a]
+    mv = max(np.abs(rel).max(), 1e-9)
+    return torch.from_numpy(rel / (2 * mv) + 0.5), src_a, dst_a
+
+
+def test_graphnet_transformer_full_model_parity(rng, tmp_path):
+    """graph_class_index=5 (TransformerConv, heads=1): scaled-dot-product
+    attention with Cartesian edge features added to keys AND values, plus a
+    linear skip of the target (PyG root_weight=True)."""
+    got, db, variables, n_ev = _run_jax(5, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    em = torch.from_numpy(db[f"edge_mask_knn{K}"])
+    eattr, src_a, dst_a = _cartesian_edge_attr(db)
+    src, dst = torch.from_numpy(src_a), torch.from_numpy(dst_a)
+
+    def dense(name, lp, v):
+        out = v @ torch.from_numpy(lp[name]["kernel"])
+        if "bias" in lp[name]:
+            out = out + torch.from_numpy(lp[name]["bias"])
+        return out
+
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        C = lp["q"]["kernel"].shape[1]  # heads=1: [in, H*C] with H=1
+        q, k, v = dense("q", lp, x), dense("k", lp, x), dense("v", lp, x)
+        e = dense("edge", lp, eattr)
+        ke, ve = k[src] + e, v[src] + e
+        alpha = (q[dst] * ke).sum(-1, keepdim=True) / np.sqrt(C)
+        logit = torch.where(em.unsqueeze(1), alpha,
+                            torch.full((), -torch.inf))
+        mx = torch.full((n, 1), -torch.inf)
+        mx = mx.index_reduce_(0, dst, logit, "amax", include_self=True)
+        mx = torch.where(torch.isfinite(mx), mx, torch.zeros(()))
+        ex = torch.where(em.unsqueeze(1), torch.exp(logit - mx[dst]),
+                         torch.zeros(()))
+        den = torch.zeros(n, 1).index_add_(0, dst, ex)
+        w = ex / den.clamp(min=1e-16)[dst]
+        out_t = torch.zeros(n, C).index_add_(
+            0, dst, torch.where(em.unsqueeze(1), ve * w, torch.zeros(())))
+        x = out_t + dense("skip", lp, x)
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_gmm_full_model_parity(rng, tmp_path):
+    """graph_class_index=10 (GMMConv over Cartesian pseudo-coordinates,
+    kernel_size=3 gaussians): x'_i = mean_{j∈N(i)} Σ_k w_k(e_ij) ⊙ Θ_k x_j
+    + W_root x_i + b, w_k(e) = exp(−0.5 Σ_d (e_d − μ_kd)²/σ_kd²)."""
+    got, db, variables, n_ev = _run_jax(10, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    em = torch.from_numpy(db[f"edge_mask_knn{K}"])
+    eattr, src_a, dst_a = _cartesian_edge_attr(db)
+    src, dst = torch.from_numpy(src_a), torch.from_numpy(dst_a)
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        mu = torch.from_numpy(lp["mu"])                       # [Kg, D]
+        sig = torch.from_numpy(lp["sigma"]).abs().clamp(min=1e-6)
+        Kg = mu.shape[0]
+        diff = eattr.unsqueeze(1) - mu.unsqueeze(0)           # [E, Kg, D]
+        w = torch.exp(-0.5 * ((diff / sig) ** 2).sum(-1))     # [E, Kg]
+        C = lp["g"]["kernel"].shape[1] // Kg
+        h = (x @ torch.from_numpy(lp["g"]["kernel"])).reshape(n, Kg, C)
+        msg = (h[src] * w.unsqueeze(-1)).sum(1)               # [E, C]
+        wm = em.float().unsqueeze(1)
+        s = torch.zeros(n, C).index_add_(0, dst, msg * wm)
+        cnt = torch.zeros(n, 1).index_add_(0, dst, wm)
+        x = (s / cnt.clamp(min=1)
+             + x @ torch.from_numpy(lp["root"]["kernel"])
+             + torch.from_numpy(lp["bias"]))
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_film_full_model_parity(rng, tmp_path):
+    """graph_class_index=11 (FiLMConv, num_relations=1): messages are
+    FiLM-modulated by the TARGET node — x'_i = σ(γ_s,i ⊙ W_s x_i + β_s,i) +
+    mean_{j∈N(i)} σ(γ_i ⊙ W x_j + β_i), (β, γ) split order per PyG."""
+    got, db, variables, n_ev = _run_jax(11, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    em = torch.from_numpy(db[f"edge_mask_knn{K}"])
+    src = torch.from_numpy(db[f"edges_knn{K}"][0].astype(np.int64))
+    dst = torch.from_numpy(db[f"edges_knn{K}"][1].astype(np.int64))
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        film = x @ torch.from_numpy(lp["film"]["kernel"]) \
+            + torch.from_numpy(lp["film"]["bias"])
+        C = film.shape[1] // 2
+        beta, gamma = film[:, :C], film[:, C:]
+        msg = x @ torch.from_numpy(lp["lin"]["kernel"])
+        mod = torch.relu(gamma[dst] * msg[src] + beta[dst])
+        wm = em.float().unsqueeze(1)
+        s = torch.zeros(n, C).index_add_(0, dst, mod * wm)
+        cnt = torch.zeros(n, 1).index_add_(0, dst, wm)
+        film_s = x @ torch.from_numpy(lp["film_skip"]["kernel"]) \
+            + torch.from_numpy(lp["film_skip"]["bias"])
+        beta_s, gamma_s = film_s[:, :C], film_s[:, C:]
+        skip = torch.relu(
+            gamma_s * (x @ torch.from_numpy(lp["lin_skip"]["kernel"]))
+            + beta_s)
+        x = s / cnt.clamp(min=1) + skip
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_arma_full_model_parity(rng, tmp_path):
+    """graph_class_index=8 (ARMAConv, one stack, one layer): x' =
+    ReLU(V · (D̂^-1/2 A D̂^-1/2 x) + W x) with NO self-loops (PyG ARMA
+    normalization) and in-degree from the live edges only."""
+    got, db, variables, n_ev = _run_jax(8, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    em0 = db[f"edge_mask_knn{K}"]
+    src0 = db[f"edges_knn{K}"][0].astype(np.int64)[em0]
+    dst0 = db[f"edges_knn{K}"][1].astype(np.int64)[em0]
+    deg = np.bincount(dst0, minlength=n).astype(np.float32)
+    dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    coeff = torch.from_numpy(dinv[src0] * dinv[dst0]).unsqueeze(1)
+    src, dst = torch.from_numpy(src0), torch.from_numpy(dst0)
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        prop = torch.zeros(n, x.shape[1]).index_add_(0, dst, x[src] * coeff)
+        x = torch.relu(
+            prop @ torch.from_numpy(lp["V_0"]["kernel"])
+            + torch.from_numpy(lp["V_0"]["bias"])
+            + x @ torch.from_numpy(lp["W_0"]["kernel"])
+            + torch.from_numpy(lp["W_0"]["bias"]))
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_graphnet_gat_multihead_full_model_parity(rng, tmp_path):
     """graph_class_index=3 (GATConv, heads=2): α_ij = softmax_i
     LeakyReLU(a_s·Θx_j + a_d·Θx_i) over j ∈ N(i) ∪ {i}, heads CONCAT
