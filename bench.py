@@ -456,7 +456,7 @@ STREAM_EVENTS = 10000
 # sized for a local GPU. Through a high-latency device link, large reads
 # amortize the per-dispatch roundtrip; the pipelined writer (pipeline_depth)
 # keeps several chunks in flight either way.
-STREAM_READ = 8192
+STREAM_READ = int(os.environ.get("WFML_BENCH_STREAM_READ", 8192))
 STREAM_GZIP_IN = 4   # the analysis chain's inputs are gzip-chunked tables
                      # (HDF5IO.py:88-91) — charge both sides the real decode
 
