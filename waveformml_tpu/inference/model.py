@@ -20,6 +20,37 @@ from waveformml_tpu.registry import retrieve_class
 
 log = logging.getLogger(__name__)
 
+_CANON = {np.dtype(np.int64): np.dtype(np.int32),
+          np.dtype(np.uint64): np.dtype(np.uint32),
+          np.dtype(np.float64): np.dtype(np.float32),
+          np.dtype(np.complex128): np.dtype(np.complex64)}
+
+
+def _pack_db(db) -> Tuple[np.ndarray, Tuple]:
+    """Concatenate every prepared-db leaf into ONE uint8 host buffer.
+
+    Wide dtypes are canonicalized first (int64→int32 etc.), mirroring what
+    ``jnp.asarray`` does with x64 disabled, so the device-side bitcast sees
+    exactly the dtype jax would have produced. Returns (buffer, spec) with
+    spec = ((key, shape, dtype_str, offset, nbytes), ...) sorted by key."""
+    items = []
+    arrays = []
+    off = 0
+    for k in sorted(db):
+        v = np.ascontiguousarray(db[k])
+        cdt = _CANON.get(v.dtype)
+        if cdt is not None:
+            v = v.astype(cdt)
+        items.append((k, tuple(v.shape), v.dtype.str, off, v.nbytes))
+        arrays.append(v.view(np.uint8).ravel())
+        off += v.nbytes
+    buf = np.empty(max(off, 1), np.uint8)
+    pos = 0
+    for a in arrays:
+        buf[pos:pos + a.size] = a
+        pos += a.size
+    return buf, tuple(items)
+
 
 class InferenceModel:
     """preprocess/postprocess run INSIDE the jit on device:
@@ -49,7 +80,7 @@ class InferenceModel:
         self.output_unit = output_unit
         self._warned_ambiguous = False
         self._jitted: Dict[Tuple[int, int], any] = {}
-        self._jitted_block = None
+        self._jitted_packed: Dict[Tuple, any] = {}
         # per-dispatch sub-phase accounting (pad/pack vs h2d vs launch RPC):
         # the streaming bench reads this to attribute the main-thread cost
         self.dispatch_phases = {"host_prep_s": 0.0, "h2d_s": 0.0,
@@ -125,25 +156,44 @@ class InferenceModel:
             self._jitted[key] = fn
         return self._jitted[key]
 
-    def _block_fn(self):
-        """Jit forward over a task-prepared padded db (general path: graph
-        edge lists, task-specific feature augmentation). jax.jit retraces
-        per shape combination; bucketed padding bounds the trace count."""
-        if self._jitted_block is None:
+    def _block_fn_packed(self, spec):
+        """Jit forward over a task-prepared padded db shipped as ONE packed
+        uint8 buffer (general path: graph edge lists, task-specific feature
+        augmentation, prefetched row plans). One h2d transfer per chunk
+        instead of one per db leaf — per-transfer RPC latency dominates on
+        remote links and costs nothing locally. ``spec`` is the hashable
+        (key, shape, dtype, offset, nbytes) layout; jit retraces per spec,
+        and bucketed padding bounds the trace count."""
+        fn = self._jitted_packed.get(spec)
+        if fn is None:
             task, pre, post = self.task, self.preprocess, self.postprocess
 
             @jax.jit
-            def fn(db):
+            def fn(packed):
+                from jax import lax
+
+                db = {}
+                for key, shape, dt, off, nb in spec:
+                    raw = packed[off:off + nb]
+                    d = np.dtype(dt)
+                    if d == np.bool_:
+                        db[key] = raw.reshape(shape).astype(jnp.bool_)
+                    elif d.itemsize == 1:
+                        db[key] = lax.bitcast_convert_type(
+                            raw.reshape(shape), jnp.dtype(d))
+                    else:
+                        db[key] = lax.bitcast_convert_type(
+                            raw.reshape(tuple(shape) + (d.itemsize,)),
+                            jnp.dtype(d))
                 if pre is not None:
-                    db = dict(db)
                     db["feats"] = pre(db["coords"], db["feats"], db["mask"])
                 outputs, _ = task.apply_model(self.variables, db, train=False)
                 if post is not None:
                     outputs = post(outputs, db["coords"], db["mask"])
                 return outputs
 
-            self._jitted_block = fn
-        return self._jitted_block
+            self._jitted_packed[spec] = fn
+        return fn
 
     def dispatch(self, coords: np.ndarray, vals: np.ndarray):
         """Pad + jit-dispatch WITHOUT a host sync; returns an opaque handle.
@@ -169,6 +219,8 @@ class InferenceModel:
         vals = np.asarray(vals)
         if self.preprocess is None and vals.dtype != np.float32:
             vals = vals.astype(np.float32)
+        import time as _time
+
         if self._needs_host_prep:
             from waveformml_tpu.datasets.hdf5_dataset import FileBlock
 
@@ -181,12 +233,20 @@ class InferenceModel:
             block = FileBlock(coords=coords.astype(np.int32),
                               feats=vals,
                               labels=np.zeros((n_dummy,), np.float32))
+            t0 = _time.perf_counter()
             rb = self.task.row_bucket(block)
             eb = self.task.event_bucket(block)
             db = self.task.prepare_block(block, rb, eb)
-            out = self._block_fn()({k: jnp.asarray(v) for k, v in db.items()})
+            packed, spec = _pack_db(db)
+            t1 = _time.perf_counter()
+            dev = jnp.asarray(packed)
+            t2 = _time.perf_counter()
+            out = self._block_fn_packed(spec)(dev)
+            t3 = _time.perf_counter()
+            self.dispatch_phases["host_prep_s"] += t1 - t0
+            self.dispatch_phases["h2d_s"] += t2 - t1
+            self.dispatch_phases["launch_s"] += t3 - t2
             return (out, n, n_events, rb, eb)
-        import time as _time
 
         t0 = _time.perf_counter()
         c, f, m = pad_sparse(coords.astype(np.int32), vals, row_bucket)
