@@ -105,10 +105,12 @@ def _head(x, p):
     return x
 
 
-def _run_jax(graph_class_index, rng, tmp_path):
+def _run_jax(graph_class_index, rng, tmp_path, graph_params=None):
     from waveformml_tpu.engineering.tasks import LitPSD
 
     cfg = _graph_cfg(graph_class_index, str(tmp_path))
+    if graph_params:
+        cfg.net_config.hparams.graph_params = graph_params
     task = LitPSD(cfg)
     block = _block(rng)
     rb, eb = task.row_bucket(block), task.event_bucket(block)
@@ -300,6 +302,256 @@ def test_graphnet_feast_full_model_parity(rng, tmp_path):
         cnt = torch.zeros(n, 1).index_add_(0, dst,
                                            torch.ones(len(src), 1))
         x = s / cnt.clamp(min=1) + torch.from_numpy(lp["bias"])
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def _live_edges(db):
+    """(src, dst, torch mask) of the padded edge table."""
+    em = torch.from_numpy(db[f"edge_mask_knn{K}"])
+    src = torch.from_numpy(db[f"edges_knn{K}"][0].astype(np.int64))
+    dst = torch.from_numpy(db[f"edges_knn{K}"][1].astype(np.int64))
+    return src, dst, em
+
+
+def _with_self_loops(db, n):
+    """Live non-loop edges + exactly one (i, i) per node (PyG
+    add_self_loops semantics, matching graph_layers.add_self_loops)."""
+    em0 = db[f"edge_mask_knn{K}"]
+    src0 = db[f"edges_knn{K}"][0].astype(np.int64)
+    dst0 = db[f"edges_knn{K}"][1].astype(np.int64)
+    keep = em0 & (src0 != dst0)
+    src = np.concatenate([src0[keep], np.arange(n)])
+    dst = np.concatenate([dst0[keep], np.arange(n)])
+    return torch.from_numpy(src), torch.from_numpy(dst)
+
+
+def _masked_mean(msg, dst, em, n):
+    """Per-dst mean over live edges (count-clamped like segment_mean)."""
+    wm = em.float().unsqueeze(1)
+    s = torch.zeros(n, msg.shape[1]).index_add_(0, dst, msg * wm)
+    cnt = torch.zeros(n, 1).index_add_(0, dst, wm)
+    return s / cnt.clamp(min=1)
+
+
+def test_graphnet_graphconv_full_model_parity(rng, tmp_path):
+    """graph_class_index=2 (GraphConv): x'_i = W_root x_i +
+    W_rel Σ_{j∈N(i)} x_j; lin_rel carries the bias, lin_root is bias-free
+    (PyG GraphConv aggr='add')."""
+    got, db, variables, n_ev = _run_jax(2, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    src, dst, em = _live_edges(db)
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        wm = em.float().unsqueeze(1)
+        agg = torch.zeros(n, x.shape[1]).index_add_(0, dst, x[src] * wm)
+        x = (agg @ torch.from_numpy(lp["lin_rel"]["kernel"])
+             + torch.from_numpy(lp["lin_rel"]["bias"])
+             + x @ torch.from_numpy(lp["lin_root"]["kernel"]))
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_tag_full_model_parity(rng, tmp_path):
+    """graph_class_index=6 (TAGConv, K=3): x' = Σ_{k=0..3} W_k Â_norm^k x
+    + b with NO self-loops (the k=0 term is the identity), bias-free W_k
+    and one shared output bias (PyG TAGConv)."""
+    got, db, variables, n_ev = _run_jax(6, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    em0 = db[f"edge_mask_knn{K}"]
+    src0 = db[f"edges_knn{K}"][0].astype(np.int64)[em0]
+    dst0 = db[f"edges_knn{K}"][1].astype(np.int64)[em0]
+    deg = np.bincount(dst0, minlength=n).astype(np.float32)
+    dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    coeff = torch.from_numpy(dinv[src0] * dinv[dst0]).unsqueeze(1)
+    src, dst = torch.from_numpy(src0), torch.from_numpy(dst0)
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        out = x @ torch.from_numpy(lp["lin_0"]["kernel"])
+        h = x
+        for k in range(1, 4):
+            h = torch.zeros(n, h.shape[1]).index_add_(0, dst, h[src] * coeff)
+            out = out + h @ torch.from_numpy(lp[f"lin_{k}"]["kernel"])
+        x = out + torch.from_numpy(lp["bias"])
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_gin_full_model_parity(rng, tmp_path):
+    """graph_class_index=7 (GINConv, ε=0): x' = MLP((1+ε) x_i +
+    Σ_{j∈N(i)} x_j), MLP = LinearPlanes (one Dense + ReLU)."""
+    got, db, variables, n_ev = _run_jax(7, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    src, dst, em = _live_edges(db)
+    for i in range(2):
+        lp = p[f"gconv_{i}"]["net"]["LinearPlanes_0"]
+        wm = em.float().unsqueeze(1)
+        agg = torch.zeros(n, x.shape[1]).index_add_(0, dst, x[src] * wm)
+        x = torch.relu((x + agg) @ torch.from_numpy(lp["dense_0"]["kernel"])
+                       + torch.from_numpy(lp["dense_0"]["bias"]))
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_sg_full_model_parity(rng, tmp_path):
+    """graph_class_index=9 (SGConv, K=1): x' = W (D̂^-1/2 Â D̂^-1/2) x,
+    Â = A + I (self-loops added, PyG default), W with bias."""
+    got, db, variables, n_ev = _run_jax(9, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    src, dst = _with_self_loops(db, n)
+    deg = np.bincount(dst.numpy(), minlength=n).astype(np.float32)
+    dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    coeff = torch.from_numpy(dinv[src.numpy()] * dinv[dst.numpy()]).unsqueeze(1)
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        h = torch.zeros(n, x.shape[1]).index_add_(0, dst, x[src] * coeff)
+        x = h @ torch.from_numpy(lp["lin"]["kernel"]) \
+            + torch.from_numpy(lp["lin"]["bias"])
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_le_full_model_parity(rng, tmp_path):
+    """graph_class_index=14 (LEConv): x'_i = W1 x_i +
+    Σ_{j∈N(i)} (W2 x_i − W3 x_j) — local-extremum scoring, unit edge
+    weights (no edge_attr for this index)."""
+    got, db, variables, n_ev = _run_jax(14, rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    src, dst, em = _live_edges(db)
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+
+        def lin(name, v):
+            return v @ torch.from_numpy(lp[name]["kernel"]) \
+                + torch.from_numpy(lp[name]["bias"])
+
+        h2, h3 = lin("lin2", x), lin("lin3", x)
+        msg = h2[dst] - h3[src]
+        wm = em.float().unsqueeze(1)
+        agg = torch.zeros(n, msg.shape[1]).index_add_(0, dst, msg * wm)
+        x = agg + lin("lin1", x)
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_clustergcn_full_model_parity(rng, tmp_path):
+    """graph_class_index=15 (ClusterGCNConv, λ=0.5): X' = (Ã + λ diag(Ã))
+    X W with Ã = D̂^{-1}(A + I) — per-node mean over N(i) ∪ {i} plus the
+    λ/deĝ_i-scaled root, then lin."""
+    got, db, variables, n_ev = _run_jax(15, rng, tmp_path,
+                                        graph_params={"diag_lambda": 0.5})
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    src, dst = _with_self_loops(db, n)
+    deg = torch.zeros(n, 1).index_add_(0, dst, torch.ones(len(src), 1))
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        s = torch.zeros(n, x.shape[1]).index_add_(0, dst, x[src])
+        agg = s / deg.clamp(min=1) + 0.5 * x / deg.clamp(min=1)
+        x = agg @ torch.from_numpy(lp["lin"]["kernel"]) \
+            + torch.from_numpy(lp["lin"]["bias"])
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def _gat_mirror(db, p, bs, H, n_ev):
+    """Shared GAT/SuperGAT inference mirror (SuperGAT's propagation rule at
+    inference equals GATConv)."""
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    src, dst = _with_self_loops(db, n)
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        C = lp["att_src"].shape[1]
+        h = (x @ torch.from_numpy(lp["lin"]["kernel"])).reshape(n, H, C)
+        alpha = ((h[src] * torch.from_numpy(lp["att_src"])).sum(-1)
+                 + (h[dst] * torch.from_numpy(lp["att_dst"])).sum(-1))
+        alpha = torch.nn.functional.leaky_relu(alpha, 0.2)
+        mx = torch.full((n, H), -torch.inf)
+        mx = mx.index_reduce_(0, dst, alpha, "amax", include_self=True)
+        ex = torch.exp(alpha - mx[dst])
+        den = torch.zeros(n, H).index_add_(0, dst, ex)
+        w = ex / den.clamp(min=1e-38)[dst]
+        msg = (h[src] * w.unsqueeze(-1)).reshape(-1, H * C)
+        out_t = torch.zeros(n, H * C).index_add_(0, dst, msg)
+        x = out_t + torch.from_numpy(lp["bias"])
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    return _pool_and_head(x, db, p, n_ev)
+
+
+def test_graphnet_supergat_full_model_parity(rng, tmp_path):
+    """graph_class_index=17 (SuperGATConv, heads=2): the self-supervised
+    attention loss is train-time only — inference propagation equals
+    GATConv. Exercises the index-17 heads widening path the reference's
+    nn_input_modifier special-cases (GraphNet.py:249-254)."""
+    got, db, variables, n_ev = _run_jax(17, rng, tmp_path,
+                                        graph_params={"heads": 2})
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+    want = _gat_mirror(db, p, bs, 2, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graphnet_gatv2_full_model_parity(rng, tmp_path):
+    """graph_class_index=4 (GATv2Conv, heads=2): attention AFTER the
+    nonlinearity — α = softmax_i(a · LeakyReLU(W_l x_j + W_r x_i)), both
+    linears biased (unlike GATConv), messages use W_l x_j."""
+    got, db, variables, n_ev = _run_jax(4, rng, tmp_path,
+                                        graph_params={"heads": 2})
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    src, dst = _with_self_loops(db, n)
+    H = 2
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        C = lp["att"].shape[1]
+        hl = (x @ torch.from_numpy(lp["lin_l"]["kernel"])
+              + torch.from_numpy(lp["lin_l"]["bias"])).reshape(n, H, C)
+        hr = (x @ torch.from_numpy(lp["lin_r"]["kernel"])
+              + torch.from_numpy(lp["lin_r"]["bias"])).reshape(n, H, C)
+        z = torch.nn.functional.leaky_relu(hl[src] + hr[dst], 0.2)
+        alpha = (z * torch.from_numpy(lp["att"])).sum(-1)
+        mx = torch.full((n, H), -torch.inf)
+        mx = mx.index_reduce_(0, dst, alpha, "amax", include_self=True)
+        ex = torch.exp(alpha - mx[dst])
+        den = torch.zeros(n, H).index_add_(0, dst, ex)
+        w = ex / den.clamp(min=1e-38)[dst]
+        msg = (hl[src] * w.unsqueeze(-1)).reshape(-1, H * C)
+        out_t = torch.zeros(n, H * C).index_add_(0, dst, msg)
+        x = out_t + torch.from_numpy(lp["bias"])
         x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
     want = _pool_and_head(x, db, p, n_ev)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
