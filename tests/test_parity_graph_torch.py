@@ -557,6 +557,97 @@ def test_graphnet_gatv2_full_model_parity(rng, tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_graphznet_full_model_parity(rng, tmp_path):
+    """GraphZNet (the window-edge per-segment family, ref GraphBlocks.py):
+    schedule [(16,13,w2), (13,7,w1), (7,1,knn1)] of distance-weighted
+    GCNConvs (ew = 1 − |Δpos|/√(2·nb²), self-loop fill weight 1) with
+    inter-layer masked BN and NO activation, scattered to a dense
+    [B, 1, NX, NY] z grid. Torch mirror consumes the same host-built
+    window/knn edge tables."""
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import LitZ
+    from waveformml_tpu.models.graph_net import GraphZ
+
+    NBRS = 2
+    cfg = Config({
+        "run_config": {"exp_name": "gz", "run_class": "LitZ", "imports": []},
+        "system_config": {"model_name": "gz", "n_samples": 8, "n_type": 2,
+                          "type_names": ["a"], "model_base_path": str(tmp_path),
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_class": "GraphZNet",
+                       "net_type": "graph", "algorithm": "conv",
+                       "hparams": {"neighbors": NBRS, "n_conv": 2, "n_point": 1,
+                                   "conv_position": 1, "graph_index": 0}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2DWithZ",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    # hand-computed expected schedule: independence guard against drift
+    sched = [(16, 13, 2), (13, 7, 1), (7, 1, 0)]
+    assert GraphZ.schedule(16, 1, NBRS, 2, 1, 1, 0.8) == sched
+
+    task = LitZ(cfg)
+    rows = []
+    for e in range(8):
+        for s in rng.choice(NX * NY, size=int(rng.integers(4, 8)),
+                            replace=False):
+            rows.append([s % NX, s // NX, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], 16)).astype(np.float32)
+    labels = rng.random(coords.shape[0]).astype(np.float32)  # per-row z
+    block = FileBlock(coords, feats, labels, {})
+    rb, eb = task.row_bucket(block), task.event_bucket(block)
+    db = task.prepare_block(block, rb, eb)
+    variables = _randomized_variables(task, db, rng)
+    got, _ = task.apply_model(variables,
+                              {k: jnp.asarray(v) for k, v in db.items()},
+                              train=False)
+    got = np.asarray(got)  # [B, 1, NX, NY]
+
+    p = _np_tree(variables["params"])["model"]
+    bs = _np_tree(variables["batch_stats"])["model"]
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    pos = np.asarray(db["coords"][:, :2], np.float32)
+    for i, (_nin, nout, nb) in enumerate(sched):
+        key = f"edges_w{nb}" if nb else "edges_knn1"
+        mkey = f"edge_mask_w{nb}" if nb else "edge_mask_knn1"
+        em0 = db[mkey]
+        src0 = db[key][0].astype(np.int64)
+        dst0 = db[key][1].astype(np.int64)
+        rel = pos[dst0] - pos[src0]
+        ew0 = 1.0 - np.sqrt((rel ** 2).sum(-1)) / np.sqrt(2.0 * NBRS ** 2)
+        keep = em0 & (src0 != dst0)  # GCN re-adds ONE loop per node, w=1
+        src = np.concatenate([src0[keep], np.arange(n)])
+        dst = np.concatenate([dst0[keep], np.arange(n)])
+        w = np.concatenate([ew0[keep], np.ones(n, np.float32)]).astype(np.float32)
+        deg = np.zeros(n, np.float32)
+        np.add.at(deg, dst, w)
+        dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+        coeff = torch.from_numpy(w * dinv[src] * dinv[dst]).unsqueeze(1)
+        lp = p[f"gconv_{i}"]
+        h = x @ torch.from_numpy(lp["lin"]["kernel"])
+        out = torch.zeros(n, nout)
+        out.index_add_(0, torch.from_numpy(dst), h[torch.from_numpy(src)] * coeff)
+        x = out + torch.from_numpy(lp["bias"])
+        if i < len(sched) - 1:  # inter-layer BN, NO activation (ref quirk)
+            x = _bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"])
+    # dense scatter [B, 1, NX, NY]
+    cj = db["coords"]
+    mask = db["mask"]
+    n_ev = db["labels"].shape[0]
+    want = np.zeros((n_ev, 1, NX, NY), np.float32)
+    xm = x.numpy()
+    for r in range(n):
+        if mask[r] and cj[r, 2] < n_ev:
+            want[cj[r, 2], 0, cj[r, 0], cj[r, 1]] += xm[r, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def _cartesian_edge_attr(db):
     """Normalized Cartesian edge attrs exactly as GraphNet builds them:
     rel over ALL edge slots (masked slots are (0,0) pairs → rel 0), one
