@@ -648,6 +648,44 @@ def test_graphznet_full_model_parity(rng, tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_pointnet_full_model_parity(rng, tmp_path):
+    """PointNet family (ref GraphNet.py:318-445): per-layer
+    x'_i = max_{j∈N(i)} ReLU(W [x_j ‖ p_j − p_i] + b) over the kNN graph,
+    then masked global max pool + LinearBlock head."""
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    cfg = _graph_cfg(0, str(tmp_path))
+    cfg.net_config.net_class = "PointNet"
+    cfg.net_config.hparams.n_graph = 2
+    task = LitPSD(cfg)
+    block = _block(rng)
+    rb, eb = task.row_bucket(block), task.event_bucket(block)
+    db = task.prepare_block(block, rb, eb)
+    variables = _randomized_variables(task, db, rng)
+    out, _ = task.apply_model(variables,
+                              {k: jnp.asarray(v) for k, v in db.items()},
+                              train=False)
+    n_ev = block.labels.shape[0]
+    got = np.asarray(out)[:n_ev]
+    p = _np_tree(variables["params"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    src, dst, em = _live_edges(db)
+    pos = torch.from_numpy(np.asarray(db["coords"][:, :2], np.float32))
+    for i in range(2):
+        lp = p[f"pconv_{i}"]["LinearPlanes_0"]["dense_0"]
+        z = torch.cat([x[src], pos[src] - pos[dst]], dim=1)
+        msg = torch.relu(z @ torch.from_numpy(lp["kernel"])
+                         + torch.from_numpy(lp["bias"]))
+        msg = torch.where(em.unsqueeze(1), msg, torch.full((), -torch.inf))
+        out_t = torch.full((n, msg.shape[1]), -torch.inf)
+        out_t = out_t.index_reduce_(0, dst, msg, "amax", include_self=True)
+        x = torch.where(torch.isfinite(out_t), out_t, torch.zeros(()))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def _cartesian_edge_attr(db):
     """Normalized Cartesian edge attrs exactly as GraphNet builds them:
     rel over ALL edge slots (masked slots are (0,0) pairs → rel 0), one
