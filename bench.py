@@ -543,8 +543,13 @@ def bench_stream(backend):
         # torch at BOTH output-gzip levels: 9 is what the reference hardcodes
         # (HDF5IO.py:88-91); 4 matches this repo's output policy so the
         # matched-level ratio isolates pipeline speed from compression policy
-        torch_wps4 = _cached_baseline("stream_gz4", lambda: _torch_stream(input_path, tmp, gzip_level=4))
-        torch_wps9 = _cached_baseline("stream_gz9", lambda: _torch_stream(input_path, tmp, gzip_level=9))
+        # STREAM_READ changes the torch workload too (it chunks its reads
+        # the same way): a non-default read size gets its own cache key so
+        # an experiment never reuses the default-8192 baseline number. The
+        # default keeps the legacy key so the committed cache stays warm.
+        sfx = "" if STREAM_READ == 8192 else f"_r{STREAM_READ}"
+        torch_wps4 = _cached_baseline(f"stream_gz4{sfx}", lambda: _torch_stream(input_path, tmp, gzip_level=4))
+        torch_wps9 = _cached_baseline(f"stream_gz9{sfx}", lambda: _torch_stream(input_path, tmp, gzip_level=9))
 
     # host->device link bandwidth: the stream's structural floor is shipping
     # the waveform bytes across this link; record it so the ratio is

@@ -39,8 +39,6 @@ def main() -> int:
 
     from bench import _chained_train_wps, _sparse_block, _sparse_cfg
     from waveformml_tpu.engineering.tasks import LitPSD
-    from waveformml_tpu.engineering.trainer import Trainer
-    from waveformml_tpu.parallel.mesh import make_mesh
 
     cfg = _sparse_cfg(out_planes=args.out_planes, n_conv=args.n_conv,
                       half_precision=args.half_precision)

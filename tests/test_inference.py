@@ -478,6 +478,45 @@ def test_irnim_physpulse_convert_end_to_end(tmp_path, monkeypatch):
     assert np.isfinite(rec["E"]).all()
 
 
+def test_pack_db_roundtrip_edge_dtypes():
+    """_pack_db must reproduce jnp.asarray semantics for the leaves a
+    prepare_block can emit: 0-d scalars, bools, int64 (x64-off
+    canonicalization), int16 — and go BEYOND it for big-endian HDF5 reads,
+    which jnp.asarray rejects outright ('>f4 is not a valid JAX array
+    type') but the pack path byte-swaps to native."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from waveformml_tpu.inference.model import _pack_db
+
+    db = {
+        "be": np.array([1.5, -2.25, 3.0], dtype=">f4"),
+        "scalar": np.float32(7.5),
+        "flags": np.array([True, False, True]),
+        "wide": np.array([1, 2, 3], dtype=np.int64),
+        "adc": np.array([[-5, 300]], dtype=np.int16),
+    }
+    buf, spec = _pack_db(db)
+    packed = jnp.asarray(buf)
+    for key, shape, dt, off, nb in spec:
+        raw = packed[off:off + nb]
+        d = np.dtype(dt)
+        if d == np.bool_:
+            got = raw.reshape(shape).astype(jnp.bool_)
+        elif d.itemsize == 1:
+            got = lax.bitcast_convert_type(raw.reshape(shape), jnp.dtype(d))
+        else:
+            got = lax.bitcast_convert_type(
+                raw.reshape(tuple(shape) + (d.itemsize,)), jnp.dtype(d))
+        src = np.asarray(db[key])
+        if src.dtype.byteorder not in ("=", "|"):
+            src = src.astype(src.dtype.newbyteorder("="))
+        want = jnp.asarray(src)
+        assert got.shape == want.shape, (key, got.shape, want.shape)
+        assert got.dtype == want.dtype, (key, got.dtype, want.dtype)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_fetch_disambiguates_row_vs_event_bucket_collision():
     """The row and event bucket tables share 256/512/1024/...: when a chunk's
     padded row count equals its padded event count, the shape alone cannot

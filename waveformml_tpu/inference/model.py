@@ -37,11 +37,17 @@ def _pack_db(db) -> Tuple[np.ndarray, Tuple]:
     arrays = []
     off = 0
     for k in sorted(db):
-        v = np.ascontiguousarray(db[k])
+        v = np.asarray(db[k])
+        shape = tuple(v.shape)  # before ascontiguousarray: keep 0-d leaves 0-d
+        if v.dtype.byteorder not in ("=", "|"):
+            # e.g. big-endian '>f4' straight from an HDF5 dataset: bitcast
+            # needs native bytes (jnp.asarray used to do this swap)
+            v = v.astype(v.dtype.newbyteorder("="))
         cdt = _CANON.get(v.dtype)
         if cdt is not None:
             v = v.astype(cdt)
-        items.append((k, tuple(v.shape), v.dtype.str, off, v.nbytes))
+        v = np.ascontiguousarray(v)
+        items.append((k, shape, v.dtype.str, off, v.nbytes))
         arrays.append(v.view(np.uint8).ravel())
         off += v.nbytes
     buf = np.empty(max(off, 1), np.uint8)
@@ -248,6 +254,10 @@ class InferenceModel:
             self.dispatch_phases["launch_s"] += t3 - t2
             return (out, n, n_events, rb, eb)
 
+        # NOT expressible via _pack_db: this fast path ships n_events as
+        # device DATA (bitcast from the buffer tail) so one compiled program
+        # serves every event count within a bucket — a _pack_db spec would
+        # bake n_events into the jit key and retrace per count
         t0 = _time.perf_counter()
         c, f, m = pad_sparse(coords.astype(np.int32), vals, row_bucket)
         n_feat = f.shape[1]

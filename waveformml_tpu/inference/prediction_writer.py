@@ -120,6 +120,13 @@ class PredictionWriter(P2XTableWriter):
         self.stage_seconds = {"dispatch_s": 0.0, "fetch_post_s": 0.0,
                               "fetch_wait_s": 0.0, "write_wait_s": 0.0,
                               "writer_busy_s": 0.0}
+        # keep the model's dispatch sub-phase window aligned with
+        # stage_seconds when a writer/model is reused across passes
+        for attr in ("model", "class_model"):
+            model = getattr(self, attr, None)
+            if model is not None and hasattr(model, "dispatch_phases"):
+                model.dispatch_phases = {k: 0.0
+                                         for k in model.dispatch_phases}
         depth = max(1, int(getattr(self, "pipeline_depth", 3)))
         wq: "queue.Queue" = queue.Queue(maxsize=4)
         fq: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -223,9 +230,15 @@ class PredictionWriter(P2XTableWriter):
         if errors:
             _close_quietly()
             raise errors[0]
-        self.flush(self.data_type.name)
-        self.input.close()
-        self.close()
+        try:
+            self.flush(self.data_type.name)
+            self.input.close()
+            self.close()
+        except BaseException:
+            # a failing final flush/close (e.g. disk full) must still
+            # release both handles for retrying callers
+            _close_quietly()
+            raise
 
     # -- model input prep -----------------------------------------------------------
     def _coords_vals(self, data: np.ndarray):
