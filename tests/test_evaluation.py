@@ -626,3 +626,99 @@ def test_waveform_evaluator_pid_classes_and_any_allz(rng):
     assert allz.count[0].sum() == 2 * N  # "any" fed both PMT sides
     ev.dump_wf_z()
     assert any(k.startswith("allz_") for k in logger.figures)
+
+
+def test_z_evaluator_nn_E_series_uses_cal_E_when_true_E_missing(tmp_path,
+                                                                monkeypatch,
+                                                                rng):
+    """Regression: in the production trainer path E is never passed, so the
+    NN deviation accumulator must fall back to the CALIBRATED E (ref
+    ZEvaluatorWF.add sets E = z_from_cal(...)'s cal_E before the NN
+    z_deviation_with_E, ZEvaluator.py:543-555) — previously the nn-side
+    single/dual_mae_E series was identically zero beside a real cal curve."""
+    from waveformml_tpu.evaluation.z_eval import ZEvaluatorWF
+    from waveformml_tpu.io.sql import write_synthetic_caldb
+    from waveformml_tpu.ops.sparse import consecutive_event_index
+
+    caldb = str(tmp_path / "cal.db")
+    write_synthetic_caldb(caldb, "ecal", seed=3)
+    monkeypatch.setenv("PROSPECT_CALDB", caldb)
+    ev = ZEvaluatorWF(FakeLogger(), calgroup="ecal")
+    B = 20
+    rows = [[int(rng.integers(0, NX)), int(rng.integers(0, NY)), e]
+            for e in range(B)]
+    coords = np.asarray(rows, dtype=np.int32)
+    n = coords.shape[0]
+    b = consecutive_event_index(coords[:, 2])
+    target = np.zeros((B, 1, NX, NY))
+    pred = np.zeros((B, 1, NX, NY))
+    tvals = rng.uniform(0.2, 0.8, n)
+    target[b, 0, coords[:, 0], coords[:, 1]] = tvals
+    pred[b, 0, coords[:, 0], coords[:, 1]] = np.clip(
+        tvals + rng.normal(0, 0.05, n), 0, 1)
+    feats = rng.random((n, 130)).astype(np.float32) * 0.05
+    ev.add(pred, target, coords, f=feats)  # NO true E
+    nn_counts = (ev.dev.E_mult["single"][1].sum()
+                 + ev.dev.E_mult["dual"][1].sum())
+    cal_counts = (ev.dev_cal.E_mult["single"][1].sum()
+                  + ev.dev_cal.E_mult["dual"][1].sum())
+    assert cal_counts > 0
+    assert nn_counts == cal_counts  # NN binned by the same cal_E rows
+
+
+def test_energy_wf_bins_mape_by_cal_z_without_z_pred(tmp_path, monkeypatch,
+                                                     rng):
+    """Regression: the WF energy evaluator bins the MAPE by the CALIBRATION
+    z (ref EnergyEvaluatorWF.add feeds z_E_from_cal's Z into
+    E_deviation_with_z, EnergyEvaluator.py:127-146) — no NN z required."""
+    from waveformml_tpu.evaluation.energy_eval import EnergyEvaluatorWF
+    from waveformml_tpu.io.sql import write_synthetic_caldb
+    from waveformml_tpu.ops.sparse import consecutive_event_index
+
+    caldb = str(tmp_path / "cal.db")
+    write_synthetic_caldb(caldb, "ecal2", seed=5)
+    monkeypatch.setenv("PROSPECT_CALDB", caldb)
+    ev = EnergyEvaluatorWF(FakeLogger(), calgroup="ecal2")
+    B = 16
+    rows = [[int(rng.integers(0, NX)), int(rng.integers(0, NY)), e]
+            for e in range(B)]
+    coords = np.asarray(rows, dtype=np.int32)
+    n = coords.shape[0]
+    b = consecutive_event_index(coords[:, 2])
+    target = np.zeros((B, 1, NX, NY))
+    pred = np.zeros((B, 1, NX, NY))
+    tvals = rng.uniform(0.2, 0.8, n)
+    target[b, 0, coords[:, 0], coords[:, 1]] = tvals
+    pred[b, 0, coords[:, 0], coords[:, 1]] = np.clip(
+        tvals + rng.normal(0, 0.05, n), 0, 1)
+    feats = rng.random((n, 130)).astype(np.float32) * 0.05
+    ev.add(pred, target, coords, f=feats)  # no z_pred
+    assert sum(c.sum() for c in ev.z_mape.count) > 0
+    assert sum(c.sum() for c in ev.Ez_2d.count) > 0
+    # the cal-E baseline also runs without a NN z on the WF path
+    assert sum(c.sum() for c in ev.E_mape_cal.count) > 0
+
+
+def test_seg_evaluator_add_batch_routes_pid(rng):
+    """Regression: add_batch must route the dataset's extra_PID into the
+    per-class split (ref SegEvaluator.add reads additional_fields,
+    SegEvaluator.py:73-85) — previously every row accumulated under
+    class 0 ('Ionization')."""
+    from waveformml_tpu.evaluation.seg_eval import SegEvaluator
+
+    ev = SegEvaluator(FakeLogger())
+    N = 30
+    coords = np.stack([rng.integers(0, NX, N), rng.integers(0, NY, N),
+                       np.arange(N)], axis=1).astype(np.int32)
+    db = {
+        "mask": np.ones((1, N), dtype=bool),
+        "coords": coords[None],
+        "labels_rows": rng.random((1, N)).astype(np.float32),
+        "extra_PID": np.full((1, N), 4, dtype=np.int32),  # raw 4 → Recoil
+    }
+    test_out = {"predictions": rng.random((1, N)).astype(np.float32)}
+    ev.add_batch(None, db, test_out)
+    ci_recoil = ev.class_names.index("Recoil")
+    ci_ioni = ev.class_names.index("Ionization")
+    assert ev.error.error_hist[ci_recoil].sum() == N
+    assert ev.error.error_hist[ci_ioni].sum() == 0

@@ -42,6 +42,10 @@ class Calibrator:
             if curve:
                 x, y, r = chan_to_coords(chan)
                 self.sampletime[x, y, r] = round(max(curve.xs))
+        # tables() output is immutable once the curves above are filled
+        # (nothing mutates them after __init__); memoize — evaluators call
+        # tables() once per batch on the host eval path
+        self._tables_cache: Dict[tuple, "CalibrationTables"] = {}
 
     # -- tables --------------------------------------------------------------------
     def calc_light_pos_curve(self, atten_curves: Dict[int, CalCurve]) -> None:
@@ -114,12 +118,16 @@ class Calibrator:
                normalize_gains: bool = True) -> CalibrationTables:
         """Package everything for ops.calibration. With normalize_gains the
         gain factors undo the 1/MAX_RANGE waveform normalization."""
+        key = (float(sample_width), bool(normalize_gains))
+        cached = self._tables_cache.get(key)
+        if cached is not None:
+            return cached
         gains = self.gains.astype(np.float64).copy()
-        factors = np.where(gains != 0, MAX_RANGE * np.where(gains != 0, 1, 0)
-                           / np.where(gains == 0, 1, gains), 0.0) \
-            if normalize_gains else gains
+        factors = np.where(gains != 0,
+                           MAX_RANGE / np.where(gains == 0, 1.0, gains),
+                           0.0) if normalize_gains else gains
         sample_times = np.where(self.sampletime > 0, self.sampletime, 4.0)
-        return CalibrationTables(
+        self._tables_cache[key] = CalibrationTables(
             t_interp_curves=self.t_interp_curves.astype(np.float64),
             sample_times=sample_times.astype(np.float64),
             rel_times=self.rel_times.astype(np.float64),
@@ -129,3 +137,4 @@ class Calibrator:
             light_pos_curves=self.light_pos_curves.astype(np.float64),
             light_sum_curves=self.light_sum_curves.astype(np.float64),
             sample_width=sample_width)
+        return self._tables_cache[key]

@@ -35,7 +35,7 @@ class EnergyEvaluatorBase(SingleEndedEvaluator):
         self.mult_mape = MetricAggregator("multiplicity", 0.5, N_MULT + 0.5, N_MULT,
                                           cats, metric_name="E MAPE",
                                           metric_unit="%", scale_factor=100.0)
-        self.z_mape = MetricAggregator("true_z", zb[0], zb[1], 50, cats,
+        self.z_mape = MetricAggregator("cal_z", zb[0], zb[1], 50, cats,
                                        metric_name="E MAPE", metric_unit="%",
                                        parameter_unit="mm", scale_factor=100.0)
         self.Ez_2d = Metric2DAggregator("energy", "z", (eb[0], eb[1], 25),
@@ -52,7 +52,13 @@ class EnergyEvaluatorBase(SingleEndedEvaluator):
                 metric_unit="%", scale_factor=100.0)
 
     def add(self, predictions, target, c, f=None, z_pred=None) -> None:
-        """predictions/target dense [B, 1, NX, NY] normalized E."""
+        """predictions/target dense [B, 1, NX, NY] normalized E. ``z_pred``
+        is the NN z prediction — it feeds the cal-E baseline (ref
+        EZEvaluator.py:39-54 builds E_basic_prediction from the NN z). The
+        z BINNING of the MAPE uses the CALIBRATION z estimate when a
+        calgroup is available (ref EnergyEvaluator.py:127-180 bins
+        E_deviation_with_z by z_E_from_cal / z_basic_prediction output),
+        falling back to the NN z without one."""
         x = c[:, 0].astype(np.int64)
         y = c[:, 1].astype(np.int64)
         b = consecutive_event_index(c[:, 2])
@@ -65,21 +71,29 @@ class EnergyEvaluatorBase(SingleEndedEvaluator):
         mult = np.bincount(b)[b]
         mult_cat = np.clip(mult, 1, N_MULT).astype(np.float64)
         E_true = targ * self.E_scale
-        z_true = ((z_pred[b, x, y] - 0.5) * self.z_scale
-                  if z_pred is not None else np.zeros_like(targ))
+        z_bins = self.z_for_bins(c, f)
+        if z_bins is not None:
+            z_rows = z_bins[b, x, y]
+        elif z_pred is not None:
+            z_rows = z_pred[b, x, y]
+        else:
+            z_rows = None
+        z_val = ((z_rows - 0.5) * self.z_scale if z_rows is not None
+                 else None)
         for se_val, cat in ((True, "single ended"), (False, "double ended")):
             sel = (is_se == se_val) & nonzero
             if not sel.any():
                 continue
             self.E_mape.add(ape[sel], E_true[sel], cat)
             self.mult_mape.add(ape[sel], mult_cat[sel], cat)
-            if z_pred is not None:
-                self.z_mape.add(ape[sel], z_true[sel], cat)
-                self.Ez_2d.add(ape[sel], E_true[sel], z_true[sel], cat)
+            if z_val is not None:
+                self.z_mape.add(ape[sel], z_val[sel], cat)
+                self.Ez_2d.add(ape[sel], E_true[sel], z_val[sel], cat)
             self.error.add_norm(pred[sel], targ[sel], cat)
         self.accumulate("seg_mape", ape[nonzero], (x[nonzero], y[nonzero]))
-        if self._has_cal and z_pred is not None:
-            cal_pred = self.E_from_cal(c, pred, targ, z_pred[b, x, y])
+        if self._has_cal:
+            z_rows_nn = z_pred[b, x, y] if z_pred is not None else None
+            cal_pred = self.E_from_cal(c, pred, targ, z_rows_nn)
             if cal_pred is not None:
                 cal_ape = np.zeros_like(targ)
                 cal_ape[nonzero] = np.abs(cal_pred[nonzero] - targ[nonzero]) / targ[nonzero]
@@ -88,9 +102,15 @@ class EnergyEvaluatorBase(SingleEndedEvaluator):
                     if sel.any():
                         self.E_mape_cal.add(cal_ape[sel], E_true[sel], cat)
 
+    def z_for_bins(self, c, f):
+        """Dense [B, NX, NY] calibration z used to bin the MAPE; variants
+        override (WF: waveform calibration chain, Phys: z feature +
+        diagonal fill). None → fall back to the NN z."""
+        return None
+
     def E_from_cal(self, c, pred, targ, z_rows):
         """Light-curve-inversion baseline (ref :53-69); needs PE info — phys
-        variant overrides."""
+        variant overrides. ``z_rows`` is the NN z per row (may be None)."""
         return None
 
     def add_batch(self, block, db, test_out) -> None:
@@ -150,7 +170,37 @@ class EnergyEvaluatorBase(SingleEndedEvaluator):
 
 
 class EnergyEvaluatorWF(EnergyEvaluatorBase):
-    """Waveform-feature variant (ref :127-146)."""
+    """Waveform-feature variant (ref :127-146): with a calgroup, the
+    calibration chain over the raw waveforms provides BOTH the z binning
+    and the cal-E baseline (ref z_E_from_cal feeding
+    calc_deviation_with_z)."""
+
+    def add(self, predictions, target, c, f=None, z_pred=None, **kwargs) -> None:
+        self._zE_cache = None
+        if self.hascal and f is not None:
+            from waveformml_tpu.ops.calibration import calc_calib_z_E
+
+            n_samples = f.shape[1] // 2
+            b = consecutive_event_index(c[:, 2])
+            B = int(b[-1]) + 1 if len(b) else 0
+            Z = np.full((B, NX, NY), 0.0)
+            E = np.zeros((B, NX, NY))
+            coords3 = np.stack([c[:, 0], c[:, 1], b], axis=1).astype(np.int64)
+            calc_calib_z_E(coords3, np.asarray(f, dtype=np.float64), Z, E,
+                           self.calibrator.tables(), self.z_scale, n_samples)
+            self._zE_cache = (Z, E)
+        super().add(predictions, target, c, f, z_pred=z_pred)
+
+    def z_for_bins(self, c, f):
+        return self._zE_cache[0] if getattr(self, "_zE_cache", None) else None
+
+    def E_from_cal(self, c, pred, targ, z_rows):
+        if not getattr(self, "_zE_cache", None):
+            return None
+        E = self._zE_cache[1]
+        b = consecutive_event_index(c[:, 2])
+        rows = E[b, c[:, 0].astype(np.int64), c[:, 1].astype(np.int64)]
+        return rows / self.E_scale
 
 
 class EnergyEvaluatorPhys(EnergyEvaluatorBase):
@@ -167,8 +217,24 @@ class EnergyEvaluatorPhys(EnergyEvaluatorBase):
         self._last_feats = f
         super().add(predictions, target, c, f, z_pred=z_pred)
 
+    def z_for_bins(self, c, f):
+        """Calibration z from the phys z feature with single-ended sites
+        filled from diagonal neighbors (ref :159-178 z_basic_prediction)."""
+        if f is None or not self.hascal:
+            return None
+        from waveformml_tpu.ops.calibration import z_basic_prediction
+
+        b = consecutive_event_index(c[:, 2])
+        B = int(b[-1]) + 1 if len(b) else 0
+        z = np.asarray(f)[:, self.z_index].astype(np.float64)
+        pred = np.zeros_like(z)
+        z_basic_prediction(c.astype(np.int64), z, pred)
+        out = np.zeros((B, NX, NY))
+        out[b, c[:, 0].astype(np.int64), c[:, 1].astype(np.int64)] = pred
+        return out
+
     def E_from_cal(self, c, pred, targ, z_rows):
-        if self._last_feats is None or not self.hascal:
+        if self._last_feats is None or not self.hascal or z_rows is None:
             return None
         f = self._last_feats
         x = c[:, 0].astype(np.int64)

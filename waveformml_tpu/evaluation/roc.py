@@ -51,7 +51,9 @@ class ROCCurve:
         for c in range(self.n_classes):
             # sort by (fpr, tpr) so tied-fpr points are in ascending-tpr order
             order = np.lexsort((tpr[c], fpr[c]))
-            out[c] = abs(float(np.trapezoid(tpr[c][order], fpr[c][order])))
+            # np.trapezoid is numpy>=2 only; fall back on 1.x's np.trapz
+            _trap = getattr(np, "trapezoid", None) or np.trapz
+            out[c] = abs(float(_trap(tpr[c][order], fpr[c][order])))
         return out
 
     def plot(self, logger, class_names: Sequence[str], namespace: str = "evaluation/"):

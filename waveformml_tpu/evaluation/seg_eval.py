@@ -85,7 +85,14 @@ class SegEvaluator(SingleEndedEvaluator):
                 targets = targets[:, ti]
             phys = (np.asarray(db["extra_phys"][d])[mask]
                     if "extra_phys" in db else None)
-            self.add(np.asarray(db["coords"][d])[mask], pred, targets, phys=phys)
+            # datasets configured with additional_fields=["PID"] ship the
+            # raw per-row PID as an extra; without it every row accumulates
+            # under class 0 (ref SegEvaluator.add reads additional_fields,
+            # SegEvaluator.py:73-85)
+            pid = (np.asarray(db["extra_PID"][d])[mask]
+                   if "extra_PID" in db else None)
+            self.add(np.asarray(db["coords"][d])[mask], pred, targets,
+                     pid=pid, phys=phys)
 
     def dump(self) -> None:
         if self.logger is None:

@@ -207,6 +207,7 @@ class ErrorAggregator:
         self.truth_name = truth_name
         self.pred_name = pred_name
         self.n_bins = n_bins
+        self.low, self.high = float(low), float(high)
         self.bin_edges = get_bins(low, high, n_bins)
         self.class_names = list(class_names)
         self.scale_factor = scale_factor
@@ -224,7 +225,8 @@ class ErrorAggregator:
                                             self.n_bins)
         e = self.error_edges[ci]
         hist_add_1d(error, self.error_hist[ci], (e[0], e[-1]), self.n_bins)
-        hist_add_2d(actual, pred, self.error_2d[ci], (0.0, 1.0), (0.0, 1.0),
+        hist_add_2d(actual, pred, self.error_2d[ci],
+                    (self.low, self.high), (self.low, self.high),
                     self.n_bins, self.n_bins)
 
     def plot(self, logger) -> None:

@@ -120,6 +120,7 @@ class WaveformEvaluator(SingleEndedEvaluator):
         (ref WaveformEvaluator.py:85-127 analyze_wf_z)."""
         if not self.analyze_waveforms:
             return
+        pid_split = self.has_PID
         if self.has_PID and additional_fields is not None:
             from waveformml_tpu.evaluation.pid_eval import (PID_MAPPED_NAMES,
                                                             map_pid)
@@ -131,6 +132,22 @@ class WaveformEvaluator(SingleEndedEvaluator):
             # Ingress rows — kept for baseline parity
             class_indices = raw if 3 in raw else map_pid(raw)
             cat_of = dict(PID_MAPPED_NAMES)
+        elif self.has_PID:
+            # PID configured but this batch ships no additional fields: the
+            # per-z aggregators only know the PID class names, so the split
+            # is ill-defined — accumulate the all-z aggregate (below, always
+            # category "any") and skip the per-z split instead of crashing
+            # (the reference raises ValueError here, MetricAggregator.py:51)
+            if not getattr(self, "_warned_missing_pid", False):
+                self._warned_missing_pid = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "analyze_wf_z: PID configured but batch has no "
+                    "additional_fields; skipping the per-z PID split")
+            pid_split = False
+            class_indices = np.zeros(c.shape[0], dtype=np.int64)
+            cat_of = {}
         else:
             class_indices = np.zeros(c.shape[0], dtype=np.int64)
             cat_of = {0: "any"}
@@ -150,7 +167,7 @@ class WaveformEvaluator(SingleEndedEvaluator):
             else:
                 zsel = (z > lo + (i - 1) * inc) & (z <= lo + i * inc)
             for j, cat in cat_of.items():
-                sel = zsel & (class_indices == j) if self.has_PID else zsel
+                sel = zsel & (class_indices == j) if pid_split else zsel
                 if not np.any(sel):
                     continue
                 for side in range(2):

@@ -158,62 +158,69 @@ class ZEvaluatorBase(SingleEndedEvaluator):
         mult = np.bincount(b)[b]
         mult_cat = np.clip(mult, 1, N_MULT).astype(np.float64)
         z_true = (targ - 0.5) * self.z_scale
+        # compute the calibration baseline FIRST: its cal_E stands in for a
+        # missing true E in the NN accumulators too (ref ZEvaluatorWF.add
+        # sets E = z_from_cal(...)'s cal_E before the NN
+        # z_deviation_with_E, ZEvaluator.py:543-555)
+        cal = None
+        if self._has_cal_metrics and f is not None:
+            cal = self.z_from_cal(c, f, target)
+        cal_z = cal_E = cal_sep = None
+        if cal is not None:
+            cal_sep = cal if isinstance(cal, dict) else None
+            if cal_sep is not None:
+                cal_z, cal_E = cal_sep["z"], cal_sep.get("E")
+            else:
+                cal_z, cal_E = cal if isinstance(cal, tuple) else (cal, None)
+        E_rows = E if E is not None else (
+            cal_E[b, x, y] if cal_E is not None else None)
         for se_val, cat in ((True, "single ended"), (False, "double ended")):
             sel = is_se == se_val
             if not sel.any():
                 continue
             self.z_mae.add(err[sel], z_true[sel], cat)
             self.mult_mae.add(err[sel], mult_cat[sel], cat)
-            if E is not None:
-                self.E_mae.add(err[sel], E[sel], cat)
+            if E_rows is not None:
+                self.E_mae.add(err[sel], E_rows[sel], cat)
             self.error.add_norm(pred[sel], targ[sel], cat)
         self.accumulate("seg_mae", err, (x, y, mult_cat))
         # ref increments single for any seg_status > 0 (SE or dead)
         is_single = self.seg_status[x, y] > 0
-        self.dev.add(pred, targ, x, y, mult, is_single, E=E)
-        if self._has_cal_metrics and f is not None:
-            cal = self.z_from_cal(c, f, target)
-            if cal is not None:
-                cal_sep = cal if isinstance(cal, dict) else None
-                if cal_sep is not None:
-                    cal_z, cal_E = cal_sep["z"], cal_sep.get("E")
-                else:
-                    cal_z, cal_E = cal if isinstance(cal, tuple) else (cal, None)
-                if target_is_cal:
-                    # real data (ref: ZEvaluator.py:513-517): targets ARE the
-                    # calibration z at dual-ended segments, so the baseline is
-                    # the diagonal-neighbor mean fill of DE targets — exact
-                    # (zero-error) at DE sites, interpolated at SE sites
-                    from waveformml_tpu.ops.calibration import \
-                        z_basic_prediction_dense
+        self.dev.add(pred, targ, x, y, mult, is_single, E=E_rows)
+        if cal is not None:
+            if target_is_cal:
+                # real data (ref: ZEvaluator.py:513-517): targets ARE the
+                # calibration z at dual-ended segments, so the baseline is
+                # the diagonal-neighbor mean fill of DE targets — exact
+                # (zero-error) at DE sites, interpolated at SE sites
+                from waveformml_tpu.ops.calibration import \
+                    z_basic_prediction_dense
 
-                    B = target.shape[0]
-                    densez = np.full((B, NX, NY), 0.5)
-                    de = self.seg_status != 0.5  # DE + dead (ref :514)
-                    densez[:, de] = target[:, 0, de]
-                    coords3 = np.stack([x, y, b], axis=1).astype(np.int64)
-                    z_basic_prediction_dense(coords3, densez, target[:, 0],
-                                             truth_is_cal=True)
-                    cal_z = densez
-                cal_pred = cal_z[b, x, y]
-                cal_err = np.abs(cal_pred - targ)
-                for se_val, cat in ((True, "single ended"), (False, "double ended")):
-                    sel = is_se == se_val
-                    if sel.any():
-                        self.z_mae_cal.add(cal_err[sel], z_true[sel], cat)
-                E_rows = E if E is not None else (
-                    cal_E[b, x, y] if cal_E is not None else None)
-                self.dev_cal.add(cal_pred, targ, x, y, mult, is_single, E=E_rows)
-                if cal_sep is not None and not target_is_cal:
-                    # separated classical baselines (dt-only / light-ratio-only
-                    # z, the two methods peak_to_z combines — ref :797-845)
-                    if not hasattr(self, "dev_cal_dt"):
-                        self.dev_cal_dt = ZDeviationAccumulator(z_scale=self.z_scale)
-                        self.dev_cal_light = ZDeviationAccumulator(z_scale=self.z_scale)
-                    self.dev_cal_dt.add(cal_sep["z_dt"][b, x, y], targ, x, y,
-                                        mult, is_single, E=E_rows)
-                    self.dev_cal_light.add(cal_sep["z_light"][b, x, y], targ,
-                                           x, y, mult, is_single, E=E_rows)
+                B = target.shape[0]
+                densez = np.full((B, NX, NY), 0.5)
+                de = self.seg_status != 0.5  # DE + dead (ref :514)
+                densez[:, de] = target[:, 0, de]
+                coords3 = np.stack([x, y, b], axis=1).astype(np.int64)
+                z_basic_prediction_dense(coords3, densez, target[:, 0],
+                                         truth_is_cal=True)
+                cal_z = densez
+            cal_pred = cal_z[b, x, y]
+            cal_err = np.abs(cal_pred - targ)
+            for se_val, cat in ((True, "single ended"), (False, "double ended")):
+                sel = is_se == se_val
+                if sel.any():
+                    self.z_mae_cal.add(cal_err[sel], z_true[sel], cat)
+            self.dev_cal.add(cal_pred, targ, x, y, mult, is_single, E=E_rows)
+            if cal_sep is not None and not target_is_cal:
+                # separated classical baselines (dt-only / light-ratio-only
+                # z, the two methods peak_to_z combines — ref :797-845)
+                if not hasattr(self, "dev_cal_dt"):
+                    self.dev_cal_dt = ZDeviationAccumulator(z_scale=self.z_scale)
+                    self.dev_cal_light = ZDeviationAccumulator(z_scale=self.z_scale)
+                self.dev_cal_dt.add(cal_sep["z_dt"][b, x, y], targ, x, y,
+                                    mult, is_single, E=E_rows)
+                self.dev_cal_light.add(cal_sep["z_light"][b, x, y], targ,
+                                       x, y, mult, is_single, E=E_rows)
 
     def z_from_cal(self, c, f, targ, E=None):
         return None
