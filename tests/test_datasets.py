@@ -414,3 +414,34 @@ def test_shuffle_map_partitions_every_event_exactly_once(tmp_path):
             lo, hi = di["event_range"]
             got = seen.get((di["dir_index"], di["file_path"]), set())
             assert got == set(range(lo, hi + 1)), di["file_path"]
+
+
+def test_shuffle_label_file_alignment_with_empty_event(data_dirs, tmp_path,
+                                                       monkeypatch):
+    """Regression: label-file labels are indexed by ABSOLUTE event id. An
+    event with zero pulse rows inside the selected range must not shift
+    every later event's label by one (silent label corruption in the
+    combined files)."""
+    import h5py
+
+    cfg = _config(tmp_path, n_train=40)
+    ds = PulseDataset2D(cfg, "train", 40)
+    ds.label_file_pattern = "*_labels.h5"  # event-label (label file) path
+    ds.info["label_name"] = "PID"
+
+    chunk = {
+        # events 0 and 2 have rows; event 1 has NONE
+        "coords": np.array([[1, 1, 0], [2, 2, 0], [3, 3, 2]], np.int32),
+        "feats": np.ones((3, 2 * N_SAMPLES), np.float32),
+        # raw labels for events 0,1,2: _get_label maps >=3 -> n_categories
+        "event_labels": np.array([5, 1, 5]),
+        "event_lo": 0,
+    }
+    monkeypatch.setattr(ds, "_read_range", lambda entry: dict(chunk))
+    out = str(tmp_path / "Combined_align.h5")
+    ds._write_shuffled({0: [["src.h5", [0, 2], 0.0]]}, out)
+    with h5py.File(out) as h5:
+        g = h5[ds.info["data_name"]]
+        labels = g["labels"][()]
+    want = ds._get_label(5, 0)  # both surviving events carry raw label 5
+    assert list(labels) == [want, want], list(labels)

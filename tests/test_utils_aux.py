@@ -271,3 +271,69 @@ def test_parallel_chunk_reader_empty_table(tmp_path):
         pr = ParallelChunkReader(f["T"])
         out = pr.read(0, 0)
         assert out.shape == (0,) and out.dtype == dt
+
+
+def test_cached_graph_edges_consumed_by_prepare_block(tmp_path, rng):
+    """Regression: GraphDataset's cached edges must actually be CONSUMED by
+    the task's prepare_block (not row-padded into junk extra_ keys while
+    edges are rebuilt from scratch). Proven three ways: the prepared batch
+    matches a cache-less one, no extra_edges_* keys leak, and a sabotaged
+    cache changes the output."""
+    from waveformml_tpu.config import Config
+    from waveformml_tpu.datasets.graph_dataset import GraphDataset
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.datasets.pulse_dataset import PulseDataset2D
+    from waveformml_tpu.datasets.synthetic import write_classification_dirs
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    write_classification_dirs(str(tmp_path / "data"), ["A"], n_files=1,
+                              events_per_file=10, n_samples=8, seed=3)
+    dcfg = Config({
+        "system_config": {"model_name": "m",
+                          "model_base_path": str(tmp_path / "model"),
+                          "n_samples": 8, "type_names": ["A"]},
+        "dataset_config": {"base_path": str(tmp_path / "data"),
+                           "paths": ["A"], "dataset_params": {}},
+    })
+    ds = PulseDataset2D(dcfg, "train", 10)
+    K = 4
+    g = GraphDataset(ds, edge_specs=[("knn", K, False)])
+
+    tcfg = Config({
+        "run_config": {"exp_name": "g", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "g", "n_samples": 8, "n_type": 2,
+                          "type_names": ["A", "B"],
+                          "model_base_path": str(tmp_path / "m2"),
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss",
+                       "criterion_params": [], "imports": [],
+                       "net_class": "GraphNet.GraphNet", "net_type": "Graph",
+                       "hparams": {"k": K, "n_graph": 1, "n_lin": 1,
+                                   "graph_out": 4, "graph_class_index": 1}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01,
+                            "validation_freq": 1, "imports": [],
+                            "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 1,
+                           "n_validate": 1},
+    })
+    task = LitPSD(tcfg)
+    cached = g[0]
+    plain = FileBlock(cached.coords, cached.feats, cached.labels, {})
+    rb, eb = task.row_bucket(plain), task.event_bucket(plain)
+    db_cached = task.prepare_block(cached, rb, eb)
+    db_live = task.prepare_block(plain, rb, eb)
+    np.testing.assert_array_equal(db_cached[f"edges_knn{K}"],
+                                  db_live[f"edges_knn{K}"])
+    np.testing.assert_array_equal(db_cached[f"edge_mask_knn{K}"],
+                                  db_live[f"edge_mask_knn{K}"])
+    assert not any(k.startswith("extra_edges") for k in db_cached)
+    # sabotage proves the cached edges are the ones consumed
+    bad_extras = dict(cached.extras)
+    bad_extras[f"edge_mask_knn{K}"] = np.zeros_like(
+        bad_extras[f"edge_mask_knn{K}"])
+    bad = FileBlock(cached.coords, cached.feats, cached.labels, bad_extras)
+    db_bad = task.prepare_block(bad, rb, eb)
+    assert not db_bad[f"edge_mask_knn{K}"].any()

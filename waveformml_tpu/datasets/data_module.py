@@ -39,9 +39,20 @@ def collate_blocks(blocks: Sequence[FileBlock]) -> FileBlock:
                 c[:, -1] += offset
             offset += b.labels.shape[0]
             coords_list.append(c)
+        row_offsets = np.cumsum([0] + [b.coords.shape[0] for b in blocks])
         extras = {}
         for k in blocks[0].extras:
-            extras[k] = np.concatenate([b.extras[k] for b in blocks])
+            if k.startswith("edges_"):
+                # precomputed edges hold block-local ROW indices: shift each
+                # block's entries into its slot of the concatenated rows
+                # (padded entries are shifted too but stay masked out)
+                extras[k] = np.concatenate(
+                    [b.extras[k] + row_offsets[i]
+                     for i, b in enumerate(blocks)], axis=1)
+            elif k.startswith("edge_mask_"):
+                extras[k] = np.concatenate([b.extras[k] for b in blocks])
+            else:
+                extras[k] = np.concatenate([b.extras[k] for b in blocks])
         merged = FileBlock(
             coords=np.concatenate(coords_list),
             feats=np.concatenate([b.feats for b in blocks]),

@@ -91,8 +91,10 @@ class GraphDataset:
         try:
             with np.load(path, allow_pickle=False) as z:
                 return str(z["_sig"])
-        except (OSError, KeyError, ValueError):
-            return None  # unreadable or pre-signature cache: rebuild
+        except Exception:
+            # unreadable, truncated (zipfile.BadZipFile — NOT an OSError),
+            # or pre-signature cache: rebuild
+            return None
 
     def process(self) -> None:
         os.makedirs(self.processed_dir, exist_ok=True)
@@ -108,7 +110,11 @@ class GraphDataset:
                 payload[f"extra_{k}"] = v
             for e_name, e_arr, m_name, m_arr in self._build_edges(block):
                 payload[e_name], payload[m_name] = e_arr, m_arr
-            np.savez(out_path, **payload)
+            # atomic: an interrupted savez must not leave a truncated npz
+            # at the final path
+            tmp = out_path + ".tmp.npz"
+            np.savez(tmp, **payload)
+            os.replace(tmp, out_path)
             self.log.info("created file %s", out_path)
 
     def _build_edges(self, block: FileBlock):
@@ -131,8 +137,10 @@ class GraphDataset:
             else:
                 _, d, loops = req
                 key = f"w{d}"  # matches TaskBase.add_graph_edges naming
+                # self_loops must mirror TaskBase.add_graph_edges exactly or
+                # cached and live graphs diverge
                 edges = (window_edges(coords[:, :2], batch_col, max_dist=int(d),
-                                      self_loops=loops or self.use_self_loops)
+                                      self_loops=bool(loops))
                          if n else np.zeros((2, 0), np.int64))
             cap = bucket_size(max(1, edges.shape[1]))
             e, m = pad_edges(edges, cap)

@@ -204,41 +204,25 @@ class PulseDataset(HDF5Dataset):
 
     # -- shuffle execution (ref: PulseDataset.py:242-540) ---------------------------
     def _read_range(self, file_info) -> Dict[str, np.ndarray]:
-        """Read the rows of one (file, event_range) entry."""
+        """Read the rows of one (file, event_range) entry through the
+        dataset's LRU-cached column decode (`_get_file_data`): a file split
+        across k output files is decoded once, not k times, and the
+        group/compound/label-file layout handling lives in one place
+        (`_decode_file`)."""
         fp, (lo, hi), _ = file_info
-        out: Dict[str, np.ndarray] = {}
-        with h5py.File(fp, "r") as h5:
-            ds = h5[self.info["data_name"]]
-            if isinstance(ds, h5py.Group):
-                coords = ds[self.info["coord_name"]][()]
-                feats = ds[self.info["feat_name"]][()]
-                labels = (ds[self.info["label_name"]][()]
-                          if self.info["label_name"] and self.info["label_name"] in ds else None)
+        data = self._get_file_data(fp)
+        coords = data["coords"]
+        ev = coords[:, self.batch_index]
+        sel = (ev >= lo) & (ev <= hi)
+        out: Dict[str, np.ndarray] = {"coords": coords[sel],
+                                      "feats": data["feats"][sel]}
+        if "labels" in data:
+            if self.label_file_pattern:
+                # label files are per-EVENT, indexed by absolute event id
+                out["event_labels"] = data["labels"][lo:hi + 1]
+                out["event_lo"] = lo
             else:
-                rec = ds[()]
-                coords = np.ascontiguousarray(rec[self.info["coord_name"]])
-                feats = np.ascontiguousarray(rec[self.info["feat_name"]])
-                labels = (np.ascontiguousarray(rec[self.info["label_name"]])
-                          if self.info["label_name"] and self.info["label_name"] in (rec.dtype.names or ())
-                          else None)
-            ev = coords[:, self.batch_index]
-            sel = (ev >= lo) & (ev <= hi)
-            out["coords"] = coords[sel]
-            out["feats"] = feats[sel]
-            if labels is not None:
-                out["labels"] = labels[sel]
-        if "labels" not in out and self.label_file_pattern:
-            lf = self._label_file_for(fp)
-            with h5py.File(lf, "r") as h5:
-                # same layout contract as HDF5Dataset._decode_file (and the
-                # reference, HDF5Dataset.py:404-425): label_name names the
-                # dataset in the label file; compound records use the first
-                # field
-                node = h5[self.info["label_name"]]
-                d = node[()]
-                if d.dtype.names:
-                    d = np.ascontiguousarray(d[d.dtype.names[0]])
-                out["event_labels"] = d[lo:hi + 1]
+                out["labels"] = data["labels"][sel]
         return out
 
     def _get_label(self, label, cat):
@@ -269,13 +253,18 @@ class PulseDataset(HDF5Dataset):
                 # split rows into per-event groups, in file order
                 boundaries = np.flatnonzero(np.diff(ev)) + 1
                 row_groups = np.split(np.arange(ev.shape[0]), boundaries)
-                for gi, rows in enumerate(row_groups):
+                for rows in row_groups:
                     item = {"coords": chunk["coords"][rows],
                             "feats": chunk["feats"][rows]}
                     if "labels" in chunk:
                         item["labels"] = chunk["labels"][rows]
                     elif "event_labels" in chunk:
-                        item["event_label"] = chunk["event_labels"][gi]
+                        # index by the group's ABSOLUTE event id, not its
+                        # position among the events that happen to have
+                        # rows: an event with zero pulse rows would shift
+                        # every later event's label by one
+                        e = int(ev[rows[0]]) - chunk["event_lo"]
+                        item["event_label"] = chunk["event_labels"][e]
                     events.append(item)
             cat_events[cat] = events
 
@@ -306,8 +295,19 @@ class PulseDataset(HDF5Dataset):
             for cat in done:
                 pending.pop(cat)
 
-        coords = np.concatenate(out_coords) if out_coords else np.zeros((0, 3), np.int32)
-        feats = np.concatenate(out_feats) if out_feats else np.zeros((0, 1), np.float32)
+        if not out_coords:
+            # every selected event had zero pulse rows: neither output
+            # layout can represent an empty combined file (compound needs a
+            # row dtype, the gzip group layout needs chunks <= shape), so
+            # record the work done and write nothing
+            self.log.warning("shuffle output %s collected no rows; skipping",
+                             fname)
+            with open(sidecar, "w") as f:
+                json.dump({str(k): v for k, v in data_info.items()}, f,
+                          indent=2, default=str)
+            return
+        coords = np.concatenate(out_coords)
+        feats = np.concatenate(out_feats)
         self._to_hdf(fname, coords, feats,
                      np.concatenate(out_labels) if has_label_field else np.asarray(event_labels, dtype=np.int8),
                      has_label_field, event_counter)
@@ -454,7 +454,10 @@ class PulseDatasetPMT(PulseDataset):
     def __getitem__(self, idx):
         block = super().__getitem__(idx)
         n = block.feats.shape[1]
-        return FileBlock(block.coords, block.feats * self.NORMALIZATION[:n],
+        # scale in the block's own dtype: a float32 multiplier would promote
+        # use_half's float16 feats back to float32
+        norm = self.NORMALIZATION[:n].astype(block.feats.dtype)
+        return FileBlock(block.coords, block.feats * norm,
                          block.labels, block.extras)
 
 

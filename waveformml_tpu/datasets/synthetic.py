@@ -175,6 +175,7 @@ def write_wfpair_cal(path: str, n_events: int, seed: int = 0,
     0 (default) writes uncompressed for test speed."""
     from waveformml_tpu.io.compound_types import WaveformPairCal
 
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     rng = np.random.default_rng(seed)
     t = WaveformPairCal()
     # per-pulse particle kind drives the tail fraction (the PSD handle), so

@@ -138,6 +138,8 @@ class TaskBase:
         out = {"coords": coords, "feats": feats, "mask": mask,
                "labels": y, "label_mask": ymask}
         for k, v in block.extras.items():
+            if k.startswith(("edges_", "edge_mask_")):
+                continue  # consumed by add_graph_edges, not row-shaped
             pad = np.zeros((row_bucket,) + v.shape[1:], dtype=v.dtype)
             pad[: v.shape[0]] = v
             out[f"extra_{k}"] = pad
@@ -199,31 +201,35 @@ class TaskBase:
         n = coords.shape[0]
         pos = coords[:, :2].astype(np.float64)
         batch_col = coords[:, -1].astype(np.int64)
+        extras = block.extras or {}
         seen = set()
         for req in self.model.edge_requirements():
             if req[0] == "knn":
                 _, k, loop = req
                 key = f"knn{k}"
-                if key in seen:
-                    continue
-                seen.add(key)
-                edges = knn_graph(pos, k, batch_col, loop=loop) if n else \
-                    np.zeros((2, 0), np.int64)
-                cap = bucket_size(max(1, edges.shape[1]))
-                e, m = pad_edges(edges, cap)
-                out[f"edges_{key}"], out[f"edge_mask_{key}"] = e, m
             else:
                 _, d, loops = req
                 key = f"w{d}"
-                if key in seen:
-                    continue
-                seen.add(key)
+            if key in seen:
+                continue
+            seen.add(key)
+            cached = extras.get(f"edges_{key}")
+            cached_mask = extras.get(f"edge_mask_{key}")
+            if cached is not None and cached_mask is not None:
+                # precomputed padded edges (GraphDataset cache): compact the
+                # live entries, then re-pad to this batch's bucket
+                edges = np.asarray(cached)[:, np.asarray(cached_mask,
+                                                         dtype=bool)]
+            elif req[0] == "knn":
+                edges = knn_graph(pos, k, batch_col, loop=loop) if n else \
+                    np.zeros((2, 0), np.int64)
+            else:
                 edges = window_edges(coords[:, :2], batch_col, max_dist=d,
                                      self_loops=loops) if n else \
                     np.zeros((2, 0), np.int64)
-                cap = bucket_size(max(1, edges.shape[1]))
-                e, m = pad_edges(edges, cap)
-                out[f"edges_{key}"], out[f"edge_mask_{key}"] = e, m
+            cap = bucket_size(max(1, edges.shape[1]))
+            e, m = pad_edges(edges, cap)
+            out[f"edges_{key}"], out[f"edge_mask_{key}"] = e, m
 
     def apply_model(self, variables, db: Dict[str, jnp.ndarray], train: bool,
                     rngs: Optional[Dict] = None):

@@ -104,9 +104,17 @@ class ParallelChunkReader:
             a = max(0, lo - ci * self.chunk)
             b = min(len(arr), hi - ci * self.chunk)
             parts.append(arr[a:b])
-        if len(parts) == 1:
-            return parts[0].copy()  # frombuffer views are read-only
-        return np.concatenate(parts)
+        out = parts[0].copy() if len(parts) == 1 else np.concatenate(parts)
+        # drop readahead state the reader has moved past; after the FINAL
+        # chunk is served, clear everything — the trailing readahead futures
+        # would otherwise pin decoded chunks for the handle's lifetime
+        if c1 + 1 >= self.n_chunks:
+            self._futures.clear()
+            self._cache.clear()
+        else:
+            for ci in [k for k in self._futures if k < c0]:
+                self._futures.pop(ci, None)
+        return out
 
 
 class ParallelGzipAppender:

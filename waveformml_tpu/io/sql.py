@@ -58,7 +58,10 @@ class SQLiteBase:
 
     def __exit__(self, exc_type, exc_value, tb):
         self.cur.close()
-        if isinstance(exc_value, Exception):
+        # any exceptional exit rolls back — including BaseExceptions like
+        # KeyboardInterrupt, which would otherwise COMMIT a half-written
+        # batch interrupted mid-loop
+        if exc_type is not None:
             self._conn.rollback()
         else:
             self._conn.commit()
