@@ -191,3 +191,22 @@ def test_weighted_average_quantities():
     assert out_q[0, 0] == pytest.approx(4.0)   # total E
     assert out_q[1, 0] == pytest.approx(0.3)   # E-weighted psd
     assert out_m[0] == 2
+
+
+def test_get_bin_index_nonfinite_routes_to_margin_bins():
+    # ref SparseUtils.py:139-154: NaN fails every scan comparison so
+    # bin_index stays 0; -inf underflows, +inf overflows. The vectorized
+    # cast must not emit an invalid-cast RuntimeWarning either.
+    import warnings
+
+    vals = np.array([np.nan, -np.inf, np.inf, 2.5])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        idx = dsp.get_bin_index(vals, 0.0, 5.0, 5)
+    np.testing.assert_array_equal(idx, [0, 0, 6, 3])
+
+
+def test_hist_add_1d_nan_counts_underflow():
+    out = np.zeros(7, dtype=np.int64)
+    dsp.hist_add_1d(np.array([np.nan, 1.0, np.inf]), out, (0.0, 5.0), 5)
+    assert out[0] == 1 and out[6] == 1 and out.sum() == 3

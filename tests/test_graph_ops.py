@@ -92,3 +92,21 @@ def test_local_cartesian_per_target_node_scaling():
     # edge 2 -> node 3: rel (0.5, 0), node-3 max 0.5 -> (0.5/1+0.5, 0.5)
     np.testing.assert_allclose(attr[1], [1.0, 0.5])
     # global scaling would have squashed the near edge to (0.5625, 0.5)
+
+
+def test_window_edges_falls_back_when_source_missing(rng, monkeypatch):
+    # a pip-installed package may not ship csrc/ — the documented numpy
+    # fallback must engage instead of crashing on FileNotFoundError
+    from waveformml_tpu.ops import graph as graph_mod
+
+    monkeypatch.setattr(graph_mod, "_SRC", "/nonexistent/window_edges.cpp")
+    monkeypatch.setattr(graph_mod, "_LIB", None)
+    monkeypatch.setattr(graph_mod, "_LIB_FAILED", False)
+    n = 40
+    x = rng.integers(0, 14, n).astype(np.int64)
+    y = rng.integers(0, 11, n).astype(np.int64)
+    b = np.sort(rng.integers(0, 8, n)).astype(np.int64)
+    edges = graph_mod.window_edges(np.stack([x, y], axis=1), b)
+    assert graph_mod._LIB_FAILED and graph_mod._LIB is None
+    want = _window_edges_numpy(x, y, b, 2, True)
+    assert _edge_set(edges) == _edge_set(want)

@@ -163,3 +163,27 @@ def test_sparse_dropout_train_eval_and_schedules():
                          mutable=["batch_stats"])
     # different dropout rngs give different activations; eval differs too
     assert np.abs(np.asarray(tr1.features) - np.asarray(tr2.features)).max() > 0
+
+
+def test_masked_batchnorm_bf16_stats_accumulate_f32(rng):
+    # regression: with bf16 features the batch count/sums must accumulate in
+    # f32 — a bf16 count is exact only up to 256, so >256 active sites used
+    # to bias the mean and the f32 running statistics
+    B, C = 4, 4
+    occ = rng.random((B, NX, NY)) < 0.9  # ~500+ active sites, well past 256
+    occ[:, 0, 0] = True
+    feats = rng.normal(size=(B, NX, NY, C)).astype(np.float32)
+    feats = (feats * occ[..., None]).astype(jnp.bfloat16)
+    g = SparseGrid(jnp.array(feats), jnp.array(occ))
+    assert int(occ.sum()) > 256
+    bn = MaskedBatchNorm(C)
+    variables = bn.init(jax.random.PRNGKey(0), g, train=True)
+    _, updates = bn.apply(variables, g, train=True, mutable=["batch_stats"])
+    active = np.asarray(feats, np.float32)[occ]
+    want_mean = 0.1 * active.mean(axis=0)
+    got_mean = np.asarray(updates["batch_stats"]["mean"])
+    assert got_mean.dtype == np.float32
+    np.testing.assert_allclose(got_mean, want_mean, atol=1e-5)
+    want_var = 0.9 + 0.1 * active.var(axis=0, ddof=1)
+    np.testing.assert_allclose(
+        np.asarray(updates["batch_stats"]["var"]), want_var, atol=1e-4)

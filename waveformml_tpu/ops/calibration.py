@@ -31,7 +31,9 @@ def _fdiv(a: float, b: float) -> float:
     instead of Python's ZeroDivisionError. The reference's numba kernels run
     nopython with exactly these semantics (SparseUtils.py), so an event at a
     segment with no calibration curve produces an inf/nan energy that flows
-    into the overflow bins — never a crash that aborts the evaluator."""
+    into the histogram margin bins (+inf the overflow bin, nan the underflow
+    bin — NaN fails every comparison in the reference's get_bin_index scan,
+    SparseUtils.py:139-154) — never a crash that aborts the evaluator."""
     if b != 0.0:
         return a / b
     if a == 0.0:

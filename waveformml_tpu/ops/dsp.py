@@ -77,11 +77,18 @@ def get_bin_index(val: np.ndarray, low: float, high: float, nbins: int) -> np.nd
     val = np.asarray(val, dtype=np.float64)
     bw = (high - low) / nbins
     # floor + 1 already reproduces the reference's strict `>` scan, including
-    # its boundary promotion: a value exactly on bin edge k lands in bin k+1
-    idx = np.floor((val - low) / bw).astype(np.int64) + 1
+    # its boundary promotion: a value exactly on bin edge k lands in bin k+1.
+    # Non-finite values take a placeholder through the int cast (casting
+    # nan/inf to int64 is UB + RuntimeWarning) and are routed explicitly below.
+    finite = np.isfinite(val)
+    safe = np.where(finite, val, low)
+    idx = np.floor((safe - low) / bw).astype(np.int64) + 1
     idx = np.clip(idx, 1, nbins)
-    idx = np.where(val < low, 0, idx)
-    idx = np.where(val >= high, nbins + 1, idx)
+    idx = np.where(val < low, 0, idx)            # -inf < low: underflow
+    idx = np.where(val >= high, nbins + 1, idx)  # +inf >= high: overflow
+    # NaN fails every comparison in the reference's scalar scan (ref :139-154),
+    # so bin_index stays 0 there — NaN counts land in the underflow bin
+    idx = np.where(np.isnan(val), 0, idx)
     return idx
 
 
@@ -334,6 +341,9 @@ def find_peaks(v: np.ndarray, sep: int, max_peaks: int = 5
             peaks.append(int(lmax))
             last_used_rise = f  # reset: need a new rise after this fall
             if len(peaks) >= 50:
+                # parity: the reference's fixed 50-slot buffer stops scanning
+                # after 50 rise/fall candidates (ref :663, :678) — a pulse
+                # arriving after 50 noise maxima is dropped there too
                 break
     if not peaks:
         return 0, maxloc
@@ -405,6 +415,8 @@ def average_median(v: np.ndarray, centerfrac: float = 0.33) -> float:
     res = centerfrac * n
     ndiscard = n - 1 if res < 1 else n - int(centerfrac * n)
     istart = ndiscard // 2
+    # parity: the reference keeps one extra element when ndiscard is odd
+    # (iend = n - istart discards only 2*(ndiscard//2) values, ref :759-761)
     iend = n - istart
     return float(v[istart:iend].mean())
 

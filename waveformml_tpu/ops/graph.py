@@ -46,27 +46,41 @@ def _src_digest() -> str:
 
 
 def _build_library() -> Optional[str]:
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    so_path = os.path.join(_CACHE_DIR, "libwindow_edges.so")
-    stamp = so_path + ".src_hash"
-    digest = _src_digest()
-    # content-hash staleness check: mtimes are unreliable after a fresh
-    # checkout, and a foreign -march=native binary must never be loaded
-    if os.path.exists(so_path) and os.path.exists(stamp):
-        with open(stamp) as f:
-            if f.read().strip() == digest:
-                return so_path
-    # WFML_NATIVE_DEBUG=1 → debug build (the reference's custom_functions
-    # toggles -g -O0 -pedantic -Wall the same way, __init__.py:14-19)
-    opt = (["-g", "-O0", "-pedantic", "-Wall"]
-           if os.environ.get("WFML_NATIVE_DEBUG") == "1"
-           else ["-O3", "-march=native"])
-    cmd = ["g++", *opt, "-fopenmp", "-shared", "-fPIC", _SRC, "-o", so_path]
+    # everything here can fail on a hostile install (csrc/ absent from a
+    # wheel, read-only site-packages, no g++) — any failure means numpy
+    # fallback, never a crash in the caller
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        with open(stamp, "w") as f:
-            f.write(digest)
-        return so_path
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        so_path = os.path.join(_CACHE_DIR, "libwindow_edges.so")
+        stamp = so_path + ".src_hash"
+        digest = _src_digest()
+        # content-hash staleness check: mtimes are unreliable after a fresh
+        # checkout, and a foreign -march=native binary must never be loaded
+        if os.path.exists(so_path) and os.path.exists(stamp):
+            with open(stamp) as f:
+                if f.read().strip() == digest:
+                    return so_path
+        # WFML_NATIVE_DEBUG=1 → debug build (the reference's custom_functions
+        # toggles -g -O0 -pedantic -Wall the same way, __init__.py:14-19)
+        opt = (["-g", "-O0", "-pedantic", "-Wall"]
+               if os.environ.get("WFML_NATIVE_DEBUG") == "1"
+               else ["-O3", "-march=native"])
+        # compile to a per-pid temp and os.replace into place: concurrent
+        # builders (pytest-xdist, trainer + prep job on one checkout) must
+        # never dlopen a half-written .so
+        tmp_so = f"{so_path}.tmp.{os.getpid()}"
+        cmd = ["g++", *opt, "-fopenmp", "-shared", "-fPIC", _SRC, "-o", tmp_so]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp_so, so_path)
+            tmp_stamp = f"{stamp}.tmp.{os.getpid()}"
+            with open(tmp_stamp, "w") as f:
+                f.write(digest)
+            os.replace(tmp_stamp, stamp)
+            return so_path
+        finally:
+            if os.path.exists(tmp_so):
+                os.unlink(tmp_so)
     except Exception as e:
         log.warning("native edge-kernel build failed (%s); using numpy fallback", e)
         return None
@@ -80,18 +94,25 @@ def _get_lib():
     if so is None:
         _LIB_FAILED = True
         return None
-    lib = ctypes.CDLL(so)
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    f64p = ctypes.POINTER(ctypes.c_double)
-    lib.window_edges_count.restype = ctypes.c_int64
-    lib.window_edges_count.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
-                                       i64p, i64p, ctypes.c_bool, i64p]
-    lib.window_edges_fill.restype = None
-    lib.window_edges_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
-                                      i64p, i64p, ctypes.c_bool, i64p, i64p, i64p]
-    lib.knn_edges.restype = ctypes.c_int64
-    lib.knn_edges.argtypes = [ctypes.c_int64, ctypes.c_int64, f64p, f64p, i64p,
-                              ctypes.c_bool, i64p, i64p]
+    try:
+        lib = ctypes.CDLL(so)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.window_edges_count.restype = ctypes.c_int64
+        lib.window_edges_count.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                           i64p, i64p, ctypes.c_bool, i64p]
+        lib.window_edges_fill.restype = None
+        lib.window_edges_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                          i64p, i64p, ctypes.c_bool, i64p, i64p, i64p]
+        lib.knn_edges.restype = ctypes.c_int64
+        lib.knn_edges.argtypes = [ctypes.c_int64, ctypes.c_int64, f64p, f64p, i64p,
+                                  ctypes.c_bool, i64p, i64p]
+    except OSError as e:
+        # a corrupt cached binary (killed build from an older non-atomic
+        # layout, disk issue) must degrade to numpy, not crash the dataset
+        log.warning("native edge-kernel load failed (%s); using numpy fallback", e)
+        _LIB_FAILED = True
+        return None
     _LIB = lib
     return _LIB
 

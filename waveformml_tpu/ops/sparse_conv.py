@@ -266,8 +266,14 @@ class MaskedBatchNorm(nn.Module):
 
             axis = get_bn_axis()
             red_axes = tuple(range(x.ndim - 1))
-            count = jnp.sum(mask)
-            xsum = jnp.sum(x * mask, axis=red_axes)
+            # batch statistics always accumulate in f32 (torch BatchNorm1d /
+            # flax BatchNorm do the same): under the bf16 half-precision path
+            # a bf16 count is exact only up to 256 active sites, and bf16
+            # xsum/vsum would bias the mean/var fed into the running stats
+            xf = x.astype(jnp.float32)
+            maskf = mask.astype(jnp.float32)
+            count = jnp.sum(maskf)
+            xsum = jnp.sum(xf * maskf, axis=red_axes)
             if axis is not None:
                 # sync statistics across data-parallel shards (single-GPU
                 # reference parity: BN sees the whole global batch)
@@ -275,7 +281,7 @@ class MaskedBatchNorm(nn.Module):
                 xsum = jax.lax.psum(xsum, axis)
             count = jnp.maximum(count, 1.0)
             mean = xsum / count
-            vsum = jnp.sum(((x - mean) ** 2) * mask, axis=red_axes)
+            vsum = jnp.sum(((xf - mean) ** 2) * maskf, axis=red_axes)
             if axis is not None:
                 vsum = jax.lax.psum(vsum, axis)
             var = vsum / count
@@ -284,8 +290,9 @@ class MaskedBatchNorm(nn.Module):
                 # torch updates running_var with the UNBIASED batch variance
                 # (Bessel), while normalizing with the biased one
                 var_unbiased = vsum / jnp.maximum(count - 1.0, 1.0)
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean.astype(jnp.float32)
-                ra_var.value = (1 - m) * ra_var.value + m * var_unbiased.astype(jnp.float32)
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * var_unbiased
+            mean, var = mean.astype(x.dtype), var.astype(x.dtype)
         else:
             mean, var = ra_mean.value.astype(x.dtype), ra_var.value.astype(x.dtype)
         y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
