@@ -248,3 +248,57 @@ def test_self_loops_not_doubled():
     b = layer.apply(v, jnp.asarray(x), jnp.asarray(with_loops),
                     jnp.ones(with_loops.shape[1], bool))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_graphznet_accepts_out_planes_hparam(tmp_path):
+    # out_planes is a declared GraphZ field passed explicitly by the wrapper;
+    # a config that also sets it must not raise a duplicate-kwarg TypeError
+    cfg = _graph_cfg(tmp_path, net_class="GraphZNet")
+    cfg.net_config.hparams = Config({"neighbors": 1, "n_conv": 1, "n_point": 1,
+                                     "conv_position": 1, "graph_index": 0,
+                                     "out_planes": 1})
+    from waveformml_tpu.models.graph_net import GraphZNet
+
+    reqs = GraphZNet(cfg).edge_requirements()
+    assert len(reqs) == 2
+
+
+def test_graph3dnet_consumes_trailing_samples(rng, tmp_path):
+    """2S not divisible by n_windows: the tail samples must still enter the
+    model (the reference makes one 3D point per sample, GraphNet.py:572-577,
+    so a truncating window split would silently lose signal)."""
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    cfg = _graph_cfg(tmp_path, net_class="Graph3DNet")
+    cfg.system_config.n_samples = 9          # 2S = 18, n_windows = 8
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0)
+    coords = np.array([[1, 1, 0], [2, 2, 0], [5, 5, 1]], dtype=np.int32)
+    feats = np.asarray(rng.random((3, 18)), dtype=np.float32)
+    labels = np.array([0, 1], dtype=np.int64)
+    block = FileBlock(coords, feats, labels, {})
+    trainer._ensure_state(block)
+    db = {k: jnp.asarray(v) for k, v in trainer._device_batch(block).items()}
+
+    def loss_for(f):
+        d = dict(db)
+        d["feats"] = jnp.asarray(f)
+        # the step donates params/opt_state buffers — copy per call so both
+        # evaluations see identical weights
+        out = trainer._train_step_fn(
+            jax.tree.map(jnp.copy, trainer.state.params),
+            trainer.state.batch_stats,
+            jax.tree.map(jnp.copy, trainer.state.opt_state),
+            jax.random.PRNGKey(0), d)
+        return float(out[3])
+
+    base = loss_for(db["feats"])
+    assert np.isfinite(base)
+    # perturb ONLY the trailing two samples (beyond the old floor-div cut of
+    # 8 * (18 // 8) = 16): the loss must respond
+    bumped = np.asarray(db["feats"]).copy()
+    bumped[..., 16:] += 3.0
+    assert loss_for(bumped) != base

@@ -317,3 +317,50 @@ def test_model_validation_pooling_downsample():
     wrong["system_config"] = Config({"n_samples": N_SAMPLES})
     with pytest.raises(IOError):
         ModelValidation.validate(wrong)
+
+
+def test_masked_array_batchnorm_bf16_stats_accumulate_f32(rng):
+    # regression twin of the MaskedBatchNorm fix: with bf16 rows the batch
+    # count/sums must accumulate in f32 (a bf16 count is exact only to 256)
+    from waveformml_tpu.models.blocks import MaskedArrayBatchNorm
+
+    N, C = 600, 4
+    mask = np.ones(N, dtype=bool)
+    mask[550:] = False
+    x = rng.normal(size=(N, C)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    bn = MaskedArrayBatchNorm(C)
+    variables = bn.init(jax.random.PRNGKey(0), xb, mask=jnp.asarray(mask),
+                        train=True)
+    _, updates = bn.apply(variables, xb, mask=jnp.asarray(mask), train=True,
+                          mutable=["batch_stats"])
+    active = np.asarray(xb, np.float32)[mask]
+    want_mean = 0.1 * active.mean(axis=0)
+    got_mean = np.asarray(updates["batch_stats"]["mean"])
+    assert got_mean.dtype == np.float32
+    np.testing.assert_allclose(got_mean, want_mean, atol=1e-5)
+
+
+def test_dsl_to_row_specs_kwargs_form():
+    # the dict/kwargs DSL form (supported by build_sparse_instances and
+    # registry.create_class_instances) must translate like the positional
+    # form instead of crashing with KeyError: 0
+    from waveformml_tpu.models.algorithm import dsl_to_row_specs
+
+    positional = ["spconv.SubMConv2d", [2, 4, 3],
+                  "nn.BatchNorm1d", [4],
+                  "nn.ReLU",
+                  "nn.Dropout", [0.25]]
+    kwargs = ["spconv.SubMConv2d",
+              {"in_channels": 2, "out_channels": 4, "kernel_size": 3},
+              "nn.BatchNorm1d", {"num_features": 4},
+              "nn.ReLU",
+              "nn.Dropout", {"p": 0.25}]
+    want = [("subm", 2, 4, 3, 1, "subm3"), ("bn", 4), ("relu",),
+            ("dropout", 0.25)]
+    assert dsl_to_row_specs(positional) == want
+    assert dsl_to_row_specs(kwargs) == want
+    # strided conv still falls back to the grid path in either form
+    assert dsl_to_row_specs(["spconv.SubMConv2d",
+                             {"in_channels": 2, "out_channels": 4,
+                              "kernel_size": 3, "stride": 2}]) is None

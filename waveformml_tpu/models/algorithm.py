@@ -147,6 +147,13 @@ def dsl_to_row_specs(spec: Sequence[Any]) -> Optional[List[Tuple]]:
     spec tuples when the stack is pure-SubM (stride 1, dilation 1) — the
     row-space gather-GEMM fast path then applies (2D and 3D). Returns None
     for stacks with regular/strided/inverse convs or unknown layers."""
+    def _arg(args, pos, key, default=None):
+        """Positional-list or dict/kwargs DSL arg (both forms are valid for
+        build_sparse_instances / registry.create_class_instances)."""
+        if isinstance(args, dict):
+            return args.get(key, default)
+        return args[pos] if len(args) > pos else default
+
     specs: List[Tuple] = []
     i = 0
     items = list(spec)
@@ -157,13 +164,21 @@ def dsl_to_row_specs(spec: Sequence[Any]) -> Optional[List[Tuple]]:
         args = items[i + 1] if i + 1 < len(items) and \
             not isinstance(items[i + 1], str) else None
         i += 2 if args is not None else 1
+        if args is not None and not isinstance(args, (list, tuple, dict)):
+            # Config objects: same attribute surface as the kwargs form
+            args = args.to_dict() if hasattr(args, "to_dict") else None
+            if args is None:
+                return None
         short = name.rsplit(".", 1)[-1]
         if short in ("SubMConv2d", "SubMConv3d"):
-            if not args or len(args) < 3:
+            cin = _arg(args, 0, "in_channels") if args else None
+            cout = _arg(args, 1, "out_channels") if args else None
+            k = _arg(args, 2, "kernel_size") if args else None
+            if cin is None or cout is None or k is None:
                 return None
-            cin, cout, k = int(args[0]), int(args[1]), int(args[2])
-            stride = int(args[3]) if len(args) > 3 else 1
-            dilation = int(args[5]) if len(args) > 5 else 1
+            cin, cout, k = int(cin), int(cout), int(k)
+            stride = int(_arg(args, 3, "stride", 1))
+            dilation = int(_arg(args, 5, "dilation", 1))
             # the row-conv custom VJP assumes a symmetric (odd-k) offset
             # window (row_conv.py flips the kernel for d_feats); even k would
             # silently produce wrong input gradients — use the grid path
@@ -171,10 +186,13 @@ def dsl_to_row_specs(spec: Sequence[Any]) -> Optional[List[Tuple]]:
                 return None
             specs.append(("subm", cin, cout, k, (k - 1) // 2, f"subm{k}"))
         elif short in ("BatchNorm1d",):
-            c = int(args[0]) if args else None
-            specs.append(("bn", c))
+            c = _arg(args, 0, "num_features") if args else None
+            specs.append(("bn", int(c) if c is not None else None))
         elif short in ("ReLU",):
             specs.append(("relu",))
+        elif short in ("Dropout",):
+            rate = _arg(args, 0, "p", 0.5) if args else 0.5
+            specs.append(("dropout", float(rate)))
         elif short in ("ToDense", "SparseToDense"):
             specs.append(("todense",))
         else:

@@ -48,15 +48,20 @@ class MaskedArrayBatchNorm(nn.Module):
         red_axes = tuple(range(x.ndim - 1))
         if train:
             axis = get_bn_axis()
+            # batch statistics accumulate in f32 (torch BatchNorm1d / flax
+            # BatchNorm parity): a bf16 count is exact only up to 256 masked
+            # rows, and bf16 sums would bias mean/var and the running stats
+            xf = x.astype(jnp.float32)
+            mf = m.astype(jnp.float32)
             # per-channel count of real elements
-            count = jnp.sum(jnp.broadcast_to(m, x[..., :1].shape))
-            xsum = jnp.sum(x * m, axis=red_axes)
+            count = jnp.sum(jnp.broadcast_to(mf, x[..., :1].shape))
+            xsum = jnp.sum(xf * mf, axis=red_axes)
             if axis is not None:
                 count = jax.lax.psum(count, axis)
                 xsum = jax.lax.psum(xsum, axis)
             count = jnp.maximum(count, 1.0)
             mean = xsum / count
-            vsum = jnp.sum(((x - mean) ** 2) * m, axis=red_axes)
+            vsum = jnp.sum(((xf - mean) ** 2) * mf, axis=red_axes)
             if axis is not None:
                 vsum = jax.lax.psum(vsum, axis)
             var = vsum / count
@@ -65,8 +70,10 @@ class MaskedArrayBatchNorm(nn.Module):
                 # torch updates running_var with the UNBIASED batch variance
                 # (Bessel), while normalizing with the biased one
                 var_unbiased = vsum / jnp.maximum(count - 1.0, 1.0)
-                ra_mean.value = (1 - mom) * ra_mean.value + mom * mean.astype(jnp.float32)
-                ra_var.value = (1 - mom) * ra_var.value + mom * var_unbiased.astype(jnp.float32)
+                ra_mean.value = (1 - mom) * ra_mean.value + mom * mean
+                ra_var.value = (1 - mom) * ra_var.value + mom * var_unbiased
+            mean = mean.astype(x.dtype)
+            var = var.astype(x.dtype)
         else:
             mean = ra_mean.value.astype(x.dtype)
             var = ra_var.value.astype(x.dtype)

@@ -269,6 +269,9 @@ class GraphZ(nn.Module):
 
     @nn.nowrap
     def _edge_attr_2d(self) -> bool:
+        # parity: index 3 (GAT) is in the reference's use_edge_attr list but
+        # absent from its check_edge_weights gate, so the 2-D branch is
+        # equally unreachable for GAT upstream (GraphBlocks.py:79-107)
         return self.graph_index in (3, 5, 10)
 
     @nn.compact
@@ -281,21 +284,24 @@ class GraphZ(nn.Module):
                               self.n_conv, self.n_point, self.conv_position,
                               self.pointwise_factor)
         n_layers = len(sched)
+        # consecutive layers often share an edge set (all pointwise layers
+        # use edges_knn1, conv layers with equal windows share edges_w{nb});
+        # the derived weights depend only on (pos, edges) — compute once each
+        attr_cache: Dict[str, Any] = {}
         for i, (nin, nout, nb) in enumerate(sched):
-            if nb == 0:
-                edges = db["edges_knn1"]
-                edge_mask = db["edge_mask_knn1"]
-            else:
-                edges = db[f"edges_w{nb}"]
-                edge_mask = db[f"edge_mask_w{nb}"]
+            key = "knn1" if nb == 0 else f"w{nb}"
+            edges = db[f"edges_{key}"]
+            edge_mask = db[f"edge_mask_{key}"]
             edge_attr = None
             if self._uses_edge_weights():
-                rel = _cartesian(pos, edges, norm=False)
-                if self._edge_attr_2d():
-                    edge_attr = 1.0 - jnp.abs(rel) / (self.neighbors + 1)
-                else:
-                    edge_attr = 1.0 - jnp.sqrt((rel ** 2).sum(-1)) / \
-                        ((2 * self.neighbors ** 2) ** 0.5)
+                if key not in attr_cache:
+                    rel = _cartesian(pos, edges, norm=False)
+                    if self._edge_attr_2d():
+                        attr_cache[key] = 1.0 - jnp.abs(rel) / (self.neighbors + 1)
+                    else:
+                        attr_cache[key] = 1.0 - jnp.sqrt((rel ** 2).sum(-1)) / \
+                            ((2 * self.neighbors ** 2) ** 0.5)
+                edge_attr = attr_cache[key]
             layer = _make_conv(self.graph_index, nin, nout, {},
                                kernel=self.kernel, name=f"gconv_{i}")
             x = layer(x, edges, edge_mask, edge_attr=edge_attr, train=train)
@@ -318,13 +324,15 @@ class GraphZNet(nn.Module):
         n_in = self.config.system_config.n_samples * 2
         self.model = GraphZ(n_in, out_planes=1, **{
             k: v for k, v in hp.items()
-            if k in GraphZ.__dataclass_fields__ and k not in ("in_planes",)})
+            if k in GraphZ.__dataclass_fields__
+            and k not in ("in_planes", "out_planes")})
 
     @nn.nowrap
     def edge_requirements(self):
         hp = to_dict(self.config.net_config.hparams)
         kw = {k: v for k, v in hp.items()
-              if k in GraphZ.__dataclass_fields__ and k not in ("in_planes",)}
+              if k in GraphZ.__dataclass_fields__
+              and k not in ("in_planes", "out_planes")}
         n_in = self.config.system_config.n_samples * 2
         return GraphZ(n_in, out_planes=1, **kw).edge_requirements()
 
@@ -350,7 +358,8 @@ class SingleEndedEZGraph(GraphZNet):
         n_in = self.config.system_config.n_samples * 2
         self.model = GraphZ(n_in, out_planes=2, **{
             k: v for k, v in hp.items()
-            if k in GraphZ.__dataclass_fields__ and k not in ("in_planes",)})
+            if k in GraphZ.__dataclass_fields__
+            and k not in ("in_planes", "out_planes")})
 
 
 class PointNetConv(nn.Module):
@@ -428,7 +437,11 @@ class Graph3DNet(nn.Module):
         hp = self.config.net_config.hparams
         self.k = getattr(hp, "k", 6)
         n_samples = self.config.system_config.n_samples
-        self.window = max(1, (2 * n_samples) // self.n_windows)
+        # ceil-div: every sample must land in a window (the reference makes
+        # one 3D point per sample, GraphNet.py:572-577, so dropping the tail
+        # when 2S % n_windows != 0 would silently lose signal); the last
+        # window is zero-padded in __call__ instead
+        self.window = max(1, -((-2 * n_samples) // self.n_windows))
         n_graph = getattr(hp, "n_graph", 3)
         graph_out = getattr(hp, "graph_out", 16)
         planes = _graph_planes(self.window, n_graph, getattr(hp, "n_expand", 0),
@@ -451,6 +464,8 @@ class Graph3DNet(nn.Module):
         N = x.shape[0]
         W = self.n_windows
         L = self.window
+        if W * L > x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, W * L - x.shape[1])))
         feats3d = x[:, : W * L].reshape(N * W, L)
         t = jnp.tile(jnp.arange(W, dtype=x.dtype), (N,))
         pos3 = jnp.concatenate([
@@ -463,11 +478,16 @@ class Graph3DNet(nn.Module):
         edges2 = db[f"edges_knn{self.k}"]
         edge_mask2 = db[f"edge_mask_knn{self.k}"]
         lifted = edges2 * W                                     # window 0 ↔ window 0
+        # bidirectional chains (the reference's 3D kNN graph is symmetric):
+        # one-way w→w+1 links would strand late-window signal on the
+        # zero-padded tail windows, which the amplitude mask drops from
+        # pooling — so later windows could never influence the output
         chain_src = jnp.arange(N * W - 1)
         chain_ok = (chain_src % W) != (W - 1)
         chains = jnp.stack([chain_src, chain_src + 1])
-        edges = jnp.concatenate([lifted, chains], axis=1)
-        edge_mask = jnp.concatenate([edge_mask2, chain_ok])
+        rev = jnp.stack([chain_src + 1, chain_src])
+        edges = jnp.concatenate([lifted, chains, rev], axis=1)
+        edge_mask = jnp.concatenate([edge_mask2, chain_ok, chain_ok])
         h = feats3d
         for conv in self.convs:
             h = conv(h, pos3, edges, edge_mask, train=train)

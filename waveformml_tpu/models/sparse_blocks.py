@@ -116,9 +116,10 @@ class _SpecNet(nn.Module):
                 out = batch_to_grid(g)
                 for layer in _build(specs):
                     out = layer(out, train=train)
-                dense = out if not isinstance(out, SparseGrid) else \
-                    jnp.transpose(out.masked(), (0, 3, 1, 2))
-                return gather_from_dense(jnp.transpose(dense, (0, 2, 3, 1)),
+                if isinstance(out, SparseGrid):
+                    return gather_from_dense(out.masked(), batch)
+                # a ToDense tail already produced [B, C, H, W]
+                return gather_from_dense(jnp.transpose(out, (0, 2, 3, 1)),
                                          batch)
             g = batch_to_grid(g)
         out = g
