@@ -400,3 +400,97 @@ def test_shard_loader_pads_remainder():
         for t in range(want_len):
             slot = {per_rank[p][t] for p in range(P)}
             assert slot == {padded[t * P + p] for p in range(P)}
+
+
+GRAPH_TRAIN_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=2")
+os.environ["JAX_PLATFORMS"] = "cpu"
+pid, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from waveformml_tpu.parallel.mesh import initialize_distributed
+
+mesh = initialize_distributed(f"localhost:{port}", 2, pid)
+from _dist_train_common import make_graph_cfg_block
+from waveformml_tpu.engineering.tasks import LitPSD
+from waveformml_tpu.engineering.trainer import Trainer
+
+cfg, block = make_graph_cfg_block(rank=pid)  # rank 0 sparse, rank 1 dense
+trainer = Trainer(cfg, LitPSD(cfg), mesh=mesh, seed=0)
+trainer._build_steps()
+db = trainer._device_batch(block)  # includes cross-process edge-cap agreement
+gdb = trainer._to_device(db)
+one = {k: jnp.asarray(v[0]) for k, v in db.items()}
+variables = trainer.task.init_variables(jax.random.PRNGKey(1), one)
+out = trainer._train_step_fn(variables["params"], variables.get("batch_stats"),
+                             trainer.optimizer.init(variables["params"]),
+                             jax.random.PRNGKey(2), gdb)
+loss = float(out[3])
+from jax.experimental import multihost_utils
+losses = np.asarray(multihost_utils.process_allgather(np.array([loss])))
+assert np.allclose(losses, losses.ravel()[0]), losses
+if pid == 0:
+    with open(os.path.join(outdir, "graph_loss.txt"), "w") as f:
+        f.write(repr(loss))
+print("GRAPH_DIST_OK", pid, loss, flush=True)
+"""
+
+
+def test_two_process_graph_step_matches_single_process(tmp_path):
+    """Graph model across hosts with ASYMMETRIC per-rank edge caps (rank 0's
+    events are sparse, rank 1's dense): the caps must be agreed globally
+    before stitching, and the loss must match the single-process 4-device
+    run — both with live-built edges and with GraphDataset-style cached
+    edges (which split_block_for_devices must remap, not row-mask)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _dist_train_common import make_graph_cfg_block
+
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    def single_loss(cached_edges):
+        cfg, block = make_graph_cfg_block(cached_edges=cached_edges)
+        trainer = Trainer(cfg, LitPSD(cfg), mesh=make_mesh(jax.devices()[:4]),
+                          seed=0)
+        trainer._build_steps()
+        db = trainer._device_batch(block)
+        one = {k: jnp.asarray(v[0]) for k, v in db.items()}
+        variables = trainer.task.init_variables(jax.random.PRNGKey(1), one)
+        out = trainer._train_step_fn(
+            variables["params"], variables.get("batch_stats"),
+            trainer.optimizer.init(variables["params"]), jax.random.PRNGKey(2),
+            {k: jnp.asarray(v) for k, v in db.items()})
+        return float(out[3])
+
+    want = single_loss(cached_edges=False)
+    got_cached = single_loss(cached_edges=True)
+    assert abs(got_cached - want) < 1e-5, (got_cached, want)
+
+    port = _free_port()
+    env = {**os.environ,
+           "PYTHONPATH": REPO + ":" + os.path.dirname(os.path.abspath(__file__))}
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", GRAPH_TRAIN_WORKER, str(i), str(port),
+         str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        cwd=REPO) for i in range(2)]
+    for p in procs:
+        try:
+            out_s, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err + out_s
+        assert "GRAPH_DIST_OK" in out_s, out_s
+    got = float(open(os.path.join(str(tmp_path), "graph_loss.txt")).read())
+    assert abs(got - want) < 1e-5, (got, want)

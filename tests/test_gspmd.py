@@ -440,3 +440,98 @@ def test_gspmd_two_process_evaluator_figures(tmp_path):
         assert "GSPMD_MH_EVAL_OK" in out_s, out_s
     n_figures = int(open(os.path.join(str(tmp_path), "figcount.txt")).read())
     assert n_figures > 0, "no evaluator figures emitted on rank 0"
+
+
+GSPMD_GRAPH_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=2")
+os.environ["JAX_PLATFORMS"] = "cpu"
+pid, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from waveformml_tpu.parallel.mesh import initialize_distributed
+initialize_distributed(f"localhost:{port}", 2, pid)
+from _dist_train_common import make_graph_cfg_block
+from waveformml_tpu.engineering.tasks import LitPSD
+from waveformml_tpu.engineering.trainer import Trainer
+
+cfg, block = make_graph_cfg_block(rank=pid)  # rank 0 sparse, rank 1 dense
+trainer = Trainer(cfg, LitPSD(cfg), tp=2, seed=0)
+trainer._build_steps()
+db = trainer._device_batch(block)  # shifts edge indices into the rank slot
+gdb = trainer._to_device(db)       # stitches edges along the edge axis
+one = {k: jnp.asarray(v) for k, v in db.items()}
+variables = trainer.task.init_variables(jax.random.PRNGKey(1), one)
+from waveformml_tpu.parallel.gspmd import replicate, shard_params
+variables = jax.tree_util.tree_map(np.asarray, variables)
+params = shard_params(variables["params"], trainer.mesh, trainer.tp)
+bstats = replicate(variables.get("batch_stats"), trainer.mesh)
+out = trainer._train_step_fn(params, bstats, trainer.optimizer.init(params),
+                             jax.random.PRNGKey(2), gdb)
+loss = float(out[3])
+from jax.experimental import multihost_utils
+losses = np.asarray(multihost_utils.process_allgather(np.array([loss])))
+assert np.allclose(losses, losses.ravel()[0]), losses
+if pid == 0:
+    with open(os.path.join(outdir, "gspmd_graph_loss.txt"), "w") as f:
+        f.write(repr(loss))
+print("GSPMD_GRAPH_OK", pid, loss, flush=True)
+"""
+
+
+def test_gspmd_two_process_graph_step(tmp_path):
+    """Graph model under GSPMD ACROSS HOSTS: each rank's edge lists carry
+    process-local row indices and per-rank edge caps diverge (rank 0 sparse,
+    rank 1 dense). The stitched global batch must shift the indices into
+    each rank's row slot and concatenate along the EDGE axis; the loss must
+    match the single-process gspmd run on the full block."""
+    import subprocess
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _dist_train_common import make_graph_cfg_block
+
+    cfg, block = make_graph_cfg_block()
+    trainer = Trainer(cfg, LitPSD(cfg), tp=2, seed=0)
+    trainer._build_steps()
+    db = trainer._device_batch(block)
+    one = {k: jnp.asarray(v) for k, v in db.items()}
+    variables = trainer.task.init_variables(jax.random.PRNGKey(1), one)
+    from waveformml_tpu.parallel.gspmd import replicate, shard_params
+
+    params = shard_params(variables["params"], trainer.mesh, trainer.tp)
+    bstats = replicate(variables.get("batch_stats"), trainer.mesh)
+    out = trainer._train_step_fn(params, bstats, trainer.optimizer.init(params),
+                                 jax.random.PRNGKey(2), trainer._to_device(db))
+    want = float(out[3])
+
+    import socket
+
+    s = socket.socket(); s.bind(("localhost", 0))
+    port = s.getsockname()[1]; s.close()
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ,
+           "PYTHONPATH": REPO + ":" + os.path.dirname(os.path.abspath(__file__))}
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [_sys.executable, "-u", "-c", GSPMD_GRAPH_WORKER, str(i), str(port),
+         str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        cwd=REPO) for i in range(2)]
+    for p in procs:
+        try:
+            out_s, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err + out_s
+        assert "GSPMD_GRAPH_OK" in out_s, out_s
+    got = float(open(os.path.join(str(tmp_path), "gspmd_graph_loss.txt")).read())
+    assert abs(got - want) < 1e-5, (got, want)

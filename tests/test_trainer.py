@@ -724,3 +724,133 @@ def test_split_block_renumbers_event_column_4col():
         src = coords[coords[:, -1] // 2 == d]
         np.testing.assert_array_equal(sh.coords[:, 2], src[:, 2])
         np.testing.assert_array_equal(sh.labels, block.labels[2 * d:2 * d + 2])
+
+
+def test_litwaveform_half_precision_inputs():
+    """model_inputs must route through _features so half_precision casts the
+    waveform features to bf16 (regression: the override silently ignored the
+    mixed-precision flag)."""
+    import jax.numpy as jnp
+
+    from waveformml_tpu.engineering.tasks import LitWaveform
+
+    cfg = Config({
+        "run_config": {"exp_name": "hp", "run_class": "LitWaveform",
+                       "imports": []},
+        "system_config": {"model_name": "hp", "n_samples": 12, "n_type": 2,
+                          "type_names": ["a"], "model_base_path": "/tmp/hp",
+                          "half_precision": 1},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_class": "WaveformModels.LinearWaveformNet",
+                       "net_type": "MLP", "hparams": {"n_lin": 2, "out_size": 1}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDatasetWaveformNorm",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    task = LitWaveform(cfg)
+    db = {"feats": jnp.ones((4, 24), jnp.float32)}
+    assert task.model_inputs(db).dtype == jnp.bfloat16
+    cfg.system_config.half_precision = 0
+    task2 = LitWaveform(cfg)
+    assert task2.model_inputs(db).dtype == jnp.float32
+
+
+def test_event_bucket_covers_trailing_empty_events(tmp_path):
+    """Events with zero pulse rows at the tail must not shrink the event
+    bucket below the label count (regression: y[:n_ev] broadcast error)."""
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+
+    cfg = Config(json.load(open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "config", "examples", "SubMPSD.json"))))
+    cfg.system_config.model_base_path = str(tmp_path)
+    task = LitPSD(cfg)
+    task.model  # build
+    rng = np.random.default_rng(3)
+    # 18 events but only the first 14 have rows: coords undercount
+    coords = np.stack([rng.integers(0, 14, 30), rng.integers(0, 11, 30),
+                       np.sort(rng.integers(0, 14, 30))], axis=1).astype(np.int32)
+    feats = rng.normal(size=(30, 2 * cfg.system_config.n_samples)).astype(np.float32)
+    labels = rng.integers(0, 2, 18).astype(np.int64)
+    block = FileBlock(coords, feats, labels, {})
+    eb = task.event_bucket(block)
+    assert eb >= 18
+    out = task.prepare_block(block, task.row_bucket(block), eb)
+    np.testing.assert_array_equal(out["labels"][:18], labels)
+
+
+def test_litz_prepare_block_skips_cached_edge_extras(tmp_path):
+    """LitZ-family prepare_block must skip GraphDataset edge extras like
+    TaskBase does (regression: row-bucket broadcast crash on edge caches)."""
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import LitZ
+
+    cfg = Config({
+        "run_config": {"exp_name": "zz", "run_class": "LitZ", "imports": []},
+        "system_config": {"model_name": "zz", "n_samples": 8, "n_type": 2,
+                          "type_names": ["a"], "model_base_path": str(tmp_path),
+                          "half_precision": 0},
+        "net_config": {"criterion_class": "L1Loss", "criterion_params": [],
+                       "imports": [], "net_class": "GraphZNet",
+                       "net_type": "graph",
+                       "hparams": {"neighbors": 1, "n_conv": 1, "n_point": 1,
+                                   "conv_position": 1, "graph_index": 0}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2DWithZ",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1},
+    })
+    task = LitZ(cfg)
+    task.model  # build so add_graph_edges sees a graph model
+    rng = np.random.default_rng(5)
+    coords = np.array([[1, 1, 0], [2, 2, 0], [5, 5, 1]], dtype=np.int32)
+    feats = rng.normal(size=(3, 16)).astype(np.float32)
+    labels = rng.random(3).astype(np.float32)
+    # cached padded edges: 64 >> row bucket — would crash the extras loop
+    edges = np.zeros((2, 64), np.int64)
+    emask = np.zeros(64, bool)
+    edges[:, :2] = [[0, 1], [1, 0]]
+    emask[:2] = True
+    block = FileBlock(coords, feats, labels,
+                      {"edges_w1": edges, "edge_mask_w1": emask})
+    out = task.prepare_block(block, 16, task.event_bucket(block))
+    assert "extra_edges_w1" not in out and "extra_edge_mask_w1" not in out
+    assert "edges_w1" in out  # consumed by add_graph_edges instead
+
+
+def test_split_block_remaps_cached_edges():
+    """split_block_for_devices must compact+remap cached [2, E] edge lists
+    into shard-local row indices (regression: row boolean-mask IndexError)."""
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.ops.graph import knn_graph, pad_edges
+    from waveformml_tpu.ops.sparse import bucket_size
+    from waveformml_tpu.parallel.mesh import split_block_for_devices
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for e in range(4):
+        for s in rng.choice(154, size=5, replace=False):
+            rows.append([s % 14, s // 14, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], 4)).astype(np.float32)
+    labels = rng.integers(0, 2, 4).astype(np.int64)
+    edges = knn_graph(coords[:, :2].astype(np.float64), 2,
+                      coords[:, 2].astype(np.int64), loop=False)
+    e, m = pad_edges(edges, bucket_size(max(1, edges.shape[1])))
+    block = FileBlock(coords, feats, labels,
+                      {"edges_knn2": e, "edge_mask_knn2": m})
+    shards = split_block_for_devices(block, 2)
+    for shard in shards:
+        # remapped cache must equal the live-built edges of the shard
+        live = knn_graph(shard.coords[:, :2].astype(np.float64), 2,
+                         shard.coords[:, 2].astype(np.int64), loop=False)
+        cached = shard.extras["edges_knn2"][
+            :, shard.extras["edge_mask_knn2"].astype(bool)]
+        assert set(map(tuple, cached.T.tolist())) == \
+            set(map(tuple, live.T.tolist()))
+        assert cached[0].max() < shard.coords.shape[0]

@@ -112,14 +112,19 @@ class TaskBase:
     def row_bucket(self, block: FileBlock) -> int:
         return bucket_size(max(1, block.coords.shape[0]))
 
+    _EVENT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
+                      16384, 32768)
+
     def event_bucket(self, block: FileBlock) -> int:
+        n = 1
         if block.coords.ndim == 2 and block.coords.shape[0]:
-            return bucket_size(int(block.coords[:, -1].max()) + 1,
-                               buckets=(16, 32, 64, 128, 256, 512, 1024, 2048,
-                                        4096, 8192, 16384, 32768))
-        return bucket_size(max(1, block.labels.shape[0]),
-                           buckets=(16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
-                                    8192, 16384, 32768))
+            n = int(block.coords[:, -1].max()) + 1
+        if not self.labels_per_row:
+            # trailing events can have zero pulse rows, so the coords-derived
+            # count alone can undercount the event-level label vector and
+            # prepare_block's y[:n_ev] = labels would fail to broadcast
+            n = max(n, block.labels.shape[0])
+        return bucket_size(max(1, n), buckets=self._EVENT_BUCKETS)
 
     def prepare_block(self, block: FileBlock, row_bucket: int,
                       event_bucket: int) -> Dict[str, np.ndarray]:

@@ -189,10 +189,8 @@ class LitWaveform(TaskBase):
                 "label_mask": mask}
 
     def model_inputs(self, db):
-        f = db["feats"]
-        if self.occlude_index is not None:
-            f = f.at[:, self.occlude_index].set(0)
-        return f
+        # _features handles occlusion AND the half_precision bf16 cast
+        return self._features(db)
 
     def _predictions(self, outputs, labels):
         p = outputs
@@ -296,6 +294,8 @@ class LitZ(TaskBase):
                "labels": np.zeros((n_ev,), dtype=np.float32),
                "label_mask": np.zeros((n_ev,), dtype=bool)}
         for k, v in block.extras.items():
+            if k.startswith(("edges_", "edge_mask_")):
+                continue  # consumed by add_graph_edges, not row-shaped
             pad = np.zeros((row_bucket,) + v.shape[1:], dtype=v.dtype)
             pad[: v.shape[0]] = v
             out[f"extra_{k}"] = pad

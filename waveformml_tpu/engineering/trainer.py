@@ -206,6 +206,8 @@ class Trainer:
         self._replicate_fn = None
         self._step_times: List[float] = []
         self._step_rows: List[float] = []
+        self._epoch_wall: List[float] = []
+        self._epoch_rows: List[float] = []
 
     # -- argparse bridge ----------------------------------------------------------------
 
@@ -452,6 +454,17 @@ class Trainer:
                     plan = v.copy()
                     plan[plan >= 0] += self.process_index * rb
                     db[k] = plan
+                # graph edge lists hold process-local row indices too;
+                # _to_device stitches them along the EDGE axis into one
+                # global [2, P*cap] list (masked slots shift into the rank's
+                # padding rows — harmless, their edge_mask is False)
+                elif k.startswith("edges_"):
+                    db[k] = v + self.process_index * rb
+            # the row/event buckets are agreed above, but graph edge caps
+            # (and any other data-dependent trailing dims) are bucketed per
+            # process inside prepare_block — the global stitch needs
+            # identical local shapes on every rank
+            db = self._agree_shapes(db)
             self._gspmd_local_events = eb
             return db
         if self._multihost:
@@ -472,7 +485,12 @@ class Trainer:
             while len(prepared) < n_local:
                 empty = {k: np.zeros_like(v) for k, v in prepared[0].items()}
                 prepared.append(empty)
-            return stack_shards(prepared)
+            # graph edge caps (and any other data-dependent trailing dims)
+            # are bucketed per process inside prepare_block — global array
+            # construction requires identical shapes on every rank (the
+            # leading axis is the local-device stack, padded by stack_shards)
+            return self._agree_shapes(stack_shards(prepared),
+                                      skip_leading=True)
         if self.parallel == "gspmd":
             # one GLOBAL batch; buckets rounded to multiples of the data
             # degree so the leading dim shards evenly
@@ -490,6 +508,36 @@ class Trainer:
             prepared.append(empty)
         return stack_shards(prepared)
 
+    def _agree_shapes(self, db: Dict[str, np.ndarray],
+                      skip_leading: bool = False) -> Dict[str, np.ndarray]:
+        """Zero-pad every leaf so its shape matches the cross-process max.
+        Data-dependent dims (graph edge caps) are bucketed per process, but
+        global array construction needs identical local shapes on every
+        rank. Zero padding is safe for all our arrays: masks pad False,
+        edges pad to node 0 with their mask False."""
+        from jax.experimental import multihost_utils
+
+        keys = sorted(db.keys())
+        start = 1 if skip_leading else 0
+        dims = np.concatenate(
+            [np.asarray(db[k].shape[start:], np.int64) for k in keys]) \
+            if keys else np.zeros(0, np.int64)
+        if dims.size == 0:
+            return db
+        agreed = np.asarray(multihost_utils.process_allgather(
+            dims)).reshape(-1, dims.shape[0]).max(axis=0)
+        pos = 0
+        for k in keys:
+            shp = db[k].shape
+            r = len(shp) - start
+            want = shp[:start] + tuple(int(x) for x in agreed[pos:pos + r])
+            pos += r
+            if shp != want:
+                pad = np.zeros(want, dtype=db[k].dtype)
+                pad[tuple(slice(0, s) for s in shp)] = db[k]
+                db[k] = pad
+        return db
+
     def _to_device(self, db: Dict[str, np.ndarray]) -> Dict[str, Any]:
         if self._multihost and self.parallel == "gspmd":
             from jax.sharding import NamedSharding
@@ -498,6 +546,16 @@ class Trainer:
             out = {}
             for k, v in db.items():
                 v = np.ascontiguousarray(v)
+                if k.startswith("edges_"):
+                    # [2, cap] edge lists stitch along the EDGE axis (their
+                    # row indices were shifted into each rank's global slot
+                    # in _device_batch) — stacking along axis 0 would read
+                    # only rank 0's connectivity as edges[0]/edges[1]
+                    sh_e = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                    gshape = (v.shape[0], self.process_count * v.shape[1])
+                    out[k] = jax.make_array_from_process_local_data(
+                        sh_e, v, gshape)
+                    continue
                 gshape = (self.process_count * v.shape[0],) + v.shape[1:]
                 out[k] = jax.make_array_from_process_local_data(sh, v, gshape)
             return out
@@ -771,14 +829,23 @@ class Trainer:
 
     def _train_epoch(self, loader) -> Dict[str, float]:
         n_batches = self._limit(loader, self.limit_train_batches)
-        total_loss, count = 0.0, 0
+        count = 0
+        # device scalars, materialized ONCE at epoch end: a per-step
+        # float(loss) would block the host on every step, serializing the
+        # next block's prepare_block (and its host-built neighbor plans)
+        # against the device. With the profiler on, sync per step so its
+        # run_training_step timings stay truthful.
+        step_losses: List[Any] = []
         agg: Dict[str, Any] = {}
         prof = self.simple_profiler
+        sync_each_step = bool(prof)
+        t_epoch = time.time()
+        epoch_rows = 0.0
         it = iter(loader)
         pending: List[Dict[str, np.ndarray]] = []  # host batches awaiting dispatch
 
         def run_single(db_host):
-            nonlocal total_loss, count
+            nonlocal count, epoch_rows
             db = self._to_device(db_host)
             self.rng, step_rng = jax.random.split(self.rng)
             t0 = time.time()
@@ -788,18 +855,21 @@ class Trainer:
              loss, metrics) = self._train_step_fn(
                 self.state.params, self.state.batch_stats, self.state.opt_state,
                 step_rng, db)
-            loss = float(loss)
+            if sync_each_step:
+                loss = float(loss)
             if prof:
                 prof.stop("run_training_step")
             self._step_times.append(time.time() - t0)
-            self._step_rows.append(_count_rows(db_host))
-            total_loss += loss
+            rows = _count_rows(db_host)
+            self._step_rows.append(rows)
+            epoch_rows += rows
+            step_losses.append(loss)
             count += 1
             self.state.step += 1
             _accumulate(agg, metrics)
 
         def run_multi(dbs_host):
-            nonlocal total_loss, count
+            nonlocal count, epoch_rows
             K = len(dbs_host)
             stacked = {k: jnp.asarray(np.stack([d[k] for d in dbs_host]))
                        for k in dbs_host[0]}
@@ -811,12 +881,15 @@ class Trainer:
              losses, metrics) = self._multi_step_fn(
                 self.state.params, self.state.batch_stats, self.state.opt_state,
                 step_rng, stacked)
-            losses = np.asarray(losses)
+            if sync_each_step:
+                losses = np.asarray(losses)
             if prof:
                 prof.stop("run_training_step")
             self._step_times.append((time.time() - t0) / K)
-            self._step_rows.append(sum(_count_rows(d) for d in dbs_host) / K)
-            total_loss += float(losses.sum())
+            rows = sum(_count_rows(d) for d in dbs_host)
+            self._step_rows.append(rows / K)
+            epoch_rows += rows
+            step_losses.append(losses)
             count += K
             self.state.step += K
             for i in range(K):
@@ -853,6 +926,12 @@ class Trainer:
             if len(pending) == self.steps_per_dispatch:
                 flush()
         flush()
+        # epoch barrier: materializing the summed losses drains the whole
+        # dispatch queue, so the epoch wall time below is honest
+        total_loss = float(np.sum([np.sum(np.asarray(l))
+                                   for l in step_losses])) if step_losses else 0.0
+        self._epoch_wall.append(time.time() - t_epoch)
+        self._epoch_rows.append(epoch_rows)
         out = {"train_loss": total_loss / max(count, 1)}
         out.update(_finalize(agg, prefix="train_"))
         return out
@@ -939,8 +1018,9 @@ class Trainer:
         out.update(_finalize(agg, prefix=f"{prefix}_"))
         # keep raw arrays (e.g. confusion) for figure callbacks
         for k, v in agg.items():
-            if isinstance(v, np.ndarray) and v.ndim >= 2:
-                arrays[k] = v
+            arr = np.asarray(v)
+            if arr.ndim >= 2:
+                arrays[k] = arr
         if prefix == "val":
             self.last_val_arrays = arrays
         else:
@@ -963,7 +1043,10 @@ class Trainer:
 
     def test(self, data_module, collect=None) -> Dict[str, float]:
         data_module.setup("test")
-        loader = data_module.test_dataloader()
+        # multihost: shard like fit() — otherwise every process would feed
+        # the full test set, duplicating every event P× in the global batch
+        # (inflated psum counts, duplicate evaluator output per rank)
+        loader = self._shard_loader(data_module.test_dataloader())
         if self.state is None:
             first = next(iter(loader))
             self._ensure_state(first)
@@ -1041,7 +1124,10 @@ class Trainer:
     @property
     def waveforms_per_second(self) -> Optional[float]:
         """Mean training throughput in real (unpadded) waveform rows per
-        second, over all dispatched train steps this run."""
+        second. Epoch-level wall time is the truthful basis: steps dispatch
+        asynchronously, so per-step times only measure dispatch latency."""
+        if self._epoch_wall:
+            return sum(self._epoch_rows) / max(sum(self._epoch_wall), 1e-12)
         total_t = sum(self._step_times)
         if not total_t:
             return None
@@ -1057,8 +1143,9 @@ def _count_rows(db_host: Dict[str, np.ndarray]) -> float:
 
 
 def _accumulate(agg: Dict[str, Any], metrics: Dict[str, Any]) -> None:
+    # keep device arrays as-is: np.asarray here would block the host on
+    # every step's metrics; _finalize materializes once per epoch
     for k, v in metrics.items():
-        v = np.asarray(v)
         if k in agg:
             agg[k] = agg[k] + v
         else:

@@ -103,7 +103,31 @@ def split_block_for_devices(block: FileBlock, n_devices: int) -> List[FileBlock]
                 y = labels[lo:hi]
             else:                                # per-row labels
                 y = labels[sel]
-            extras = {k: v[sel] for k, v in block.extras.items()}
+            extras = {}
+            idx_map = None
+            for k, v in block.extras.items():
+                if k.startswith("edge_mask_"):
+                    continue  # rebuilt with its edges_ twin below
+                if k.startswith("edges_"):
+                    # cached padded edge lists are [2, E] in PRE-SPLIT row
+                    # indices — a row mask would raise (wrong length) or
+                    # silently corrupt connectivity. Edges join same-event
+                    # rows only and events split whole, so every edge lands
+                    # entirely inside one shard: compact + remap exactly.
+                    m = block.extras.get(f"edge_mask_{k[len('edges_'):]}")
+                    if m is None:
+                        continue  # no mask twin: drop, add_graph_edges rebuilds
+                    e = np.asarray(v)[:, np.asarray(m, dtype=bool)]
+                    keep = sel[e[0]] & sel[e[1]]
+                    if idx_map is None:
+                        idx_map = np.full(sel.shape[0], -1, dtype=np.int64)
+                        idx_map[sel] = np.arange(int(sel.sum()))
+                    e = idx_map[e[:, keep]]
+                    extras[k] = e
+                    extras[f"edge_mask_{k[len('edges_'):]}"] = \
+                        np.ones(e.shape[1], dtype=bool)
+                    continue
+                extras[k] = v[sel]
             out.append(FileBlock(c, block.feats[sel], y, extras))
         return out
     # row-split (single-waveform datasets), balanced the same way
