@@ -19,10 +19,8 @@ def main(argv=None) -> int:
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--num_threads", "-nt", type=int, default=None)
     pre_args, _ = pre.parse_known_args(argv)
-    if pre_args.num_threads:
-        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                                   f" --xla_cpu_multi_thread_eigen="
-                                   f"{pre_args.num_threads > 1}").strip()
+    from waveformml_tpu.utils.util import apply_num_threads
+    apply_num_threads(pre_args.num_threads)
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("config", help="config file for the model")
     parser.add_argument("checkpoint", help="checkpoint path")

@@ -10,7 +10,7 @@ import argparse
 import os
 import sys
 import time
-from ntpath import basename
+from os.path import basename
 from os.path import expanduser, isdir, join
 
 
@@ -21,10 +21,8 @@ def main(argv=None) -> int:
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--num_threads", "-nt", type=int, default=None)
     pre_args, _ = pre.parse_known_args(argv)
-    if pre_args.num_threads:
-        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                                   f" --xla_cpu_multi_thread_eigen="
-                                   f"{pre_args.num_threads > 1}").strip()
+    from waveformml_tpu.utils.util import apply_num_threads
+    apply_num_threads(pre_args.num_threads)
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("input_path", help="path to input hdf5 file")
     parser.add_argument("config", help="path to config file for model")
@@ -67,7 +65,11 @@ def main(argv=None) -> int:
         output = join(os.path.dirname(input_path),
                       p2x_stem(input_path) + "_Phys.h5")
     else:
-        output = input_path[:-3] + "ModelOut.h5"
+        # ref naming (WritePredictions.py:34) assumes a .h5 suffix; strip
+        # other extensions properly instead of chopping 3 arbitrary chars
+        stem = input_path[:-3] if input_path.endswith(".h5") else \
+            os.path.splitext(input_path)[0]
+        output = stem + "ModelOut.h5"
     if args.output is not None:
         out = expanduser(args.output)
         if out.endswith(".h5"):
@@ -78,7 +80,10 @@ def main(argv=None) -> int:
             if args.datatype == "PhysPulse":
                 output = join(out, p2x_stem(input_path) + "_Phys.h5")
             else:
-                output = join(out, basename(input_path)[:-3] + "ModelOut.h5")
+                base = basename(input_path)
+                base = base[:-3] if base.endswith(".h5") else \
+                    os.path.splitext(base)[0]
+                output = join(out, base + "ModelOut.h5")
         else:
             raise IOError(f"Output path {args.output} not a valid directory or .h5 file")
     print(f"Writing output to {output}")

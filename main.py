@@ -90,9 +90,8 @@ def main(argv=None) -> int:
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--num_threads", "-nt", type=int, default=None)
     pre_args, _ = pre.parse_known_args(argv)
-    if pre_args.num_threads:
-        os.environ.setdefault("XLA_FLAGS", "")
-        os.environ["XLA_FLAGS"] += f" --xla_cpu_multi_thread_eigen={pre_args.num_threads > 1}"
+    from waveformml_tpu.utils.util import apply_num_threads
+    apply_num_threads(pre_args.num_threads)
     args = build_parser().parse_args(argv)
 
     from waveformml_tpu.config import load_config
@@ -147,7 +146,15 @@ def main(argv=None) -> int:
     multihost = _jax.process_count() > 1
     rank0 = _jax.process_index() == 0
     exp_name = config.run_config.exp_name
-    if not args.restore_training and rank0:
+    # -r only resumes when a checkpoint source is given (reference parity:
+    # main.py:155 gates on `restore_training and load_checkpoint`) — without
+    # one, reusing the old run dir would silently train from random init
+    # into an existing experiment
+    resuming = args.restore_training and (args.load_checkpoint or args.load_best)
+    if args.restore_training and not resuming:
+        log.warning("--restore_training ignored: no --load_checkpoint/"
+                    "--load_best given, starting a fresh run")
+    if not resuming and rank0:
         exp_name = next_experiment_name(model_folder, exp_name)
     run_dir = os.path.join(model_folder, "runs", exp_name)
     if rank0:

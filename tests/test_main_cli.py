@@ -165,3 +165,22 @@ def test_trainer_argparse_bridge(cli_setup, capsys):
     # kwargs_from_args tolerates a namespace missing trainer flags
     ns = argparse.Namespace(seed=7)
     assert Trainer.kwargs_from_args(ns) == {"seed": 7}
+
+
+def test_main_restore_without_checkpoint_starts_fresh(cli_setup, caplog):
+    """-r with no -l/-lb must warn and start a NEW experiment directory
+    (reference parity: main.py:155 gates resume on a checkpoint source) —
+    silently reusing the old run dir from random init is the failure mode."""
+    import logging
+
+    import main
+
+    tmp, config_path = cli_setup
+    runs_dir = os.path.join(str(tmp), "model", "m", "runs")
+    before = set(os.listdir(runs_dir)) if os.path.isdir(runs_dir) else set()
+    with caplog.at_level(logging.WARNING):
+        rc = main.main([config_path, "-r", "--max_epochs", "1", "-v", "2"])
+    assert rc == 0
+    assert any("restore_training ignored" in r.message for r in caplog.records)
+    after = set(os.listdir(runs_dir))
+    assert len(after) > len(before)  # fresh experiment name, not reuse

@@ -337,3 +337,32 @@ def test_cached_graph_edges_consumed_by_prepare_block(tmp_path, rng):
     bad = FileBlock(cached.coords, cached.feats, cached.labels, bad_extras)
     db_bad = task.prepare_block(bad, rb, eb)
     assert not db_bad[f"edge_mask_knn{K}"].any()
+
+
+def test_get_file_md5_handles_checkpoint_directories(tmp_path):
+    """Orbax checkpoints are directories — provenance hashing must digest
+    them (contents + relative paths) instead of silently skipping."""
+    from waveformml_tpu.utils.util import get_file_md5
+
+    d = tmp_path / "epoch=1-val_loss=0.50.ckpt"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.bin").write_bytes(b"123")
+    (d / "sub" / "b.bin").write_bytes(b"456")
+    h1 = get_file_md5(str(d))
+    assert len(h1) == 32
+    (d / "a.bin").write_bytes(b"124")
+    assert get_file_md5(str(d)) != h1
+
+
+def test_apply_num_threads_sets_real_caps(monkeypatch):
+    from waveformml_tpu.utils.util import apply_num_threads
+
+    monkeypatch.delenv("OMP_NUM_THREADS", raising=False)
+    monkeypatch.setenv("XLA_FLAGS", "")
+    apply_num_threads(4)
+    assert os.environ["OMP_NUM_THREADS"] == "4"
+    assert "intra_op_parallelism_threads=4" in os.environ["XLA_FLAGS"]
+    # None/0 is a no-op
+    monkeypatch.setenv("XLA_FLAGS", "x")
+    apply_num_threads(None)
+    assert os.environ["XLA_FLAGS"] == "x"

@@ -259,7 +259,9 @@ class PredictionWriter(P2XTableWriter):
         return coords, vals
 
     def swap_values(self, data: np.ndarray) -> None:
-        raise NotImplementedError
+        # synchronous path: subclasses implementing model_dispatch /
+        # apply_outputs get this for free
+        self.apply_outputs(data, self.model_dispatch(data))
 
     def convert_values(self, data: np.ndarray) -> np.ndarray:
         raise NotImplementedError
@@ -291,7 +293,9 @@ class PredictionWriter(P2XTableWriter):
     def set_xml(self) -> None:
         settings = {"model_checkpoint": self.checkpoint_path,
                     "model_config": self.config_path}
-        if os.path.isfile(self.checkpoint_path):
+        # orbax checkpoints are DIRECTORIES (epoch=E-val_loss=V.ckpt);
+        # get_file_md5 digests them file-by-file
+        if os.path.exists(self.checkpoint_path):
             settings["model_checkpoint_hash"] = get_file_md5(self.checkpoint_path)
         if os.path.isfile(self.config_path):
             settings["model_config_hash"] = get_file_md5(self.config_path)
@@ -371,9 +375,6 @@ class ZPredictionWriter(PredictionWriter):
         # gains already carry the z scale factor (see __init__)
         return _device_gain_pre(self.gains), _dense_to_row_post()
 
-    def swap_values(self, data: np.ndarray) -> None:
-        self.apply_outputs(data, self.model_dispatch(data))
-
     def model_dispatch(self, data: np.ndarray):
         if self._device_norm:
             from waveformml_tpu.ops.sparse import consecutive_event_index
@@ -407,9 +408,6 @@ class IRNPredictionWriter(PredictionWriter):
 
     def _output_unit(self) -> str:
         return "event"  # per-event phys outputs [B, F]
-
-    def swap_values(self, data: np.ndarray) -> None:
-        self.apply_outputs(data, self.model_dispatch(data))
 
     def model_dispatch(self, data: np.ndarray):
         coords, vals = self._coords_vals(data)
@@ -448,9 +446,6 @@ class IRNIMPredictionWriter(PredictionWriter):
         # emits [B, 5, NX, NY] (event-leading). output_is_sparse may arrive
         # via kwargs (set by the base setattr loop) before __init__ finishes.
         return "row" if getattr(self, "output_is_sparse", True) else "event"
-
-    def swap_values(self, data: np.ndarray) -> None:
-        self.apply_outputs(data, self.model_dispatch(data))
 
     def model_dispatch(self, data: np.ndarray):
         coords, vals = self._coords_vals(data)
@@ -521,7 +516,10 @@ class ZAndClassWriter(PredictionWriter):
         self.gains = None
         if kwargs.get("calgroup"):
             self.gains = _gain_factors(kwargs["calgroup"])
-        self._device_norm = self.gains is not None
+        if self.gains is None:
+            raise IOError("Must pass calgroup argument in order to normalize "
+                          "WaveformPairCal data before passing to model")
+        self._device_norm = True
         super().__init__(path, input_path, zconfig, zcheckpoint, **kwargs)
         self.swap = False
         self.seg_status, self.blind_detl, self.blind_detr = seg_status_maps(

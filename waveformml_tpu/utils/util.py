@@ -169,11 +169,36 @@ def retrieve_best_checkpoint(model_folder: str) -> Optional[str]:
 # ---------------------------------------------------------------------------------
 
 def get_file_md5(path: str) -> str:
+    """md5 of a file — or of a checkpoint DIRECTORY (orbax checkpoints are
+    directories named epoch=E-val_loss=V.ckpt): the digest then covers every
+    file's relative path and content, in sorted order."""
     h = hashlib.md5()
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for name in sorted(files):
+                fp = os.path.join(root, name)
+                h.update(os.path.relpath(fp, path).encode())
+                with open(fp, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+        return h.hexdigest()
     with open(path, "rb") as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):
             h.update(chunk)
     return h.hexdigest()
+
+
+def apply_num_threads(n: Optional[int]) -> None:
+    """Bound host CPU parallelism (the reference's torch.set_num_threads,
+    WritePredictions.py:61-62): caps XLA's CPU intra-op/eigen pools via
+    XLA_FLAGS and the native OpenMP kernels via OMP_NUM_THREADS. Call
+    BEFORE the first jax device use."""
+    if not n:
+        return
+    os.environ.setdefault("OMP_NUM_THREADS", str(n))
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               f" --xla_cpu_multi_thread_eigen={n > 1}"
+                               f" intra_op_parallelism_threads={n}").strip()
 
 
 def get_git_info(cwd: Optional[str] = None) -> Dict[str, str]:
