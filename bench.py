@@ -11,6 +11,9 @@ Configs (BASELINE.json `configs` 1-5):
   +  compute-heavy bf16 sparse PSD      -> bench_heavy (step time + MFU estimate,
                                            at width 64 and at the width-128
                                            throughput-accuracy frontier)
+  +  graph-family SAGE classifier       -> bench_graph (GraphNet stack from
+                                           config/examples/IoniClassifierGraph.json
+                                           vs the hand-written torch SAGE mirror)
 
 Each prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 The flagship sparse PSD config runs FIRST (so a stalled link later in the
@@ -696,6 +699,122 @@ def _torch_stream(input_path, tmp, gzip_level=9):
 
 
 # ---------------------------------------------------------------------------------
+# graph model family: GraphNet SAGE train throughput
+# (the shipped config/examples/IoniClassifierGraph.json stack at bench scale —
+#  ref: src/models/GraphNet.py:222-315 builds the same stack with PyG SAGEConv)
+# ---------------------------------------------------------------------------------
+
+GRAPH_K = 4        # IoniClassifierGraph.json hparams.k
+GRAPH_OUT = 16     # hparams.graph_out
+GRAPH_LAYERS = 2   # hparams.n_graph
+
+
+def _graph_bench_cfg():
+    from waveformml_tpu.config import Config
+
+    return Config({
+        "run_config": {"exp_name": "bench", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "bench", "n_samples": N_SAMPLES,
+                          "n_type": N_TYPE, "type_names": ["Ioni", "Recoil"],
+                          "model_base_path": "/tmp/bench_model",
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss", "criterion_params": [],
+                       "imports": [], "net_class": "GraphNet.GraphNet",
+                       "net_type": "Graph",
+                       "hparams": {"k": GRAPH_K, "n_graph": GRAPH_LAYERS,
+                                   "n_lin": 2, "graph_out": GRAPH_OUT,
+                                   "graph_class_index": 1}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {"momentum": 0.9}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 1, "n_validate": 1,
+                           "data_module": "GraphDataModule"},
+    })
+
+
+def _torch_graph_train() -> float:
+    """MEASURED torch-CPU graph baseline: the hand-written SAGEConv mirror
+    from tests/test_parity_graph_torch.py made trainable — per layer
+    x' = W_l mean_{j∈N(i)} x_j + b + W_r x_i, BatchNorm1d, ReLU; masked
+    global max pool; LinearBlock head; CrossEntropyLoss + SGD. Both sides
+    consume HOST-precomputed kNN edges (generous to torch: the reference
+    rebuilds knn_graph inside every forward, GraphNet.py:222-243)."""
+    import torch
+    import torch.nn as nn
+
+    from waveformml_tpu.models.graph_net import _graph_planes
+    from waveformml_tpu.ops.graph import knn_graph
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    n_feat = 2 * N_SAMPLES
+    rng = np.random.default_rng(6)
+    coords, feats, labels = _synthetic_batch(rng, TORCH_EVENTS, n_feat)
+    edges = knn_graph(coords[:, :2].astype(np.float64), GRAPH_K,
+                      coords[:, 2].astype(np.int64))
+    src = torch.from_numpy(edges[0])
+    dst = torch.from_numpy(edges[1])
+    n_rows = coords.shape[0]
+    deg = torch.zeros(n_rows, 1).index_add_(
+        0, dst, torch.ones(edges.shape[1], 1)).clamp(min=1)
+    ev = torch.from_numpy(coords[:, 2].astype(np.int64))
+    x0 = torch.from_numpy(feats)
+    y = torch.from_numpy(labels)
+    planes = _graph_planes(n_feat, GRAPH_LAYERS, 0, 1.0, GRAPH_OUT, "linear")
+    hfac = (float(N_TYPE) / GRAPH_OUT) ** 0.5  # LinearBlock geometric schedule
+    head_planes = [GRAPH_OUT,
+                   int(round(GRAPH_OUT * hfac)),
+                   int(round(GRAPH_OUT * hfac ** 2))]
+
+    class TorchSAGENet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin_l = nn.ModuleList(
+                [nn.Linear(planes[i], planes[i + 1])
+                 for i in range(GRAPH_LAYERS)])
+            self.lin_r = nn.ModuleList(
+                [nn.Linear(planes[i], planes[i + 1], bias=False)
+                 for i in range(GRAPH_LAYERS)])
+            self.bns = nn.ModuleList(
+                [nn.BatchNorm1d(planes[i + 1]) for i in range(GRAPH_LAYERS)])
+            self.head = nn.ModuleList(
+                [nn.Linear(head_planes[i], head_planes[i + 1])
+                 for i in range(2)])
+
+        def forward(self, x):
+            for i in range(GRAPH_LAYERS):
+                s = torch.zeros(n_rows, x.shape[1]).index_add_(0, dst, x[src])
+                x = self.lin_l[i](s / deg) + self.lin_r[i](x)
+                x = torch.relu(self.bns[i](x))
+            pooled = torch.zeros(TORCH_EVENTS, x.shape[1]).scatter_reduce(
+                0, ev[:, None].expand(-1, x.shape[1]), x, "amax",
+                include_self=False)
+            for lin in self.head:  # LinearBlock: no inter-layer activation
+                pooled = lin(pooled)
+            return pooled
+
+    return _torch_train_wps(TorchSAGENet, x0, y, nn.CrossEntropyLoss(), n_rows)
+
+
+def bench_graph(backend):
+    """Graph-family train throughput (ref model: GraphNet.py:222-315). The
+    jit step consumes host-prebuilt padded kNN edge tables (built per batch
+    on the loader's prefetch thread in production); device side is pure
+    segment-op message passing."""
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    cfg = _graph_bench_cfg()
+    block = _sparse_block()
+    jax_wps, step_s, _ = _chained_train_wps(cfg, LitPSD(cfg), block)
+    torch_wps = _cached_baseline("graph_train", _torch_graph_train)
+    _emit(f"graph train throughput ({backend})", jax_wps,
+          "waveforms/sec/chip", jax_wps / torch_wps if torch_wps else 0.0,
+          step_ms=round(step_s * 1e3, 3), conv="SAGE", k=GRAPH_K,
+          n_graph=GRAPH_LAYERS)
+
+
+# ---------------------------------------------------------------------------------
 # config 5: HPO sweep (native TPE + MedianPruner over the sparse PSD model)
 # ---------------------------------------------------------------------------------
 
@@ -720,7 +839,14 @@ def bench_hpo(backend):
     K = 10  # steps chained per dispatch: per-dispatch RPC latency through the
             # TPU tunnel varies wildly; 15 dispatches/trial instead of 150
 
+    # per-trial phase attribution (VERDICT r4: 56 s vs 90 s driver runs were
+    # unattributable): setup = Trainer build + param init, compile = the
+    # first _multi_step_fn call (jit trace + remote XLA compile run
+    # synchronously at call time; only execution is async), steps = the rest
+    trial_timings = []
+
     def objective(trial):
+        t_setup = time.perf_counter()
         lr = trial.suggest_float("lr", 1e-4, 1e-1, log=True)
         cfg = _sparse_cfg()
         cfg.optimize_config.lr = lr
@@ -732,16 +858,24 @@ def bench_hpo(backend):
         dbs = {k: jnp.asarray(np.stack([v] * K)) for k, v in db1.items()}
         rng = jax.random.PRNGKey(0)
         loss = None
+        timing = {"setup_s": time.perf_counter() - t_setup,
+                  "compile_s": 0.0, "steps_s": 0.0}
+        trial_timings.append(timing)
         for i in range(HPO_STEPS // K):
+            t0 = time.perf_counter()
             out = trainer._multi_step_fn(
                 trainer.state.params, trainer.state.batch_stats,
                 trainer.state.opt_state, jax.random.fold_in(rng, i), dbs)
+            timing["compile_s" if i == 0 else "steps_s"] += \
+                time.perf_counter() - t0
             (trainer.state.params, trainer.state.batch_stats,
              trainer.state.opt_state) = out[0], out[1], out[2]
             loss = out[3][-1]
             step = (i + 1) * K - 1
             if step % 50 == 49:
+                t0 = time.perf_counter()
                 trial.report(float(loss), step)
+                timing["steps_s"] += time.perf_counter() - t0
                 if trial.should_prune():
                     from waveformml_tpu.optimization.hpo import TrialPruned
                     raise TrialPruned()
@@ -759,7 +893,9 @@ def bench_hpo(backend):
     _emit(f"HPO sweep wall-clock, {HPO_TRIALS} trials x {HPO_STEPS} steps ({backend})",
           jax_s, "seconds (lower is better)",
           torch_s / jax_s if torch_s else 0.0,
-          torch_measured_s=round(torch_s, 1) if torch_s else None)
+          torch_measured_s=round(torch_s, 1) if torch_s else None,
+          trial_s=[{k: round(v, 2) for k, v in t.items()}
+                   for t in trial_timings])
 
 
 def _torch_hpo_measured() -> float:
@@ -944,8 +1080,8 @@ def _cached_baseline(key, fn):
 # two rounds running they were the only configs the driver artifact missed,
 # because each sat in its own fresh TPU client paying the 1-10 min
 # first-execution stall out of its own small budget.
-BENCHES = ["sparse_psd", "infer", "stream", "hpo", "heavy", "dense_conv1d",
-           "wfparams"]
+BENCHES = ["sparse_psd", "infer", "stream", "hpo", "graph", "heavy",
+           "dense_conv1d", "wfparams"]
 # Orchestrator child GROUPS: every child process is a fresh TPU client and
 # pays the link's per-client first-execution stall (1-10 min on a slow-phase
 # day — docs/PERF_NOTES.md) BEFORE its first timing, so ALL non-headline
@@ -958,7 +1094,7 @@ BENCHES = ["sparse_psd", "infer", "stream", "hpo", "heavy", "dense_conv1d",
 # results. The global wall-clock guard (BENCH_TOTAL_S, default 2400 s)
 # keeps the suite inside the driver's budget regardless.
 GROUPS = [("sparse_psd", 480),
-          ("infer,stream,hpo,heavy,dense_conv1d,wfparams", 1900)]
+          ("infer,stream,hpo,graph,heavy,dense_conv1d,wfparams", 1900)]
 
 
 def _run_inline(names) -> int:
@@ -972,7 +1108,8 @@ def _run_inline(names) -> int:
     backend = jax.default_backend()
     fns = {"dense_conv1d": bench_dense_conv1d, "wfparams": bench_wfparams,
            "stream": bench_stream, "hpo": bench_hpo, "heavy": bench_heavy,
-           "infer": bench_infer, "sparse_psd": bench_sparse_psd}
+           "infer": bench_infer, "sparse_psd": bench_sparse_psd,
+           "graph": bench_graph}
     per_cfg = float(os.environ.get("BENCH_CONFIG_S", 480))
     can_alarm = hasattr(signal, "SIGALRM")
 

@@ -176,16 +176,42 @@ def test_graph3dnet_forward(rng, tmp_path):
 
 def test_dynamic_conv_variants_forward(rng):
     """DynamicEdgeConv / DynamicGraphConv (ref: GraphNet.py:24-41) — the
-    kNN-over-positions wrappers around EdgeConv / GCNConv."""
+    in-forward kNN-rebuild wrappers around EdgeConv / GCNConv. The graph is
+    rebuilt from the second argument on device (feature_knn)."""
     from waveformml_tpu.models.graph_net import DynamicEdgeConv, DynamicGraphConv
 
-    x, edges, edge_mask, _ = _graph_inputs(rng)
+    x, _edges, _edge_mask, _ = _graph_inputs(rng)
+    batch = jnp.asarray(np.repeat(np.arange(3), 4).astype(np.int32))
+    node_mask = jnp.ones(12, bool)
     for cls in (DynamicEdgeConv, DynamicGraphConv):
-        layer = cls(in_channels=6, out_channels=4)
-        variables = layer.init(jax.random.PRNGKey(0), x, edges, edge_mask)
-        out = layer.apply(variables, x, edges, edge_mask)
+        layer = cls(in_channels=6, out_channels=4, k=2)
+        variables = layer.init(jax.random.PRNGKey(0), x, x, batch, node_mask)
+        out = layer.apply(variables, x, x, batch, node_mask)
         assert out.shape == (12, 4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_feature_knn_masks_and_tiebreak():
+    """feature_knn: self/cross-event/masked pairs excluded; deficit centers
+    get masked tail slots; exact ties prefer the lower row index (the
+    documented tie-break the torch mirrors share)."""
+    from waveformml_tpu.models.graph_layers import feature_knn
+
+    x = np.array([[0.0], [1.0], [1.0], [5.0],    # event 0 (row 3 masked)
+                  [0.0], [2.0]], np.float32)     # event 1 (one neighbor each)
+    batch = jnp.asarray(np.array([0, 0, 0, 0, 1, 1], np.int32))
+    mask = jnp.asarray(np.array([1, 1, 1, 0, 1, 1], bool))
+    edges, em = feature_knn(jnp.asarray(x), batch, mask, k=2)
+    edges, em = np.asarray(edges), np.asarray(em)
+    nb = {i: [int(s) for s, d, m in zip(edges[0], edges[1], em)
+              if d == i and m] for i in range(6)}
+    # row 0: rows 1 and 2 are equidistant (d²=1) — lower index first
+    assert nb[0] == [1, 2]
+    # rows 1, 2: nearest is the OTHER tied row (d²=0), then row 0; row 3
+    # (masked) never appears
+    assert nb[1] == [2, 0] and nb[2] == [1, 0]
+    assert nb[3] == []                      # masked center: all slots dead
+    assert nb[4] == [5] and nb[5] == [4]    # k=2 but only 1 valid neighbor
 
 
 def test_make_conv_transformer_params_propagate():

@@ -14,6 +14,7 @@ import numpy as np
 import torch
 import torch.nn as tnn
 
+import flax.linen as fnn
 import jax
 import jax.numpy as jnp
 
@@ -60,10 +61,7 @@ def _block(rng, n_events=8, n_in=16):
     return FileBlock(coords, feats, labels, {})
 
 
-def _randomized_variables(task, db, rng):
-    v = task.init_variables(jax.random.PRNGKey(0),
-                            {k: jnp.asarray(x) for k, x in db.items()})
-
+def _randomize_tree(v, rng):
     def randomize(x):
         return jnp.asarray(rng.normal(size=np.shape(x)).astype(np.float32) * 0.3)
 
@@ -72,6 +70,12 @@ def _randomized_variables(task, db, rng):
     bstats = jax.tree.map(
         lambda x: jnp.abs(x) + 0.5, bstats)  # vars must be positive
     return {"params": params, "batch_stats": bstats}
+
+
+def _randomized_variables(task, db, rng):
+    v = task.init_variables(jax.random.PRNGKey(0),
+                            {k: jnp.asarray(x) for k, x in db.items()})
+    return _randomize_tree(v, rng)
 
 
 def _np_tree(t):
@@ -837,6 +841,234 @@ def test_graphnet_arma_full_model_parity(rng, tmp_path):
             + torch.from_numpy(lp["V_0"]["bias"])
             + x @ torch.from_numpy(lp["W_0"]["kernel"])
             + torch.from_numpy(lp["W_0"]["bias"]))
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def _stack_db(rng, tmp_path, n_in=16):
+    """Prepared db (padded feats/coords/mask/labels + knn edge tables) for
+    the hand-composed stacks below, via the same LitPSD prep path the
+    GraphNet mirrors use."""
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    task = LitPSD(_graph_cfg(1, str(tmp_path)))
+    block = _block(rng, n_in=n_in)
+    rb, eb = task.row_bucket(block), task.event_bucket(block)
+    return task.prepare_block(block, rb, eb), block.labels.shape[0]
+
+
+STACK_PLANES = (16, 11, 6)  # _graph_planes(16, 2, 0, 1.0, 6, 'linear')
+
+
+class _GINEStack(fnn.Module):
+    """GraphNet's layer loop with GINEConv convs (GINEConv is imported by
+    the reference, GraphNet.py:7, but absent from its 0-17 selector — this
+    composes it exactly as the selector would: conv + masked BN + ReLU ×2,
+    Cartesian edge attrs, masked global max pool, LinearBlock head)."""
+
+    planes: tuple = STACK_PLANES
+
+    @fnn.compact
+    def __call__(self, db, train: bool = False):
+        from waveformml_tpu.models.blocks import LinearBlock, MaskedArrayBatchNorm
+        from waveformml_tpu.models.graph_layers import GINEConv, global_max_pool
+        from waveformml_tpu.models.graph_net import _cartesian, _GraphMLP
+
+        x = db["feats"]
+        coords = db["coords"]
+        mask = db["mask"]
+        edges = db[f"edges_knn{K}"]
+        em = db[f"edge_mask_knn{K}"]
+        eattr = _cartesian(coords[:, :2].astype(x.dtype), edges)
+        for i in range(2):
+            x = GINEConv(_GraphMLP((self.planes[i], self.planes[i + 1])),
+                         name=f"gconv_{i}")(x, edges, em, edge_attr=eattr,
+                                            train=train)
+            x = MaskedArrayBatchNorm(self.planes[i + 1], name=f"norm_{i}")(
+                x, mask=mask, train=train)
+            x = jax.nn.relu(x)
+        pooled = global_max_pool(x, coords[:, 2], db["labels"].shape[0], mask)
+        return LinearBlock(self.planes[-1], 2, 2, name="linear")(pooled,
+                                                                 train=train)
+
+
+def test_gine_composed_full_model_parity(rng, tmp_path):
+    """GINEConv composed stack vs torch mirror (PyG GINEConv: x'_i =
+    h_Θ((1+ε) x_i + Σ_{j∈N(i)} ReLU(x_j + W_e e_ij)), ε=0, edge attrs
+    projected to the node dim)."""
+    db, n_ev = _stack_db(rng, tmp_path)
+    model = _GINEStack()
+    dbj = {k: jnp.asarray(v) for k, v in db.items()}
+    variables = _randomize_tree(model.init(jax.random.PRNGKey(0), dbj), rng)
+    got = np.asarray(model.apply(variables, dbj))[:n_ev]
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    em = torch.from_numpy(db[f"edge_mask_knn{K}"])
+    eattr, src_a, dst_a = _cartesian_edge_attr(db)
+    src, dst = torch.from_numpy(src_a), torch.from_numpy(dst_a)
+    for i in range(2):
+        lp = p[f"gconv_{i}"]
+        e = eattr @ torch.from_numpy(lp["edge_proj"]["kernel"]) \
+            + torch.from_numpy(lp["edge_proj"]["bias"])
+        msg = torch.relu(x[src] + e)
+        wm = em.float().unsqueeze(1)
+        agg = torch.zeros(n, x.shape[1]).index_add_(0, dst, msg * wm)
+        # the _GraphMLP net is constructed in the stack's compact scope, so
+        # flax hoists its params beside the conv (gconv_i holds edge_proj)
+        mlp = p[f"_GraphMLP_{i}"]["LinearPlanes_0"]
+        x = torch.relu((x + agg) @ torch.from_numpy(mlp["dense_0"]["kernel"])
+                       + torch.from_numpy(mlp["dense_0"]["bias"]))
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def _torch_feature_knn(x_t, batch_np, mask_np, k):
+    """Torch-side feature-space kNN with the SAME distance formula as
+    graph_layers.feature_knn (squared diffs summed in f32, self /
+    cross-event / masked pairs at +inf). Returns (src, dst, live-mask)."""
+    n = x_t.shape[0]
+    d2 = ((x_t[:, None, :] - x_t[None, :, :]) ** 2).sum(-1)
+    batch = torch.from_numpy(batch_np.astype(np.int64))
+    mask = torch.from_numpy(mask_np)
+    invalid = (batch[:, None] != batch[None, :]) \
+        | ~mask[None, :] | ~mask[:, None] | torch.eye(n, dtype=torch.bool)
+    d2 = torch.where(invalid, torch.inf, d2)
+    # stable sort = lower index first on exact ties (ReLU-zeroed rows DO
+    # collide exactly) — the tie-break lax.top_k documents; torch.topk's
+    # tie order is unspecified
+    idx = torch.argsort(d2, dim=1, stable=True)[:, :k]
+    vals = torch.gather(d2, 1, idx)
+    src = idx.reshape(-1)
+    dst = torch.arange(n).repeat_interleave(k)
+    return src, dst, torch.isfinite(vals).reshape(-1)
+
+
+def _assert_knn_sets_match(x_np, batch_np, mask_np, k, src_t, dst_t, em_t):
+    """The edge SETS (per-center live-neighbor sets) of the torch rebuild
+    must equal feature_knn's on identical inputs — the shared tie-break
+    rule is documented on feature_knn; random normal features make exact
+    ties measure-zero, so set equality is the contract."""
+    from waveformml_tpu.models.graph_layers import feature_knn
+
+    ej, mj = feature_knn(jnp.asarray(x_np), jnp.asarray(batch_np.astype(np.int32)),
+                         jnp.asarray(mask_np), k)
+    ej, mj = np.asarray(ej), np.asarray(mj)
+    jax_sets = {}
+    for s, d, m in zip(ej[0], ej[1], mj):
+        if m:
+            jax_sets.setdefault(int(d), set()).add(int(s))
+    torch_sets = {}
+    for s, d, m in zip(src_t.numpy(), dst_t.numpy(), em_t.numpy()):
+        if m:
+            torch_sets.setdefault(int(d), set()).add(int(s))
+    assert jax_sets == torch_sets
+
+
+class _DynStack(fnn.Module):
+    """Two Dynamic* layers (kNN REBUILT from the current features inside
+    each layer, ref: GraphNet.py:24-41) + masked BN + ReLU + pool + head."""
+
+    conv: str = "edge"
+    planes: tuple = STACK_PLANES
+    k: int = K
+
+    @fnn.compact
+    def __call__(self, db, train: bool = False):
+        from waveformml_tpu.models.blocks import LinearBlock, MaskedArrayBatchNorm
+        from waveformml_tpu.models.graph_layers import global_max_pool
+        from waveformml_tpu.models.graph_net import (DynamicEdgeConv,
+                                                     DynamicGraphConv)
+
+        x = db["feats"]
+        coords = db["coords"]
+        mask = db["mask"]
+        batch = coords[:, 2]
+        cls = DynamicEdgeConv if self.conv == "edge" else DynamicGraphConv
+        for i in range(2):
+            x = cls(self.planes[i], self.planes[i + 1], k=self.k,
+                    name=f"gconv_{i}")(x, x, batch, mask, train=train)
+            x = MaskedArrayBatchNorm(self.planes[i + 1], name=f"norm_{i}")(
+                x, mask=mask, train=train)
+            x = jax.nn.relu(x)
+        pooled = global_max_pool(x, batch, db["labels"].shape[0], mask)
+        return LinearBlock(self.planes[-1], 2, 2, name="linear")(pooled,
+                                                                 train=train)
+
+
+def _run_dyn_stack(conv, rng, tmp_path):
+    db, n_ev = _stack_db(rng, tmp_path)
+    model = _DynStack(conv=conv)
+    dbj = {k: jnp.asarray(v) for k, v in db.items()}
+    variables = _randomize_tree(model.init(jax.random.PRNGKey(0), dbj), rng)
+    got = np.asarray(model.apply(variables, dbj))[:n_ev]
+    return got, db, variables, n_ev
+
+
+def test_dynamic_edgeconv_composed_full_model_parity(rng, tmp_path):
+    """DynamicEdgeConv stack: per layer the kNN graph is rebuilt from the
+    layer's INPUT features (DGCNN), then EdgeConv max-aggregates
+    MLP([x_i ‖ x_j − x_i]). The torch mirror rebuilds kNN from its own
+    intermediate features and each rebuild's edge set is asserted equal to
+    feature_knn's on the same inputs."""
+    got, db, variables, n_ev = _run_dyn_stack("edge", rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    batch_np = db["coords"][:, 2]
+    mask_np = np.asarray(db["mask"])
+    for i in range(2):
+        src, dst, em = _torch_feature_knn(x, batch_np, mask_np, K)
+        _assert_knn_sets_match(x.numpy(), batch_np, mask_np, K, src, dst, em)
+        lp = p[f"gconv_{i}"]["_GraphMLP_0"]["LinearPlanes_0"]
+        z = torch.cat([x[dst], x[src] - x[dst]], dim=1)
+        msg = torch.relu(z @ torch.from_numpy(lp["dense_0"]["kernel"])
+                         + torch.from_numpy(lp["dense_0"]["bias"]))
+        msg = torch.where(em.unsqueeze(1), msg, torch.full((), -torch.inf))
+        out = torch.full((n, msg.shape[1]), -torch.inf)
+        out = out.index_reduce_(0, dst, msg, "amax", include_self=True)
+        x = torch.where(torch.isfinite(out), out, torch.zeros(()))
+        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+    want = _pool_and_head(x, db, p, n_ev)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dynamic_graphconv_composed_full_model_parity(rng, tmp_path):
+    """DynamicGraphConv stack: kNN rebuilt from features per layer, then
+    GCNConv (self-loops re-added with fill weight 1, symmetric
+    normalization). Edge sets asserted per rebuild as above."""
+    got, db, variables, n_ev = _run_dyn_stack("gcn", rng, tmp_path)
+    p = _np_tree(variables["params"])
+    bs = _np_tree(variables["batch_stats"])
+
+    x = torch.from_numpy(np.asarray(db["feats"], np.float32))
+    n = x.shape[0]
+    batch_np = db["coords"][:, 2]
+    mask_np = np.asarray(db["mask"])
+    for i in range(2):
+        src, dst, em = _torch_feature_knn(x, batch_np, mask_np, K)
+        _assert_knn_sets_match(x.numpy(), batch_np, mask_np, K, src, dst, em)
+        live = em.numpy()
+        src_l = src.numpy()[live]
+        dst_l = dst.numpy()[live]
+        # GCN re-adds one self-loop per node, weight 1 (feature_knn emits
+        # no loops, so nothing to de-duplicate)
+        src_a = np.concatenate([src_l, np.arange(n)])
+        dst_a = np.concatenate([dst_l, np.arange(n)])
+        deg = np.bincount(dst_a, minlength=n).astype(np.float32)
+        norm = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+        coeff = torch.from_numpy(norm[src_a] * norm[dst_a]).unsqueeze(1)
+        lp = p[f"gconv_{i}"]["GCNConv_0"]
+        h = x @ torch.from_numpy(lp["lin"]["kernel"])
+        out = torch.zeros(n, h.shape[1])
+        out.index_add_(0, torch.from_numpy(dst_a), h[torch.from_numpy(src_a)] * coeff)
+        x = out + torch.from_numpy(lp["bias"])
         x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
     want = _pool_and_head(x, db, p, n_ev)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

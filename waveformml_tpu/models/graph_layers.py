@@ -51,6 +51,35 @@ def edge_softmax(logits: jax.Array, targets: jax.Array, n_nodes: int,
     return exp / jnp.maximum(denom[targets], 1e-16)
 
 
+def feature_knn(x: jax.Array, batch: jax.Array, node_mask: jax.Array,
+                k: int):
+    """Device-side kNN graph rebuilt from FEATURES — the dynamic-graph
+    primitive (ref: GraphNet.py:24-41 calls PyG ``knn_graph(x, k, batch,
+    loop=False)`` inside every Dynamic* forward). Returns
+    (edges [2, N·k] int32 in (source=neighbor, target=center) convention,
+    edge_mask [N·k]).
+
+    Tie-break rule (shared with the torch mirrors in
+    tests/test_parity_graph_torch.py): squared distances are computed as
+    sum((x_i − x_j)²) in f32 and ``lax.top_k`` prefers the LOWER row index
+    on exact ties. Masked rows, cross-event pairs, and self-pairs are
+    pushed to +inf; a center with fewer than k valid neighbors gets its
+    tail slots masked out. O(N²) — dynamic graphs are rebuilt per layer on
+    small per-event point clouds (multiplicity ≲ 10 rows/event)."""
+    n = x.shape[0]
+    xf = x.astype(jnp.float32)
+    d2 = jnp.sum((xf[:, None, :] - xf[None, :, :]) ** 2, axis=-1)
+    invalid = (batch[:, None] != batch[None, :]) \
+        | ~node_mask[None, :] | ~node_mask[:, None] \
+        | jnp.eye(n, dtype=bool)
+    d2 = jnp.where(invalid, jnp.inf, d2)
+    neg, idx = jax.lax.top_k(-d2, k)            # k nearest per center row
+    src = idx.reshape(-1)
+    dst = jnp.repeat(jnp.arange(n), k)
+    edges = jnp.stack([src, dst]).astype(jnp.int32)
+    return edges, jnp.isfinite(neg).reshape(-1)
+
+
 def _sym_norm(edges, edge_mask, n_nodes, edge_weight=None):
     """D^-1/2 A D^-1/2 edge coefficients (GCN normalization)."""
     w = edge_weight if edge_weight is not None else \

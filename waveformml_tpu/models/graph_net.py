@@ -497,35 +497,42 @@ class Graph3DNet(nn.Module):
 
 
 class DynamicEdgeConv(nn.Module):
-    """EdgeConv over a kNN graph recomputed from features — the reference's
-    dynamic variant (ref: GraphNet.py:25-41) uses positions; the edges here
-    are supplied precomputed (host kNN)."""
+    """EdgeConv over a kNN graph REBUILT in-forward — the reference's dynamic
+    variant (ref: GraphNet.py:24-32: ``knn_graph(x, self.k, batch,
+    loop=False)`` then ``EdgeConv.forward(feat, edge_index)``). ``feat``
+    carries the convolved features; ``x`` is what the graph is rebuilt from
+    (DGCNN passes the current features for both). The kNN runs ON DEVICE
+    (graph_layers.feature_knn) so the rebuilt graph stays inside the jit."""
 
     in_channels: int
     out_channels: int
     k: int = 6
 
     @nn.compact
-    def __call__(self, x, edges, edge_mask, train: bool = False):
-        from waveformml_tpu.models.graph_layers import EdgeConv
+    def __call__(self, feat, x, batch, node_mask, train: bool = False):
+        from waveformml_tpu.models.graph_layers import EdgeConv, feature_knn
 
+        edges, edge_mask = feature_knn(x, batch, node_mask, self.k)
         return EdgeConv(_GraphMLP((2 * self.in_channels, self.out_channels)))(
-            x, edges, edge_mask, train=train)
+            feat, edges, edge_mask, train=train)
 
 
 class DynamicGraphConv(nn.Module):
-    """GCNConv over a kNN graph recomputed from positions — the reference
-    defines this beside DynamicEdgeConv (ref: GraphNet.py:34-41) though no
-    shipped config instantiates it; kept for API parity. Edges are supplied
-    precomputed (host kNN), matching DynamicEdgeConv's convention here."""
+    """GCNConv over a kNN graph REBUILT in-forward — the reference defines
+    this beside DynamicEdgeConv (ref: GraphNet.py:34-41: ``knn_graph(x,
+    self.k, batch, loop=False)`` then ``GCNConv.forward(feat, edge_index)``)
+    though no shipped config instantiates it; kept for API parity. Same
+    (feat, x, batch) convention and on-device feature_knn as
+    DynamicEdgeConv."""
 
     in_channels: int
     out_channels: int
     k: int = 6
 
     @nn.compact
-    def __call__(self, x, edges, edge_mask, train: bool = False):
-        from waveformml_tpu.models.graph_layers import GCNConv
+    def __call__(self, feat, x, batch, node_mask, train: bool = False):
+        from waveformml_tpu.models.graph_layers import GCNConv, feature_knn
 
+        edges, edge_mask = feature_knn(x, batch, node_mask, self.k)
         return GCNConv(self.in_channels, self.out_channels)(
-            x, edges, edge_mask, train=train)
+            feat, edges, edge_mask, train=train)
