@@ -456,10 +456,13 @@ def bench_wfparams(backend):
 
 STREAM_EVENTS = 10000
 # the reference default read size is 2048 rows (PredictionWriter.py:39) —
-# sized for a local GPU. Through a high-latency device link, large reads
-# amortize the per-dispatch roundtrip; the pipelined writer (pipeline_depth)
-# keeps several chunks in flight either way.
-STREAM_READ = int(os.environ.get("WFML_BENCH_STREAM_READ", 8192))
+# sized for a local GPU. Through a high-latency device link the tradeoff is
+# measured (2026-08-20, docs/PERF_NOTES.md): big reads amortize per-dispatch
+# RPC overhead but expose a whole chunk's latency as pipeline drain after
+# the last launch (8192 → drain 0.27 s on a 4-chunk file); 4096 halves the
+# drain with no measurable launch-overhead cost. pipeline_depth 8 keeps the
+# launch stream ahead of the fetch thread's round-trips.
+STREAM_READ = int(os.environ.get("WFML_BENCH_STREAM_READ", 4096))
 STREAM_GZIP_IN = 4   # the analysis chain's inputs are gzip-chunked tables
                      # (HDF5IO.py:88-91) — charge both sides the real decode
 
@@ -593,6 +596,13 @@ def bench_stream(backend):
             "end_to_end_s": round(e2e_s, 3),
             "max_stage_s": round(max_stage, 3),
             "pipeline_efficiency": round(max_stage / e2e_s, 3),
+            # same-phase overlap quality: the link work serialized on the
+            # main thread DURING the timed pass (dispatch_s carries the
+            # transfers) over end-to-end. The breakdown-based number above
+            # compares across tunnel phases (the link moves ±40% run to
+            # run, so it can land anywhere incl. >1); this one cannot.
+            "pipeline_efficiency_in_run": round(
+                pipe.get("dispatch_s", 0.0) / e2e_s, 3) if pipe else None,
             "pipeline_s": pipe,
         }
     _emit(f"Z WritePredictions streaming throughput ({backend})", jax_wps,
@@ -617,7 +627,7 @@ def _stream_breakdown(input_path, tmp, config_path, ckpt):
     inp.setup_table(t.name, t.type, t.event_index_name,
                     event_index_coord=t.event_index_coord)
     t0 = time.perf_counter()
-    chunks = list(inp.iter_chunks(STREAM_READ))
+    chunks = list(inp.iter_chunks(STREAM_READ, preserve_event="truncate"))
     t_decode = time.perf_counter() - t0
     inp.close()
     n_rows = sum(c.shape[0] for c in chunks)

@@ -52,6 +52,9 @@ ROWS = [
      "Compute-heavy bf16 sparse PSD (64 planes, 4 convs)", "waveforms/s"),
     ("sparse PSD batched inference throughput",
      "Batched inference (sparse PSD eval forward)", "waveforms/s"),
+    ("graph train throughput",
+     "Graph SAGE classifier train step (IoniClassifierGraph stack)",
+     "waveforms/s"),
 ]
 
 

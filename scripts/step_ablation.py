@@ -112,6 +112,53 @@ def main() -> int:
         "out_planes": args.out_planes,
         "n_conv": args.n_conv,
     }
+
+    # conv-stack vs head attribution INSIDE the forward (SubMPSDNet exposes
+    # stack / head0 / linear submodules; setup-defined attrs only exist on
+    # BOUND modules, so gate on the class, not hasattr)
+    from waveformml_tpu.models.nets import SubMPSDNet
+
+    model = task.model
+    if isinstance(model, SubMPSDNet):
+        inputs0 = task.model_inputs(db0)
+
+        def vars_of(p, bs):
+            return {"params": p, **({"batch_stats": bs}
+                                    if bs is not None else {})}
+
+        stack_fwd = jax.jit(lambda p, bs: model.apply(
+            vars_of(p, bs), inputs0, False, True,
+            method=lambda m, b, tr, rr: m.stack(b, train=tr, return_rows=rr)))
+        rows_out = stack_fwd(params, bstats)
+
+        def head_fn(m, r, b, tr):
+            x = m.head0(r, b)
+            return m.linear(x, train=tr) if m.linear is not None else x
+
+        head_fwd = jax.jit(lambda p, bs, r: model.apply(
+            vars_of(p, bs), r, inputs0, False, method=head_fn))
+
+        def stack_scalar(p, bs):
+            return jnp.sum(model.apply(
+                vars_of(p, bs), inputs0, False, True,
+                method=lambda m, b, tr, rr: m.stack(b, train=tr,
+                                                    return_rows=rr))
+                .astype(jnp.float32))
+
+        def head_scalar(p, bs, r):
+            return jnp.sum(model.apply(vars_of(p, bs), r, inputs0, False,
+                                       method=head_fn).astype(jnp.float32))
+
+        stack_fb = jax.jit(lambda p, bs: jax.value_and_grad(
+            lambda q: stack_scalar(q, bs))(p))
+        head_fb = jax.jit(lambda p, bs, r: jax.value_and_grad(
+            lambda q: head_scalar(q, bs, r))(p))
+        rows.update({
+            "stack_fwd_ms": timeit(stack_fwd, params, bstats) * 1e3,
+            "head_fwd_ms": timeit(head_fwd, params, bstats, rows_out) * 1e3,
+            "stack_fwd_bwd_ms": timeit(stack_fb, params, bstats) * 1e3,
+            "head_fwd_bwd_ms": timeit(head_fb, params, bstats, rows_out) * 1e3,
+        })
     print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
                       for k, v in rows.items()}, indent=1))
     return 0

@@ -48,6 +48,40 @@ def test_next_chunk_preserves_events(tmp_path):
     inp.close()
 
 
+def test_next_chunk_truncate_mode(tmp_path):
+    """preserve_event="truncate": chunks never EXCEED nrows (an nrows+eps
+    chunk pads to the next static-shape bucket — 50% wasted transfer), events
+    stay whole, coverage is exact, and a single whole-read event falls back
+    to extend."""
+    p = tmp_path / "x_WFNorm.h5"
+    data = _write_test_file(p, n=100)
+    t = WaveformPairNorm()
+    inp = H5Input(str(p))
+    inp.setup_table("WaveformPairNorm", t.type, "coord", 2)
+    chunks = list(inp.iter_chunks(nrows=17, preserve_event="truncate"))
+    inp.close()
+    assert all(len(c) <= 17 for c in chunks[:-1])
+    for a, b in zip(chunks[:-1], chunks[1:]):
+        assert a["coord"][-1, 2] != b["coord"][0, 2]
+    cat = np.concatenate(chunks)
+    np.testing.assert_array_equal(cat["pulse"], data["pulse"])
+
+    # one event spanning the whole read: truncate must extend, not loop/empty
+    _write_test_file(tmp_path / "y_WFNorm.h5", n=60)
+    import h5py
+
+    with h5py.File(tmp_path / "y_WFNorm.h5", "r+") as f:
+        rows = f["WaveformPairNorm"][...]
+        rows["coord"][:, 2] = 7  # every row the same event id
+        f["WaveformPairNorm"][...] = rows
+    inp = H5Input(str(tmp_path / "y_WFNorm.h5"))
+    inp.setup_table("WaveformPairNorm", t.type, "coord", 2)
+    chunks = list(inp.iter_chunks(nrows=10, preserve_event="truncate"))
+    inp.close()
+    assert sum(len(c) for c in chunks) == 60
+    assert len(chunks[0]) == 60  # extended through the single event
+
+
 def test_next_chunk_restarts_after_none(tmp_path):
     p = tmp_path / "x_WFNorm.h5"
     _write_test_file(p, n=50)

@@ -119,7 +119,8 @@ class PredictionWriter(P2XTableWriter):
         # stages serialize there.
         self.stage_seconds = {"dispatch_s": 0.0, "fetch_post_s": 0.0,
                               "fetch_wait_s": 0.0, "write_wait_s": 0.0,
-                              "writer_busy_s": 0.0}
+                              "writer_busy_s": 0.0, "fill_s": 0.0,
+                              "drain_s": 0.0}
         # keep the model's dispatch sub-phase window aligned with
         # stage_seconds when a writer/model is reused across passes
         for attr in ("model", "class_model"):
@@ -127,8 +128,14 @@ class PredictionWriter(P2XTableWriter):
             if model is not None and hasattr(model, "dispatch_phases"):
                 model.dispatch_phases = {k: 0.0
                                          for k in model.dispatch_phases}
-        depth = max(1, int(getattr(self, "pipeline_depth", 3)))
-        wq: "queue.Queue" = queue.Queue(maxsize=4)
+        # depth bounds in-flight dispatch handles (each pins its ~1-2 MB
+        # packed input buffer on device until fetched — ~10-15 MB at depth 8,
+        # noise against HBM). Measured 2026-08-20: depth 3 backpressured the
+        # main thread 0.26 s (fetch_wait) on a 7-chunk file while the link
+        # still had work to ship; depth 8 keeps the launch stream ahead of
+        # the fetch thread's per-chunk RPC round-trips.
+        depth = max(1, int(getattr(self, "pipeline_depth", 8)))
+        wq: "queue.Queue" = queue.Queue(maxsize=8)
         fq: "queue.Queue" = queue.Queue(maxsize=depth)
         errors = []
 
@@ -206,9 +213,21 @@ class PredictionWriter(P2XTableWriter):
         writer.start()
         fetcher.start()
 
+        t_loop = _time.perf_counter()
+        first_dispatch = True
         try:
-            for data in prefetch_iter(self.input.iter_chunks(self.n_rows_per_read)):
+            # "truncate": chunks stay ≤ n_rows_per_read so the padded row
+            # bucket is exactly n_rows_per_read — the reference's extend
+            # semantics would push every chunk a few rows PAST the bucket
+            # boundary (4097 → 6144-row bucket: 50% wasted h2d bytes+FLOPs)
+            for data in prefetch_iter(self.input.iter_chunks(
+                    self.n_rows_per_read, preserve_event="truncate")):
                 t0 = _time.perf_counter()
+                if first_dispatch:
+                    # pipeline fill: first-chunk decode before any device
+                    # work could start
+                    self.stage_seconds["fill_s"] = t0 - t_loop
+                    first_dispatch = False
                 handle = self.model_dispatch(data)
                 self.stage_seconds["dispatch_s"] += _time.perf_counter() - t0
                 if handle is None:  # legacy synchronous path
@@ -226,6 +245,7 @@ class PredictionWriter(P2XTableWriter):
             _drain_threads()
             _close_quietly()
             raise
+        t_drain = _time.perf_counter()
         _drain_threads()
         if errors:
             _close_quietly()
@@ -234,6 +254,9 @@ class PredictionWriter(P2XTableWriter):
             self.flush(self.data_type.name)
             self.input.close()
             self.close()
+            # pipeline drain: last dispatch returned -> all fetches/writes
+            # retired + final flush/close
+            self.stage_seconds["drain_s"] = _time.perf_counter() - t_drain
         except BaseException:
             # a failing final flush/close (e.g. disk full) must still
             # release both handles for retrying callers

@@ -246,10 +246,23 @@ class H5Input(H5Base):
             return row[self.event_index_name]
         return row[self.event_index_name][self.event_index_coord]
 
-    def next_chunk(self, nrows: int = 2048, preserve_event: bool = True) -> Optional[np.ndarray]:
-        """Read the next ~nrows rows; with preserve_event the chunk is extended
-        until the final event is complete. Returns None once after exhaustion,
-        then restarts (ref: HDF5IO.py:55-79 state machine)."""
+    def next_chunk(self, nrows: int = 2048,
+                   preserve_event="extend") -> Optional[np.ndarray]:
+        """Read the next ~nrows rows with whole events per chunk. Returns
+        None once after exhaustion, then restarts
+        (ref: HDF5IO.py:55-79 state machine).
+
+        preserve_event modes (both keep every event intact in one chunk):
+        - True / "extend": grow the chunk until the final event completes —
+          the reference's semantics. Chunks are nrows + a few rows.
+        - "truncate": cut BACK to the last complete event boundary, so
+          chunks are nrows − a few rows. On a static-shape device this is
+          the right mode: an nrows+ε chunk pads to the NEXT bucket (e.g.
+          4097 rows → 6144-row bucket = 50% wasted transfer + FLOPs), while
+          nrows−ε pads to nrows exactly. Falls back to extend when a single
+          event spans the whole read.
+        - False: raw nrows slices (events may split across chunks).
+        """
         if self.table is None:
             raise RuntimeError("No table opened!")
         if self.current_index == -2:
@@ -263,6 +276,15 @@ class H5Input(H5Base):
             return self._read(ci, self.table_length)
         data = self._read(self.current_index, self.current_index + nrows)
         self.current_index += nrows
+        if preserve_event == "truncate":
+            evts = self._event_numbers(data)
+            last_event = evts[-1]
+            first_of_last = int(np.argmax(evts == last_event))
+            if first_of_last > 0:
+                self.current_index -= data.shape[0] - first_of_last
+                return data[:first_of_last]
+            # whole read is one event: extend until it completes
+            preserve_event = True
         if preserve_event:
             last_event = self.get_event_number(data[-1])
             # block-read extension: pull ahead in chunks and cut at the first
@@ -285,7 +307,7 @@ class H5Input(H5Base):
                 self.current_index = -2
         return data
 
-    def iter_chunks(self, nrows: int = 2048, preserve_event: bool = True):
+    def iter_chunks(self, nrows: int = 2048, preserve_event="extend"):
         """Generator over all chunks (one full pass)."""
         while True:
             chunk = self.next_chunk(nrows, preserve_event)
