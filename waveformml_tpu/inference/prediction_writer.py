@@ -161,20 +161,28 @@ class PredictionWriter(P2XTableWriter):
                 finally:
                     self.stage_seconds["writer_busy_s"] += _time.perf_counter() - t0
 
+        def fetch_one(data, handle):
+            t0 = _time.perf_counter()
+            rows = self.apply_outputs(data, handle)
+            self.stage_seconds["fetch_post_s"] += _time.perf_counter() - t0
+            return rows
+
         def fetch_loop():
+            # collector: consume fetch FUTURES in dispatch order (writes must
+            # land in input order) while the pool's workers overlap the
+            # per-fetch RPC round-trips (~0.08-0.16 s each through a remote
+            # tunnel — serialized they form a second RPC stream as long as
+            # the launch stream; measured 2026-08-20)
             draining = False
             while True:
-                item = fq.get()
-                if item is None:
+                fut = fq.get()
+                if fut is None:
                     return
                 if draining:
+                    fut.cancel()
                     continue
-                data, handle = item
-                t0 = _time.perf_counter()
                 try:
-                    rows = self.apply_outputs(data, handle)
-                    self.stage_seconds["fetch_post_s"] += _time.perf_counter() - t0
-                    _write(rows)
+                    _write(fut.result())
                 except BaseException as e:
                     errors.append(e)
                     draining = True
@@ -190,12 +198,14 @@ class PredictionWriter(P2XTableWriter):
             if errors:
                 raise errors[0]
             t0 = _time.perf_counter()
-            fq.put((data, handle))  # bounded: at most `depth` chunks in flight
+            # bounded FIFO of futures: at most `depth` chunks in flight
+            fq.put(fetch_pool.submit(fetch_one, data, handle))
             self.stage_seconds["fetch_wait_s"] += _time.perf_counter() - t0
 
         def _drain_threads():
             fq.put(None)
             fetcher.join()
+            fetch_pool.shutdown(wait=True)
             wq.put(None)
             writer.join()
 
@@ -206,6 +216,11 @@ class PredictionWriter(P2XTableWriter):
                 except Exception:
                     pass  # don't mask the original error
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        fetch_pool = ThreadPoolExecutor(
+            max_workers=max(1, int(getattr(self, "fetch_workers", 3))),
+            thread_name_prefix="wfml-prediction-fetch")
         writer = threading.Thread(target=writer_loop, daemon=True,
                                   name="wfml-prediction-writer")
         fetcher = threading.Thread(target=fetch_loop, daemon=True,
