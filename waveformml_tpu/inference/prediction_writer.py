@@ -161,10 +161,18 @@ class PredictionWriter(P2XTableWriter):
                 finally:
                     self.stage_seconds["writer_busy_s"] += _time.perf_counter() - t0
 
+        fetch_stat_lock = threading.Lock()
+
         def fetch_one(data, handle):
+            # fetch_post_s = summed per-WORKER busy time (lock-guarded: '+='
+            # from 3 pool threads would lose updates). Workers overlap, so
+            # this legitimately exceeds wall time — it measures how much
+            # serial RPC latency the pool absorbed, not an e2e component.
             t0 = _time.perf_counter()
             rows = self.apply_outputs(data, handle)
-            self.stage_seconds["fetch_post_s"] += _time.perf_counter() - t0
+            dt = _time.perf_counter() - t0
+            with fetch_stat_lock:
+                self.stage_seconds["fetch_post_s"] += dt
             return rows
 
         def fetch_loop():

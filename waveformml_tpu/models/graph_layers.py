@@ -52,7 +52,7 @@ def edge_softmax(logits: jax.Array, targets: jax.Array, n_nodes: int,
 
 
 def feature_knn(x: jax.Array, batch: jax.Array, node_mask: jax.Array,
-                k: int):
+                k: int, block: int = 1024):
     """Device-side kNN graph rebuilt from FEATURES — the dynamic-graph
     primitive (ref: GraphNet.py:24-41 calls PyG ``knn_graph(x, k, batch,
     loop=False)`` inside every Dynamic* forward). Returns
@@ -61,23 +61,50 @@ def feature_knn(x: jax.Array, batch: jax.Array, node_mask: jax.Array,
 
     Tie-break rule (shared with the torch mirrors in
     tests/test_parity_graph_torch.py): squared distances are computed as
-    sum((x_i − x_j)²) in f32 and ``lax.top_k`` prefers the LOWER row index
-    on exact ties. Masked rows, cross-event pairs, and self-pairs are
+    sum((x_i − x_j)²) in f32 and selected with a STABLE argsort — the
+    lower row index wins exact ties (ReLU-zeroed rows do collide exactly;
+    ``lax.top_k``'s tie order is not stable across lowering contexts, so
+    it is not used). Masked rows, cross-event pairs, and self-pairs are
     pushed to +inf; a center with fewer than k valid neighbors gets its
-    tail slots masked out. O(N²) — dynamic graphs are rebuilt per layer on
-    small per-event point clouds (multiplicity ≲ 10 rows/event)."""
+    tail slots masked out.
+
+    FLOPs are O(N²·F) (all-pairs — the per-event mask is applied after),
+    but peak memory is bounded by computing center rows in ``block``-sized
+    strips via ``lax.map``: the live tensor is [block, N] per strip, never
+    the full [N, N] distance matrix (which at the standard 12288-row batch
+    would be ~600 MB per layer per direction)."""
     n = x.shape[0]
     xf = x.astype(jnp.float32)
-    d2 = jnp.sum((xf[:, None, :] - xf[None, :, :]) ** 2, axis=-1)
-    invalid = (batch[:, None] != batch[None, :]) \
-        | ~node_mask[None, :] | ~node_mask[:, None] \
-        | jnp.eye(n, dtype=bool)
-    d2 = jnp.where(invalid, jnp.inf, d2)
-    neg, idx = jax.lax.top_k(-d2, k)            # k nearest per center row
+    blk = max(1, min(int(block), n))
+    n_blocks = -(-n // blk)
+    n_pad = n_blocks * blk
+    # pad the CENTER axis only; padded centers use batch -1 / mask False so
+    # every candidate is invalid and their output slots are masked + sliced
+    xp = jnp.pad(xf, ((0, n_pad - n), (0, 0)))
+    bp = jnp.pad(batch.astype(jnp.int32), (0, n_pad - n),
+                 constant_values=-1)
+    mp = jnp.pad(node_mask, (0, n_pad - n), constant_values=False)
+    row_ids = jnp.arange(n_pad)
+
+    def one_strip(args):
+        xb, bb, mb, rb = args                       # [blk, ...] centers
+        d2 = jnp.sum((xb[:, None, :] - xf[None, :, :]) ** 2, axis=-1)
+        invalid = (bb[:, None] != batch[None, :]) \
+            | ~node_mask[None, :] | ~mb[:, None] \
+            | (rb[:, None] == jnp.arange(n)[None, :])   # self-pairs
+        d2 = jnp.where(invalid, jnp.inf, d2)
+        order = jnp.argsort(d2, axis=1, stable=True)[:, :k]
+        return jnp.take_along_axis(d2, order, axis=1), order
+
+    vals, idx = jax.lax.map(one_strip, (
+        xp.reshape(n_blocks, blk, -1), bp.reshape(n_blocks, blk),
+        mp.reshape(n_blocks, blk), row_ids.reshape(n_blocks, blk)))
+    vals = vals.reshape(n_pad, k)[:n]
+    idx = idx.reshape(n_pad, k)[:n]
     src = idx.reshape(-1)
     dst = jnp.repeat(jnp.arange(n), k)
     edges = jnp.stack([src, dst]).astype(jnp.int32)
-    return edges, jnp.isfinite(neg).reshape(-1)
+    return edges, jnp.isfinite(vals).reshape(-1)
 
 
 def _sym_norm(edges, edge_mask, n_nodes, edge_weight=None):
