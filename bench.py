@@ -1101,7 +1101,7 @@ BENCHES = ["sparse_psd", "infer", "stream", "hpo", "graph", "heavy",
 # Inside the child a per-config SIGALRM watchdog (BENCH_CONFIG_S) keeps one
 # hung config from eating the group's remaining budget, and the child prints
 # each metric line as it completes so a group timeout salvages partial
-# results. The global wall-clock guard (BENCH_TOTAL_S, default 2400 s)
+# results. The global wall-clock guard (BENCH_TOTAL_S, default 3000 s)
 # keeps the suite inside the driver's budget regardless.
 GROUPS = [("sparse_psd", 480),
           # 2400 s: the group gained an 8th config (graph) in r5, and the

@@ -274,11 +274,13 @@ class PredictionWriter(P2XTableWriter):
             _close_quietly()
             raise errors[0]
         try:
+            t_flush = _time.perf_counter()
+            self.stage_seconds["drain_fetch_s"] = t_flush - t_drain
             self.flush(self.data_type.name)
             self.input.close()
             self.close()
             # pipeline drain: last dispatch returned -> all fetches/writes
-            # retired + final flush/close
+            # retired (drain_fetch_s) + final flush/close (the rest)
             self.stage_seconds["drain_s"] = _time.perf_counter() - t_drain
         except BaseException:
             # a failing final flush/close (e.g. disk full) must still
