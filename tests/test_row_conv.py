@@ -468,3 +468,143 @@ def test_subm_rows_custom_vjp_matches_dense_autodiff(rng):
     for name, a, c in zip(("d_feats", "d_kernel", "d_bias"), gr, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=2e-4, err_msg=name)
+
+
+# ---------------------------------------------------------------------------------
+# site-grouped head (ops/site_head.py): the bysite FoldedSiteLinear path
+# ---------------------------------------------------------------------------------
+
+def _layout_batch(rng, n_events=6, C=5, n_pad=48):
+    from waveformml_tpu.ops.site_head import host_site_layout
+
+    rows = []
+    for e in range(n_events):
+        for s in rng.choice(NX * NY, size=int(rng.integers(1, 5)),
+                            replace=False):
+            rows.append([s % NX, s // NX, e])
+    coords = np.asarray(rows, np.int32)
+    feats = rng.normal(size=(coords.shape[0], C)).astype(np.float32)
+    c, f, m = pad_sparse(coords, feats, n_pad)
+    lay = host_site_layout(c, m)
+    b_plain = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m),
+                          n_events)
+    b_lay = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m),
+                        n_events,
+                        plans={k: jnp.asarray(v) for k, v in lay.items()})
+    return b_plain, b_lay, lay
+
+
+def test_host_site_layout_roundtrip(rng):
+    """Every real row lands in exactly one slot of its own site's group,
+    with the 1-based encoding and power-of-two capacity."""
+    from waveformml_tpu.ops.site_head import host_site_layout
+
+    b, _, lay = _layout_batch(rng)[0:3]
+    coords = np.asarray(b.coords)
+    mask = np.asarray(b.mask)
+    take = lay["site_take"]
+    n_real = int(mask.sum())
+    occupied = take[take > 0] - 1
+    assert sorted(occupied.tolist()) == sorted(np.nonzero(mask)[0].tolist())
+    assert take.shape[1] & (take.shape[1] - 1) == 0  # power of two
+    g_idx, s_idx = np.nonzero(take)
+    for g, sl in zip(g_idx, s_idx):
+        r = take[g, sl] - 1
+        assert coords[r, 0] * NY + coords[r, 1] == lay["site_s"][g] - 1
+        assert lay["site_ev"][g, sl] - 1 == coords[r, -1]
+    # grow-only min_cap is honored
+    lay2 = host_site_layout(coords, mask, min_cap=take.shape[1] * 4)
+    assert lay2["site_take"].shape[1] == take.shape[1] * 4
+
+
+def test_folded_site_linear_bysite_matches_dense(rng):
+    """bysite == dense == flatten-Linear reference, fwd and both grads."""
+    from waveformml_tpu.models.blocks import FoldedSiteLinear
+
+    C, F = 5, 7
+    b_plain, b_lay, _ = _layout_batch(rng, C=C)
+    variables = FoldedSiteLinear(C, F, mode="dense").init(
+        jax.random.PRNGKey(0), b_plain.feats, b_plain)
+
+    def loss(params, rows_in, mode, b):
+        out = FoldedSiteLinear(C, F, mode=mode).apply(
+            {"params": params}, rows_in, b)
+        return jnp.sum(out * out), out
+
+    (_, out_d), g_d = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        variables["params"], b_plain.feats, "dense", b_plain)
+    # mode='auto' must select bysite when the layout is present
+    (_, out_b), g_b = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        variables["params"], b_lay.feats, "auto", b_lay)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_d),
+                               rtol=1e-5, atol=1e-5)
+    jax.tree.map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5), g_b, g_d)
+    # forced bysite without a layout is a hard error, not a silent fallback
+    with pytest.raises(ValueError, match="site"):
+        FoldedSiteLinear(C, F, mode="bysite").apply(
+            {"params": variables["params"]}, b_plain.feats, b_plain)
+
+
+def test_bysite_zero_pad_and_group_stitch_invariance(rng):
+    """The 1-based layout encoding makes every multi-device transform a
+    no-op semantically: zero-padding the capacity dim (stack_shards /
+    _agree_shapes) and concatenating extra all-empty groups (multi-host
+    stitch) leave the output bit-identical; permuting groups only reorders
+    the scatter-add reduction."""
+    from waveformml_tpu.models.blocks import FoldedSiteLinear
+
+    C, F = 4, 6
+    b_plain, b_lay, lay = _layout_batch(rng, C=C)
+    variables = FoldedSiteLinear(C, F, mode="dense").init(
+        jax.random.PRNGKey(1), b_plain.feats, b_plain)
+    apply = lambda b: FoldedSiteLinear(C, F, mode="auto").apply(
+        {"params": variables["params"]}, b.feats, b)
+    ref = np.asarray(apply(b_lay))
+
+    def with_lay(d):
+        return SparseBatch(b_plain.coords, b_plain.feats, b_plain.mask,
+                           b_plain.n_events,
+                           plans={k: jnp.asarray(v) for k, v in d.items()})
+
+    padded = {k: (np.pad(v, ((0, 0), (0, 16))) if v.ndim == 2 else v)
+              for k, v in lay.items()}
+    np.testing.assert_array_equal(np.asarray(apply(with_lay(padded))), ref)
+
+    perm = rng.permutation(lay["site_take"].shape[0])
+    permuted = {k: v[perm] for k, v in lay.items()}
+    # group order changes the scatter-add summation order -> float noise
+    np.testing.assert_allclose(np.asarray(apply(with_lay(permuted))), ref,
+                               rtol=1e-6, atol=1e-6)
+
+    stitched = {k: np.concatenate([v, np.zeros_like(v)]) for k, v in lay.items()}
+    np.testing.assert_array_equal(np.asarray(apply(with_lay(stitched))), ref)
+
+
+def test_prepare_block_ships_site_layout(rng):
+    """After init_variables traces a FoldedSiteLinear model, prepare_block
+    host-builds the site layout and the train path consumes it (same loss
+    as the layout-free trace)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from _dist_train_common import make_cfg_block
+    from waveformml_tpu.engineering.tasks import LitPSD
+
+    cfg, block = make_cfg_block()
+    task = LitPSD(cfg)
+    rb, eb = task.row_bucket(block), task.event_bucket(block)
+    db0 = task.prepare_block(block, rb, eb)
+    assert not any(k.startswith("plan_site") for k in db0)  # not yet traced
+    task.init_variables(jax.random.PRNGKey(0), db0)
+    db1 = task.prepare_block(block, rb, eb)
+    for k in ("plan_site_take", "plan_site_ev", "plan_site_s"):
+        assert k in db1, k
+    # the shipped layout reproduces the layout-free forward exactly
+    variables = task.init_variables(jax.random.PRNGKey(0), db0)
+    b0 = task.sparse_batch({k: jnp.asarray(v) for k, v in db0.items()})
+    b1 = task.sparse_batch({k: jnp.asarray(v) for k, v in db1.items()})
+    assert b1.plans and "site_take" in b1.plans
+    out0 = task.model.apply(variables, b0, train=False)
+    out1 = task.model.apply(variables, b1, train=False)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               rtol=1e-5, atol=1e-5)

@@ -59,6 +59,10 @@ class TaskBase:
         # init_variables; prepare_block prefetches these plans on host so the
         # train step skips the in-step site-LUT + neighbor-plan build
         self._plan_reqs: set = set()
+        # grow-only per-site capacity high-water mark for the site-grouped
+        # head layout (ops/site_head.py): keeps the [S, MAX] jit shape from
+        # flapping between occupancy buckets across batches
+        self._site_cap = 0
 
     # -- construction ---------------------------------------------------------------
     def _build_model(self):
@@ -162,6 +166,19 @@ class TaskBase:
         from waveformml_tpu.ops.row_conv import host_neighbor_plan
 
         for k, ndim, n_t in self._plan_reqs:
+            if k == "site":
+                # site-grouped head layout (ops/site_head.py); grow-only MAX
+                # so the jit shape is stable across batches
+                from waveformml_tpu.ops.site_head import (MIN_CAP,
+                                                          host_site_layout)
+
+                lay = host_site_layout(out["coords"], out["mask"],
+                                       min_cap=max(MIN_CAP, self._site_cap))
+                self._site_cap = max(self._site_cap,
+                                     lay["site_take"].shape[1])
+                for kk, vv in lay.items():
+                    out[f"plan_{kk}"] = vv
+                continue
             out[f"plan_k{k}"] = host_neighbor_plan(
                 out["coords"], out["mask"], n_events, k,
                 n_t if ndim == 3 else None)

@@ -450,7 +450,20 @@ class Trainer:
                 # indices; _to_device stitches leaves into one global
                 # [P*rb] row space, so shift them into this rank's slot
                 # (keeping -1 absent sentinels), same as the event ids
-                if k.startswith("plan_"):
+                if k == "plan_site_take":
+                    # 1-based row slots (0 = empty): shift occupied slots
+                    # into this rank's global row block
+                    plan = v.copy()
+                    plan[plan > 0] += self.process_index * rb
+                    db[k] = plan
+                elif k == "plan_site_ev":
+                    # 1-based event slots: shift by the EVENT bucket
+                    plan = v.copy()
+                    plan[plan > 0] += self.process_index * eb
+                    db[k] = plan
+                elif k == "plan_site_s":
+                    pass  # site ids are global already
+                elif k.startswith("plan_"):
                     plan = v.copy()
                     plan[plan >= 0] += self.process_index * rb
                     db[k] = plan

@@ -137,6 +137,12 @@ class FoldedSiteLinear(nn.Module):
       path's [C, N, F] weight-gather (1.8 GB at C=256) dominates the step
       (measured: full train step 43.7 ms gather vs ~20 ms dense at C=256,
       B=4096; see docs/PERF_NOTES.md MFU study).
+    - **bysite**: site-grouped GEMM over a host-prefetched ``[S, MAX]`` slot
+      layout (ops/site_head.py — the MoE grouped-GEMM pattern with detector
+      sites as the experts). ~50× less arithmetic than dense (no work on the
+      ~98%-zero grid) and no [B·S, C] operand in fwd OR bwd; used whenever
+      the layout was shipped with the batch (``batch.plans``), which
+      ``LitBase.add_row_plans`` does once the model has been traced.
     """
 
     cin: int
@@ -157,6 +163,30 @@ class FoldedSiteLinear(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         mode = self.mode
+        plans = batch.plans or {}
+        if mode in ("auto", "bysite"):
+            # record the layout requirement while tracing (flax init) so the
+            # task's prepare_block host-builds it for every later batch —
+            # same mechanism as the row-conv neighbor plans
+            from waveformml_tpu.ops.row_conv import _record_requirement
+            _record_requirement("site", 0, None)
+            if "site_take" in plans:
+                mode = "bysite"
+            elif mode == "bysite":
+                raise ValueError(
+                    "FoldedSiteLinear(mode='bysite') needs the host site "
+                    "layout in batch.plans (site_take/site_ev/site_s); run "
+                    "through LitBase.prepare_block or pass mode='auto'")
+            else:
+                mode = "auto"
+        if mode == "bysite":
+            from waveformml_tpu.ops.site_head import site_grouped_matmul
+
+            k3 = kernel.astype(rows.dtype).reshape(self.cin, S, self.features)
+            out = site_grouped_matmul(
+                rows, k3, plans["site_take"], plans["site_ev"],
+                plans["site_s"], batch.n_events)
+            return out.astype(rows.dtype) + bias.astype(rows.dtype)
         if mode == "auto":
             # gather-path traffic / dense-path traffic = N·F / (B·S) ≈ 3F/S
             # (multiplicity ~3) — batch-independent, so the switch is a
