@@ -206,10 +206,25 @@ def bench_infer(backend):
     c, f, m = pad_sparse(coords, feats, row_bucket)
     batch = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), N_EVENTS)
     variables = task.model.init(jax.random.PRNGKey(0), batch)
+    # host-prefetched plans (neighbor + site layout), the canonical serving
+    # prep: init_variables records the model's plan requirements, and the
+    # coords-derived plans are batch-constant for a fixed detector stream
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+
+    task.init_variables(jax.random.PRNGKey(0), {
+        "coords": c, "feats": f, "mask": m,
+        "labels": np.zeros(N_EVENTS, np.int64),
+        "label_mask": np.ones(N_EVENTS, bool)})
+    db = task.prepare_block(
+        FileBlock(coords, feats, np.zeros(N_EVENTS, np.int64), {}),
+        row_bucket, N_EVENTS)
+    plans = {k[len("plan_"):]: jnp.asarray(v) for k, v in db.items()
+             if k.startswith("plan_")}
 
     @jax.jit
     def fwd(feats_dev):
-        b = SparseBatch(batch.coords, feats_dev, batch.mask, N_EVENTS)
+        b = SparseBatch(batch.coords, feats_dev, batch.mask, N_EVENTS,
+                        plans=plans or None)
         return task.model.apply(variables, b)
 
     fdev = jnp.asarray(f)
@@ -975,8 +990,12 @@ def _sparse_train_flops(n_rows, n_events, n_feat, out_planes, n_conv,
 
     executed=False counts the row-space algorithm (active sites only — the
     honest useful-work MFU denominator). executed=True counts the dense
-    flatten-Linear head the auto path actually runs on the MXU at wide
-    channels (and what the torch reference always runs)."""
+    flatten-Linear head the torch reference always runs. Since the r5
+    site-grouped head (ops/site_head.py) the TPU model no longer executes
+    those dense FLOPs either, so the emitted ``mfu_exec`` reads as
+    DENSE-EQUIVALENT MFU — throughput normalized to the reference model
+    family's arithmetic (the sparse-kernel-literature convention) — while
+    ``mfu`` remains actual useful-work utilization."""
     from waveformml_tpu.detector import NX, NY
     from waveformml_tpu.models.sparse_blocks import SparseConv2DForEZ
 
@@ -1022,8 +1041,9 @@ def _bench_heavy_at(backend, planes, metric_suffix=""):
 
 def bench_heavy(backend):
     _bench_heavy_at(backend, HEAVY_PLANES)
-    # width-128 variant: the post-FoldedSiteLinear throughput-accuracy
-    # frontier (higher wf/s AND 2x capacity vs w64) — the quoted MFU config
+    # width-128 variant: with the r5 site-grouped head, w128 costs only ~7%
+    # step time over w64 for 2x the capacity (4.93 vs 5.27 ms) — still the
+    # quoted-MFU accuracy/throughput frontier config
     _bench_heavy_at(backend, HEAVY_PLANES_WIDE, metric_suffix=" w128")
 
 
