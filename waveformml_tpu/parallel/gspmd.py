@@ -71,10 +71,17 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 def shard_batch(db: Any, mesh: Mesh) -> Any:
     """Commit a host batch dict to the mesh, leading dim sharded over data."""
-    def place(x):
+    def place(x, replicate_leaf=False):
         x = np.asarray(x)
-        spec = P(DATA_AXIS) if x.ndim >= 1 and x.shape[0] % \
-            mesh.shape[DATA_AXIS] == 0 else P()
+        spec = P(DATA_AXIS) if not replicate_leaf and x.ndim >= 1 and \
+            x.shape[0] % mesh.shape[DATA_AXIS] == 0 else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
+    if isinstance(db, dict):
+        # site-grouped head layouts are [S, MAX] slot grids, not row-aligned:
+        # their leading dim (the 154 sites) coincidentally divides some dp
+        # degrees, and a data-sharded layout would turn every slot gather
+        # into a cross-device access — keep them replicated
+        return {k: place(v, replicate_leaf=k.startswith("plan_site_"))
+                for k, v in db.items()}
     return jax.tree.map(place, db)
