@@ -186,12 +186,23 @@ def host_neighbor_plan(coords: np.ndarray, mask: np.ndarray, n_events: int,
     return plan
 
 
+def _masked_gather(feats: jax.Array, plan: jax.Array) -> jax.Array:
+    """[N, K², C] neighbor operand with absent (-1) taps as zero rows.
+
+    Absent taps index an appended all-zero row instead of select-masking
+    the gathered values: the compiled TPU HLO for the select variant
+    materialized a SECOND [N·K², C] operand (kLoop broadcast_select fusion,
+    28 MB/conv at w128) between the gather and the GEMM — redirecting the
+    index makes the gather itself produce the masked operand."""
+    n, c = feats.shape
+    fp = jnp.concatenate([feats, jnp.zeros((1, c), feats.dtype)])
+    return fp[jnp.where(plan >= 0, plan, n)]
+
+
 def _gather_gemm(feats: jax.Array, plan: jax.Array, kernel: jax.Array) -> jax.Array:
     n, c = feats.shape
     kk, _, cout = kernel.shape
-    safe = jnp.maximum(plan, 0)
-    gathered = feats[safe]                               # [N, K², C]
-    gathered = jnp.where((plan >= 0)[..., None], gathered, 0)
+    gathered = _masked_gather(feats, plan)               # [N, K², C]
     return jax.lax.dot_general(
         gathered.reshape(n, kk * c), kernel.reshape(kk * c, cout),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -233,8 +244,7 @@ def _subm_bwd(res, g):
     # d kernel: same forward gather contracted against g
     n, c = feats.shape
     kk = plan.shape[1]
-    safe = jnp.maximum(plan, 0)
-    gathered = jnp.where((plan >= 0)[..., None], feats[safe], 0)  # [N, K², C]
+    gathered = _masked_gather(feats, plan)               # [N, K², C]
     d_kernel = jax.lax.dot_general(
         gathered.reshape(n, kk * c), g,
         dimension_numbers=(((0,), (0,)), ((), ())),
