@@ -203,6 +203,19 @@ def _gather_gemm(feats: jax.Array, plan: jax.Array, kernel: jax.Array) -> jax.Ar
     n, c = feats.shape
     kk, _, cout = kernel.shape
     gathered = _masked_gather(feats, plan)               # [N, K², C]
+    # GEMM orientation is width-dependent (measured on v5e, same session):
+    # with the gathered operand as LHS, XLA materializes a transposed
+    # [K²C, N] copy of it (27 MB/conv at w128 in the compiled HLO); putting
+    # the small kernel on the LHS avoids that copy and wins at narrow
+    # output widths (heavy w64 step 4.70 -> 3.93 ms), but loses at wide
+    # ones (w128 4.55 -> 4.97 ms — the [Cout, N]-major result orientation
+    # costs more than the operand copy once Cout fills MXU tiles)
+    if cout <= 96:
+        out_t = jax.lax.dot_general(
+            kernel.reshape(kk * c, cout), gathered.reshape(n, kk * c),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [Cout, N]
+        return out_t.T.astype(feats.dtype)
     return jax.lax.dot_general(
         gathered.reshape(n, kk * c), kernel.reshape(kk * c, cout),
         dimension_numbers=(((1,), (0,)), ((), ())),
