@@ -1041,9 +1041,9 @@ def _bench_heavy_at(backend, planes, metric_suffix=""):
 
 def bench_heavy(backend):
     _bench_heavy_at(backend, HEAVY_PLANES)
-    # width-128 variant: with the r5 site-grouped head, w128 costs only ~7%
-    # step time over w64 for 2x the capacity (4.93 vs 5.27 ms) — still the
-    # quoted-MFU accuracy/throughput frontier config
+    # width-128 variant: with the r5 site-grouped head + conv-stack fixes,
+    # w128 costs ~12% step time over w64 for 2x the capacity (4.37 vs
+    # 3.89 ms) — still the quoted-MFU accuracy/throughput frontier config
     _bench_heavy_at(backend, HEAVY_PLANES_WIDE, metric_suffix=" w128")
 
 
