@@ -258,6 +258,9 @@ def _subm_bwd(res, g):
     n, c = feats.shape
     kk = plan.shape[1]
     gathered = _masked_gather(feats, plan)               # [N, K², C]
+    # (orientation measured: putting g on the LHS here is neutral within
+    # phase noise — unlike the forward, XLA already schedules this
+    # contraction's layouts well — so the straightforward form stays)
     d_kernel = jax.lax.dot_general(
         gathered.reshape(n, kk * c), g,
         dimension_numbers=(((0,), (0,)), ((), ())),
