@@ -205,13 +205,13 @@ def bench_infer(backend):
     row_bucket = 1 << (coords.shape[0] - 1).bit_length()
     c, f, m = pad_sparse(coords, feats, row_bucket)
     batch = SparseBatch(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), N_EVENTS)
-    variables = task.model.init(jax.random.PRNGKey(0), batch)
     # host-prefetched plans (neighbor + site layout), the canonical serving
-    # prep: init_variables records the model's plan requirements, and the
-    # coords-derived plans are batch-constant for a fixed detector stream
+    # prep (InferenceModel probes + ships the same plans on its host-prep
+    # path): init_variables records the model's plan requirements — and is
+    # the single init (its variables are reused for the forward)
     from waveformml_tpu.datasets.hdf5_dataset import FileBlock
 
-    task.init_variables(jax.random.PRNGKey(0), {
+    variables = task.init_variables(jax.random.PRNGKey(0), {
         "coords": c, "feats": f, "mask": m,
         "labels": np.zeros(N_EVENTS, np.int64),
         "label_mask": np.ones(N_EVENTS, bool)})

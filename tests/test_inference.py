@@ -663,3 +663,63 @@ def test_inference_model_litwaveform_host_prep(tmp_path):
     out = np.asarray(m(det, feats))
     assert np.isfinite(out).all()
     assert out.shape[0] == 6  # one prediction per row
+
+
+def test_inference_model_probes_plan_requirements(tmp_path):
+    """A plan-consuming model (row-conv SubM stack + site-grouped head):
+    InferenceModel's first dispatch probes the requirements via one
+    eval_shape trace, flips to the host-prep path, and ships the
+    host-built plans — matching the train-path numerics exactly."""
+    import jax
+
+    from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+    from waveformml_tpu.engineering.tasks import LitPSD
+    from waveformml_tpu.engineering.trainer import Trainer
+    from waveformml_tpu.inference.model import InferenceModel
+    from waveformml_tpu.parallel.mesh import make_mesh
+
+    n_samples = 8
+    cfg = Config({
+        "run_config": {"exp_name": "spi", "run_class": "LitPSD", "imports": []},
+        "system_config": {"model_name": "spi", "n_samples": n_samples,
+                          "n_type": 2, "type_names": ["a", "b"],
+                          "model_base_path": str(tmp_path / "m"),
+                          "gpu_enabled": False, "half_precision": 0},
+        "net_config": {"criterion_class": "CrossEntropyLoss",
+                       "criterion_params": [], "imports": [],
+                       "net_class": "SubMPSDNet", "net_type": "2DConvolution",
+                       "hparams": {"out_planes": 4, "n_lin": 2,
+                                   "conv_params": {"kernel_size": 3,
+                                                   "n_conv": 1, "n_point": 1,
+                                                   "conv_position": 1,
+                                                   "version": 2}}},
+        "optimize_config": {"total_epoch": 1, "lr": 0.01, "validation_freq": 1,
+                            "imports": [], "optimizer_class": "optim.SGD",
+                            "optimizer_params": {}},
+        "dataset_config": {"mode": "path", "imports": [], "paths": ["a"],
+                           "dataset_class": "PulseDataset2D",
+                           "dataset_params": {}, "n_train": 4, "n_validate": 2},
+    })
+    config_path = str(tmp_path / "config.json")
+    save_config(cfg, config_path)
+    rng = np.random.default_rng(2)
+    task = LitPSD(cfg)
+    trainer = Trainer(cfg, task, mesh=make_mesh(jax.devices()[:1]), seed=0)
+    coords = np.array([[1, 1, 0], [2, 2, 0], [5, 5, 1], [6, 6, 1]],
+                      dtype=np.int32)
+    feats = rng.random((4, 2 * n_samples)).astype(np.float32)
+    trainer._ensure_state(FileBlock(coords, feats,
+                                    np.array([0, 1], np.int64), {}))
+    ckpt = str(tmp_path / "s.ckpt")
+    trainer.save_checkpoint(ckpt)
+
+    m = InferenceModel(cfg, ckpt)
+    assert not m._needs_host_prep          # fast path until probed
+    out = np.asarray(m(coords, feats))
+    assert m._plan_probe_done
+    assert m._needs_host_prep              # probe found plan requirements
+    assert {("site", 0, None), (3, 2, None), (1, 2, None)} <= m.task._plan_reqs
+    assert np.isfinite(out).all() and out.shape == (2, 2)
+    # second dispatch (host-prep path, plans shipped) agrees with the first
+    out2 = np.asarray(m(coords, feats))
+    np.testing.assert_allclose(out2, out, rtol=1e-5, atol=1e-6)

@@ -559,6 +559,23 @@ class Trainer:
             out = {}
             for k, v in db.items():
                 v = np.ascontiguousarray(v)
+                if k.startswith("plan_site_"):
+                    # [S, MAX] site-layout slot grids (and the [S] site-id
+                    # vector): their leading dim is the site count, which
+                    # matches neither the global nor the per-process
+                    # addressable row count, so the generic
+                    # make_array_from_process_local_data path cannot ship
+                    # them. They are tiny (<=0.3 MB); allgather the
+                    # (already rank-shifted) per-process groups into the
+                    # global [P*S, ...] layout and replicate it.
+                    from jax.experimental import multihost_utils
+
+                    gathered = np.asarray(
+                        multihost_utils.process_allgather(v))
+                    glob = gathered.reshape((-1,) + v.shape[1:])
+                    out[k] = jax.device_put(
+                        glob, NamedSharding(self.mesh, P()))
+                    continue
                 if k.startswith("edges_"):
                     # [2, cap] edge lists stitch along the EDGE axis (their
                     # row indices were shifted into each rank's global slot

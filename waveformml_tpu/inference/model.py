@@ -95,6 +95,10 @@ class InferenceModel:
         # may override prepare_block to augment features — neither fits the
         # packed-buffer fast path, which rebuilds a minimal db inside jit
         self._needs_host_prep = self._check_host_prep()
+        # whether the model consumes host-prefetched plans (row-conv
+        # neighbor plans / the site-grouped head layout) is only known
+        # after one trace; probed lazily on the first dispatch
+        self._plan_probe_done = False
 
     def _check_host_prep(self) -> bool:
         from waveformml_tpu.engineering.base import TaskBase
@@ -227,6 +231,22 @@ class InferenceModel:
             vals = vals.astype(np.float32)
         import time as _time
 
+        if not self._plan_probe_done:
+            # one shape-level trace (jax.eval_shape: no compile, no device
+            # work) records which host-prefetched plans the model consumes
+            # (ops/row_conv neighbor plans, ops/site_head layout). If any,
+            # route through the host-prep packed path so every chunk ships
+            # them — the train-path fast head/conv paths then run in
+            # serving too (ref: PredictionWriter.py:57-66 loads the same
+            # frozen model the trainer built).
+            self._plan_probe_done = True
+            try:
+                self._probe_plan_requirements(coords, vals, n, n_events)
+            except Exception:  # probe is best-effort; fall back silently
+                self.task._plan_reqs.clear()
+            if self.task._plan_reqs:
+                self._needs_host_prep = True
+
         if self._needs_host_prep:
             from waveformml_tpu.datasets.hdf5_dataset import FileBlock
 
@@ -282,6 +302,22 @@ class InferenceModel:
         self.dispatch_phases["h2d_s"] += t2 - t1
         self.dispatch_phases["launch_s"] += t3 - t2
         return (out, n, n_events, row_bucket, event_bucket)
+
+    def _probe_plan_requirements(self, coords, vals, n, n_events) -> None:
+        """Record the model's host-plan requirements with one abstract trace
+        of init over a prepared db shaped like this stream's chunks."""
+        from waveformml_tpu.datasets.hdf5_dataset import FileBlock
+
+        n_dummy = (max(1, n) if getattr(self.task, "labels_per_row", False)
+                   else max(1, n_events))
+        block = FileBlock(coords=np.asarray(coords).astype(np.int32),
+                          feats=np.asarray(vals),
+                          labels=np.zeros((n_dummy,), np.float32))
+        rb = self.task.row_bucket(block)
+        eb = self.task.event_bucket(block)
+        db = self.task.prepare_block(block, rb, eb)
+        jax.eval_shape(self.task.init_variables, jax.random.PRNGKey(0),
+                       {k: np.asarray(v) for k, v in db.items()})
 
     @staticmethod
     def _start_host_copy(out) -> None:

@@ -177,8 +177,7 @@ class FoldedSiteLinear(nn.Module):
                     "FoldedSiteLinear(mode='bysite') needs the host site "
                     "layout in batch.plans (site_take/site_ev/site_s); run "
                     "through LitBase.prepare_block or pass mode='auto'")
-            else:
-                mode = "auto"
+            # else: stay 'auto' — the width heuristic below picks dense/gather
         if mode == "bysite":
             from waveformml_tpu.ops.site_head import site_grouped_matmul
 
